@@ -1,0 +1,226 @@
+"""Delta + varint posting-list codec with block-max skip metadata.
+
+Encodes per-term posting lists — ``(doc_id, tf, dl)`` sorted by ``doc_id``
+— into three varint-compressed binary columns plus per-block skip entries:
+
+- ``docs``: varints of doc_id deltas (first value is the raw doc_id);
+- ``tfs`` / ``dls``: varints of term frequencies / document lengths;
+- skip lists, one entry per ``block_size`` postings:
+  ``skip_last`` (last doc_id of the block, for skipping), ``skip_doff`` /
+  ``skip_toff`` / ``skip_loff`` (byte offsets of the block start into the
+  three blobs), ``skip_max_tf`` and ``skip_min_dl``.
+
+Block-max design note: the BM25 per-posting impact
+``idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` is monotone increasing in
+``tf`` and decreasing in ``dl``, so ``f(max_tf, min_dl)`` evaluated at query
+time (when ``idf``/``avgdl`` are known) upper-bounds every posting in the
+block — the bound block-max WAND needs — while keeping the codec
+independent of global corpus statistics. That independence is what makes
+shard encoding a single self-contained pass (resumable per shard, no
+second pass to patch score bounds in).
+
+Everything is vectorized numpy over flat arrays; the only Python-level
+loop is over 7-bit varint byte positions (≤ 10 iterations).
+
+Reference lineage: the reference has no persistence or compression at all
+(SURVEY.md §4); this implements the north-star codec
+("delta-encoded, varint-compressed posting lists with per-partition skip
+blocks and block-max metadata").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode an unsigned array.
+
+    Returns ``(data, lengths)``: the concatenated byte stream and the byte
+    length of each value. Vectorized over values; loops only over the ≤10
+    possible byte positions.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    lengths = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += tmp != 0
+        tmp >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    data = np.zeros(offsets[-1], dtype=np.uint8)
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        mask = lengths > k
+        idx = offsets[:-1][mask] + k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lengths[mask] - 1 > k).astype(np.uint8) << 7
+        data[idx] = byte | cont
+    return data, lengths
+
+
+def varint_decode(data: np.ndarray) -> np.ndarray:
+    """Decode a LEB128 byte stream back to a uint64 array. Vectorized."""
+    buf = np.ascontiguousarray(data, dtype=np.uint8)
+    if len(buf) == 0:
+        return np.empty(0, dtype=np.uint64)
+    cont = (buf & 0x80) != 0
+    ends = np.flatnonzero(~cont)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    pos = np.arange(len(buf))
+    group = np.searchsorted(ends, pos)
+    shift = ((pos - starts[group]) * 7).astype(np.uint64)
+    contrib = (buf & np.uint8(0x7F)).astype(np.uint64) << shift
+    return np.bitwise_or.reduceat(contrib, starts)
+
+
+def _grouped_delta(values: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """First-difference with reset at each group start (delta encoding of
+    concatenated sorted posting lists)."""
+    out = np.empty_like(values)
+    out[0] = values[0]
+    out[1:] = values[1:] - values[:-1]
+    out[group_starts] = values[group_starts]
+    return out
+
+
+def _grouped_undelta(deltas: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_grouped_delta`: per-group cumulative sum."""
+    # cumsum, then subtract the running total carried across group starts.
+    cs = np.cumsum(deltas)
+    carry = np.zeros_like(deltas)
+    carry[group_starts[1:]] = cs[group_starts[1:] - 1]
+    return cs - np.maximum.accumulate(carry)
+
+
+def _binary_from_offsets(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy build of a large_binary Arrow array from flat bytes +
+    int64 offsets."""
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(data)],
+    )
+
+
+def _list_from_offsets(values: pa.Array, offsets: np.ndarray) -> pa.Array:
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets.astype(np.int64), type=pa.int64()), values
+    )
+
+
+def encode_shard_postings(
+    terms: pa.Array,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> pa.Table:
+    """Encode ALL posting lists of one shard in one vectorized pass.
+
+    Inputs are the shard's flat triples, already sorted by (term, doc_id);
+    ``terms`` is the per-row term (dictionary-encoded ok). Output: one row
+    per term with columns ``term, df, docs, tfs, dls, skip_last,
+    skip_doff, skip_toff, skip_loff, skip_max_tf, skip_min_dl``.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return _empty_postings_table()
+    t = terms
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    denc = t.dictionary_encode() if not pa.types.is_dictionary(t.type) else t
+    codes = np.asarray(denc.indices)
+    # term boundaries (input is sorted by term)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+    df = ends - starts
+    uniq_terms = denc.dictionary.take(pa.array(codes[starts]))
+
+    deltas = _grouped_delta(doc_ids.astype(np.uint64), starts)
+    d_data, d_len = varint_encode(deltas)
+    t_data, t_len = varint_encode(tfs.astype(np.uint64))
+    l_data, l_len = varint_encode(dls.astype(np.uint64))
+    d_off = np.concatenate(([0], np.cumsum(d_len)))
+    t_off = np.concatenate(([0], np.cumsum(t_len)))
+    l_off = np.concatenate(([0], np.cumsum(l_len)))
+
+    docs_col = _binary_from_offsets(d_data, d_off[np.concatenate((starts, [n]))])
+    tfs_col = _binary_from_offsets(t_data, t_off[np.concatenate((starts, [n]))])
+    dls_col = _binary_from_offsets(l_data, l_off[np.concatenate((starts, [n]))])
+
+    # ---- block skip metadata, vectorized across all terms ----
+    n_blocks_per_term = (df + block_size - 1) // block_size
+    total_blocks = int(n_blocks_per_term.sum())
+    # global row index of each block's first posting
+    term_of_block = np.repeat(np.arange(len(df)), n_blocks_per_term)
+    block_ordinal = np.arange(total_blocks) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_blocks_per_term)[:-1])), n_blocks_per_term
+    )
+    blk_start = starts[term_of_block] + block_ordinal * block_size
+    blk_end = np.minimum(blk_start + block_size, ends[term_of_block])
+
+    skip_last = doc_ids[blk_end - 1].astype(np.int64)
+    # per-block max tf / min dl via ufunc.reduceat on block starts
+    skip_max_tf = np.maximum.reduceat(tfs.astype(np.int64), blk_start)
+    skip_min_dl = np.minimum.reduceat(dls.astype(np.int64), blk_start)
+    # byte offsets of block start RELATIVE to the term's blob start
+    skip_doff = (d_off[blk_start] - d_off[starts[term_of_block]]).astype(np.int64)
+    skip_toff = (t_off[blk_start] - t_off[starts[term_of_block]]).astype(np.int64)
+    skip_loff = (l_off[blk_start] - l_off[starts[term_of_block]]).astype(np.int64)
+
+    blk_list_off = np.concatenate(([0], np.cumsum(n_blocks_per_term)))
+
+    def lst(vals: np.ndarray, typ: pa.DataType) -> pa.Array:
+        return _list_from_offsets(pa.array(vals, type=typ), blk_list_off)
+
+    return pa.table(
+        {
+            "term": uniq_terms,
+            "df": pa.array(df, type=pa.int32()),
+            "docs": docs_col,
+            "tfs": tfs_col,
+            "dls": dls_col,
+            "skip_last": lst(skip_last, pa.int64()),
+            "skip_doff": lst(skip_doff, pa.int64()),
+            "skip_toff": lst(skip_toff, pa.int64()),
+            "skip_loff": lst(skip_loff, pa.int64()),
+            "skip_max_tf": lst(skip_max_tf, pa.int64()),
+            "skip_min_dl": lst(skip_min_dl, pa.int64()),
+        }
+    )
+
+
+def _empty_postings_table() -> pa.Table:
+    i64list = pa.large_list(pa.int64())
+    return pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int32()),
+            "docs": pa.array([], type=pa.large_binary()),
+            "tfs": pa.array([], type=pa.large_binary()),
+            "dls": pa.array([], type=pa.large_binary()),
+            "skip_last": pa.array([], type=i64list),
+            "skip_doff": pa.array([], type=i64list),
+            "skip_toff": pa.array([], type=i64list),
+            "skip_loff": pa.array([], type=i64list),
+            "skip_max_tf": pa.array([], type=i64list),
+            "skip_min_dl": pa.array([], type=i64list),
+        }
+    )
+
+
+def decode_posting_column(
+    docs_blob: bytes, tfs_blob: bytes, dls_blob: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one term's blobs back to (doc_ids, tfs, dls)."""
+    deltas = varint_decode(np.frombuffer(docs_blob, dtype=np.uint8))
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    tfs = varint_decode(np.frombuffer(tfs_blob, dtype=np.uint8)).astype(np.int64)
+    dls = varint_decode(np.frombuffer(dls_blob, dtype=np.uint8)).astype(np.int64)
+    return doc_ids, tfs, dls

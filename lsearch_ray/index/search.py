@@ -1,0 +1,281 @@
+"""BM25 top-k query serving over the sharded inverted index.
+
+Three query paths, all rank-identical to ``golden.GoldenIndex.bm25``:
+
+- :func:`search_index` — driver-side convenience (loads postings for the
+  query's terms only, via parquet predicate pushdown). Tests/smoke.
+- :class:`BatchSearcher` — the Ray-Data path: a callable CLASS for
+  ``queries_ds.map_batches(BatchSearcher(index_dir), concurrency=N)``.
+  Each actor opens the index once (``__init__``), then per batch loads
+  postings for the batch's union of terms (term-pushdown IO) and scores
+  every query vectorized. Streams arbitrarily many queries.
+- :class:`ShardSearcherActor` + :class:`QueryEngine` — scatter-gather
+  serving: one raw Ray actor per shard group holds decoded postings in
+  memory (mmap-equivalent residency), each returns an exact shard-local
+  top-k (doc-sharding makes per-shard scores complete), the driver merges.
+  Raw actors are justified here: a long-lived shared index server is the
+  one stage the Dataset API can't express (SURVEY.md §4).
+
+Determinism contract (matches golden.py bit-for-bit):
+- query terms deduped + sorted; contributions accumulated per doc in that
+  term order via ``np.add.at`` (in-order scatter-add), float64;
+- idf/tf-norm arithmetic written with the exact same operation order as
+  the golden implementation;
+- final order: score desc, doc_id asc.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from lsearch_ray.analyzer import tokenize
+from lsearch_ray.index.build import IndexMeta, _shard_dir
+from lsearch_ray.index.codec import decode_posting_column
+
+
+def _postings_files(index_dir: str, num_shards: int) -> list[str]:
+    return [
+        os.path.join(_shard_dir(index_dir, s), "postings.parquet")
+        for s in range(num_shards)
+    ]
+
+
+def load_postings_for_terms(
+    files: list[str], terms: list[str]
+) -> dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+    """Read only the query terms' rows (parquet filter pushdown), decode.
+
+    Returns term → list of (doc_ids, tfs, dls) fragments (one per shard
+    that contains the term).
+    """
+    out: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    if not terms:
+        return out
+    tset = pa.array(sorted(set(terms)))
+    for f in files:
+        t = pq.read_table(
+            f,
+            columns=["term", "docs", "tfs", "dls"],
+            filters=pc.field("term").isin(tset),
+        )
+        for i in range(t.num_rows):
+            term = t["term"][i].as_py()
+            out.setdefault(term, []).append(
+                decode_posting_column(
+                    t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+                )
+            )
+    return out
+
+
+def global_dfs(
+    postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]]
+) -> dict[str, int]:
+    return {t: sum(len(frag[0]) for frag in frags) for t, frags in postings.items()}
+
+
+def score_query(
+    query: str,
+    postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]],
+    dfs: dict[str, int],
+    meta: IndexMeta,
+    k: int = 10,
+    mode: str = "or",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive vectorized BM25; returns (top_doc_ids, top_scores)."""
+    terms = sorted(set(tokenize(query)))
+    doc_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    n_terms_matched = 0
+    for term in terms:
+        frags = postings.get(term)
+        if not frags:
+            continue
+        n_terms_matched += 1
+        df = dfs[term]
+        # math.log, not np.log: they can differ by 1 ulp, and the contract
+        # is exact float64 equality with golden.py
+        idf = math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
+        for doc_ids, tfs, dls in frags:
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            # operation order mirrors golden.py exactly (float64 IEEE):
+            norm = tf * (meta.k1 + 1.0) / (
+                tf + meta.k1 * (1.0 - meta.b + meta.b * dl / meta.avgdl)
+            )
+            doc_parts.append(doc_ids)
+            contrib_parts.append(idf * norm)
+    if not doc_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(doc_parts)
+    contribs = np.concatenate(contrib_parts)
+    uniq, inverse = np.unique(docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inverse, contribs)  # in concatenation (= term) order
+    if mode == "and" and terms:
+        hits = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(hits, inverse, 1)
+        keep = hits == len(terms)
+        uniq, scores = uniq[keep], scores[keep]
+    if len(uniq) == 0:
+        return uniq.astype(np.int64), scores
+    order = np.lexsort((uniq, -scores))[:k]
+    return uniq[order].astype(np.int64), scores[order]
+
+
+def search_index(
+    index_dir: str, query: str, k: int = 10, mode: str = "or"
+) -> pa.Table:
+    """One-shot search (driver-side). Returns (rank, doc_id, score)."""
+    meta = IndexMeta.load(index_dir)
+    files = _postings_files(index_dir, meta.num_shards)
+    terms = sorted(set(tokenize(query)))
+    postings = load_postings_for_terms(files, terms)
+    dfs = global_dfs(postings)
+    doc_ids, scores = score_query(query, postings, dfs, meta, k, mode)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(doc_ids) + 1), type=pa.int32()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+class BatchSearcher:
+    """``map_batches`` actor: stream a query table through the index.
+
+    Input batch: columns (query_id:int64, query:string, ...). Output:
+    (query_id, rank, doc_id, score) — top-k rows per query.
+
+    Per batch, one pushdown read fetches the UNION of the batch's terms
+    across shards — IO amortizes over the batch. Index metadata loads once
+    per actor in ``__init__``.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, mode: str = "or"):
+        self.meta = IndexMeta.load(index_dir)
+        self.files = _postings_files(index_dir, self.meta.num_shards)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        queries = batch["query"].to_pylist()
+        qids = batch["query_id"].to_pylist()
+        all_terms = sorted({t for q in queries for t in tokenize(q)})
+        postings = load_postings_for_terms(self.files, all_terms)
+        dfs = global_dfs(postings)
+        out_qid: list[int] = []
+        out_rank: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+        for qid, q in zip(qids, queries):
+            doc_ids, scores = score_query(
+                q, postings, dfs, self.meta, self.k, self.mode
+            )
+            out_qid.extend([qid] * len(doc_ids))
+            out_rank.append(np.arange(1, len(doc_ids) + 1))
+            out_doc.append(doc_ids)
+            out_score.append(scores)
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(
+                    np.concatenate(out_rank) if out_rank else np.empty(0, np.int64),
+                    type=pa.int32(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+                "score": pa.array(
+                    np.concatenate(out_score) if out_score else np.empty(0),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+
+class _ShardGroupSearcher:
+    """Holds a group of shards fully decoded in memory; answers per-group
+    top-k. Wrapped as a Ray actor by :class:`QueryEngine`."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int]):
+        self.meta = IndexMeta.load(index_dir)
+        self.postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        for s in shard_ids:
+            t = pq.read_table(
+                os.path.join(_shard_dir(index_dir, s), "postings.parquet"),
+                columns=["term", "docs", "tfs", "dls"],
+            )
+            for i in range(t.num_rows):
+                self.postings.setdefault(t["term"][i].as_py(), []).append(
+                    decode_posting_column(
+                        t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+                    )
+                )
+
+    def local_dfs(self, terms: list[str]) -> dict[str, int]:
+        return {
+            t: sum(len(f[0]) for f in self.postings.get(t, ())) for t in terms
+        }
+
+    def search(
+        self, query: str, dfs: dict[str, int], k: int, mode: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        # dfs are GLOBAL (gathered by QueryEngine) so idf matches golden;
+        # doc-sharding makes local scores complete → local top-k is exact.
+        return score_query(query, self.postings, dfs, self.meta, k, mode)
+
+
+class QueryEngine:
+    """Scatter-gather BM25 serving over a pool of shard-holding actors.
+
+    Two-phase per query: (1) gather per-group local dfs → global df for
+    exact idf; (2) scatter score requests, merge per-group exact top-k by
+    (score desc, doc_id asc). Uses raw ``@ray.remote`` actors — the
+    long-lived shared in-memory index is the one stage Dataset transforms
+    can't express (SURVEY.md §4).
+    """
+
+    def __init__(self, index_dir: str, num_actors: int = 4):
+        import ray
+
+        self.meta = IndexMeta.load(index_dir)
+        shards = list(range(self.meta.num_shards))
+        num_actors = max(1, min(num_actors, len(shards)))
+        groups = [shards[i::num_actors] for i in range(num_actors)]
+        actor_cls = ray.remote(_ShardGroupSearcher)
+        self.actors = [
+            actor_cls.remote(index_dir, g) for g in groups if g
+        ]
+
+    def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:
+        import ray
+
+        terms = sorted(set(tokenize(query)))
+        df_parts = ray.get([a.local_dfs.remote(terms) for a in self.actors])
+        dfs: dict[str, int] = {t: 0 for t in terms}
+        for part in df_parts:
+            for t, c in part.items():
+                dfs[t] += c
+        results = ray.get(
+            [a.search.remote(query, dfs, k, mode) for a in self.actors]
+        )
+        docs = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
+        scores = np.concatenate([r[1] for r in results]) if results else np.empty(0)
+        order = np.lexsort((docs, -scores))[:k]
+        docs, scores = docs[order].astype(np.int64), scores[order]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(docs) + 1), type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

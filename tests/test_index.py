@@ -1,0 +1,160 @@
+"""Index build + BM25 rank-identity vs the pure-Python golden reference.
+
+The north-rule correctness gate: top-k doc_ids AND float64 scores from the
+distributed engine must equal golden.py exactly (rank-identical).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsearch_ray.corpus import assign_doc_ids, make_corpus
+from lsearch_ray.index.build import IndexMeta, build_index
+from lsearch_ray.index.golden import golden_index
+from lsearch_ray.index.search import BatchSearcher, QueryEngine, search_index
+
+QUERIES = [
+    "biology",
+    "the data search",
+    "word042 chemistry",
+    "zzz notfound",
+    "index engine query ray",
+    "THE Data",  # case fold
+    "word001",
+    "music history physics chemistry",
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    corpus = assign_doc_ids(make_corpus(800, seed=42))
+    # dedupe by normalized url (doc_id is derived from url_norm)
+    import pyarrow.compute as pc
+
+    first = np.sort(np.unique(corpus["doc_id"].to_numpy(), return_index=True)[1])
+    corpus = corpus.take(pa.array(first))
+    index_dir = str(tmp_path_factory.mktemp("idx") / "index")
+    docs = rd.from_arrow(corpus.select(["doc_id", "text"]))
+    meta = build_index(docs, index_dir, num_shards=5)
+    golden = golden_index(
+        corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()
+    )
+    return index_dir, meta, golden
+
+
+def test_meta_stats(built):
+    index_dir, meta, golden = built
+    assert meta.n_docs == golden.n_docs
+    assert meta.avgdl == pytest.approx(golden.avgdl, rel=1e-12)
+    assert IndexMeta.load(index_dir).n_docs == golden.n_docs
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_search_index_rank_identical(built, mode):
+    index_dir, meta, golden = built
+    for q in QUERIES:
+        want = golden.bm25(q, k=10, mode=mode)
+        got = search_index(index_dir, q, k=10, mode=mode)
+        got_pairs = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+        assert [d for d, _ in got_pairs] == [d for d, _ in want], q
+        for (gd, gs), (wd, ws) in zip(got_pairs, want):
+            assert gs == ws, (q, gd, gs, ws)  # exact float64 equality
+
+
+def test_batch_searcher_dataset(built):
+    index_dir, meta, golden = built
+    queries = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(QUERIES)), type=pa.int64()),
+                "query": QUERIES,
+            }
+        )
+    )
+    out = queries.map_batches(
+        BatchSearcher(index_dir, k=10, mode="or"),
+        batch_format="pyarrow",
+        batch_size=3,
+        concurrency=2,
+    )
+    rows = out.take_all()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(QUERIES):
+        want = golden.bm25(q, k=10, mode="or")
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q
+        assert [r["score"] for r in got] == [s for _, s in want], q
+
+
+def test_query_engine_scatter_gather(built):
+    index_dir, meta, golden = built
+    eng = QueryEngine(index_dir, num_actors=3)
+    for q in QUERIES:
+        want = golden.bm25(q, k=10, mode="or")
+        got = eng.search(q, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q
+        assert got["score"].to_pylist() == [s for _, s in want], q
+
+
+def test_resume_skips_completed_and_is_byte_identical(built, tmp_path):
+    """FIXTURES.md §4: delete half the shards, rerun → identical bytes."""
+    import hashlib
+    import shutil
+
+    corpus = assign_doc_ids(make_corpus(300, seed=1))
+    first = np.sort(np.unique(corpus["doc_id"].to_numpy(), return_index=True)[1])
+    corpus = corpus.take(pa.array(first))
+    docs = rd.from_arrow(corpus.select(["doc_id", "text"]))
+
+    d1 = str(tmp_path / "idx1")
+    build_index(docs, d1, num_shards=4)
+
+    def digest(d):
+        h = hashlib.sha256()
+        for s in range(4):
+            with open(os.path.join(d, f"shard={s:05d}", "postings.parquet"), "rb") as f:
+                h.update(f.read())
+        return h.hexdigest()
+
+    full = digest(d1)
+    # wipe shards 1 and 3, resume
+    for s in (1, 3):
+        shutil.rmtree(os.path.join(d1, f"shard={s:05d}"))
+    meta2 = build_index(docs, d1, num_shards=4, resume=True)
+    assert digest(d1) == full
+    assert meta2.n_docs == corpus.num_rows
+
+
+def test_empty_query(built):
+    index_dir, _, _ = built
+    out = search_index(index_dir, "!!! ???", k=10)
+    assert out.num_rows == 0
+
+
+def test_documents_table_end_to_end(built):
+    """Same gate over the driver's documents.parquet (sf0.001)."""
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    index_dir = "/tmp/lsr_test_docs_index"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_index(docs, index_dir, num_shards=3)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    golden = golden_index(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    # pick some real terms from the corpus
+    sample_text = t["text"][0].as_py()
+    q = " ".join(sample_text.split()[:2])
+    want = golden.bm25(q, k=10)
+    got = search_index(index_dir, q, k=10)
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    assert got["score"].to_pylist() == [s for _, s in want]
