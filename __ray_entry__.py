@@ -1,44 +1,430 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline (index build + BM25 search) on sf0.001.
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2);
+each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (column names match).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in lsearch_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+K1 = 1.2
+B = 0.75
+BM25_QUERY = "scan merge sort"
+MORE_TERM = "scan"
+HAS_TERM = "merge"
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------- entry ----
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the sharded BM25 index over sf0.001 documents, then
+    answer a query batch through the Dataset query path."""
+    import ray.data as rd
+
+    from lsearch_ray.index.build import build_index
+    from lsearch_ray.index.search import BatchSearcher
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = "/tmp/lsearch_ray_entry_index"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    build_index(docs, index_dir, num_shards=4)
+    queries_tbl = pa.table(
+        {
+            "query_id": pa.array(range(4), type=pa.int64()),
+            "query": ["scan merge", "hash join", "window order sort", "spark"],
+        }
+    )
+    out = rd.from_arrow(queries_tbl).map_batches(
+        BatchSearcher(index_dir, k=10, mode="or"),
+        batch_format="pyarrow",
+        batch_size=2,
+    )
+    return out
+
+
+# -------------------------------------------------------------- queries ----
+
+
+def _q_tf_triples(sf_dir: str):
+    from lsearch_ray.pipelines import tf_triples
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 200)), batch_format="pyarrow"
+    )
+    return tf_triples(docs).map_batches(
+        lambda b: pa.table(
+            {
+                "term": b["term"],
+                "doc_id": b["doc_id"],
+                "tf": b["tf"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_term_df(sf_dir: str):
+    from lsearch_ray.pipelines import term_df
+
+    return term_df(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_doc_stats(sf_dir: str):
+    from lsearch_ray.pipelines import doc_stats
+
+    s = doc_stats(_docs(sf_dir, ["doc_id", "text"]))
+    return pa.table(
+        {
+            "n_docs": pa.array([s["n_docs"]], type=pa.int64()),
+            "avgdl": pa.array([round(s["avgdl"], 6)], type=pa.float64()),
+            "total_tokens": pa.array([s["total_tokens"]], type=pa.int64()),
+        }
+    )
+
+
+def _q_bm25_or(sf_dir: str):
+    from lsearch_ray.pipelines import bm25_topk_dataset
+
+    return bm25_topk_dataset(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, k=10)
+
+
+def _q_bm25_and(sf_dir: str):
+    from lsearch_ray.pipelines import bm25_topk_dataset
+
+    return bm25_topk_dataset(
+        _docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, k=10, mode="and"
+    )
+
+
+def _q_more_rank(sf_dir: str):
+    from lsearch_ray.stages import ContentRun, ScoreOp, run_pipeline
+
+    out = run_pipeline(
+        _docs(sf_dir, ["doc_id", "text"]),
+        [ContentRun("text", (ScoreOp("more", MORE_TERM),), insensitive=False)],
+        id_col="doc_id",
+        k=20,
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "score"]), batch_format="pyarrow"
+    )
+
+
+def _q_has_filter(sf_dir: str):
+    from lsearch_ray.stages import ContentRun, ScoreOp, run_pipeline
+
+    out = run_pipeline(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]),
+        [ContentRun("text", (ScoreOp("has", HAS_TERM),), insensitive=False)],
+        sort=False,
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def _q_events_filter(sf_dir: str):
+    from lsearch_ray.stages import ContentRun, ScoreOp, run_pipeline
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "props", "value"])
+    out = run_pipeline(
+        ev,
+        [
+            ContentRun("event_type", (ScoreOp("is", "click"),), insensitive=False),
+            ContentRun("props", (ScoreOp("hasnt", "x"),), insensitive=False),
+        ],
+        sort=False,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "value"]), batch_format="pyarrow"
+    )
+
+
+def _q_q1_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+    )
+    # fixed-point integer outputs: float sums differ between engines by
+    # summation order (~1e-7 rel), which survives round() at the ulp level
+    # and would break the driver's value hash; integer cents/millionths
+    # absorb it
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.round(b["sum_qty"], 0).cast(pa.int64()),
+                "sum_price_cents": pc.round(
+                    pc.multiply(b["sum_price"], pa.scalar(100.0)), 0
+                ).cast(pa.int64()),
+                "avg_disc_e6": pc.round(
+                    pc.multiply(b["avg_disc"], pa.scalar(1e6)), 0
+                ).cast(pa.int64()),
+                "n": b["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_top_orders(sf_dir: str):
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return o.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_dedup_events(sf_dir: str):
+    from lsearch_ray.functions import exact_dedup
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = exact_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_type", "event_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_dedup_documents(sf_dir: str):
+    from lsearch_ray.functions import exact_dedup_by_content
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = exact_dedup_by_content(docs, "text", "doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def _q_ann_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.functions import cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = np.array(
+        pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    return cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10)
+
+
+def _q_token_count(sf_dir: str):
+    from lsearch_ray.analyzer import doc_lengths_table
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": doc_lengths_table(b)["dl"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                "value": b["value"],
+            }
+        )
+
+    agg = (
+        ev.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": b["hour"],
+                "n": b["n"],
+                "sum_value": pc.round(b["sum_value"], 3),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "tf_triples": _q_tf_triples,
+        "term_df": _q_term_df,
+        "doc_stats": _q_doc_stats,
+        "bm25_or_topk": _q_bm25_or,
+        "bm25_and_topk": _q_bm25_and,
+        "more_rank": _q_more_rank,
+        "has_filter": _q_has_filter,
+        "events_filter": _q_events_filter,
+        "q1_agg": _q_q1_agg,
+        "top_orders": _q_top_orders,
+        "dedup_events": _q_dedup_events,
+        "dedup_documents": _q_dedup_documents,
+        "ann_cosine": _q_ann_cosine,
+        "token_count": _q_token_count,
+        "lang_counts": _q_lang_counts,
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------- oracle SQL ----
+
+_TOKS = (
+    "SELECT doc_id, lower(u.t) AS term FROM documents, "
+    "UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t) "
+    "WHERE u.t <> ''"
+)
+
+_TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKS}) GROUP BY doc_id, term"
+
+_DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOKS}) GROUP BY doc_id"
+
+_BM25_BODY = f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT count(*) AS n_docs, sum(dl)/count(*) AS avgdl FROM dl),
+qt AS (SELECT DISTINCT lower(u.t) AS term FROM UNNEST(string_split_regex(lower('{BM25_QUERY}'), '[^a-z0-9]+')) AS u(t) WHERE u.t <> ''),
+df AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt ON tf.term = qt.term GROUP BY tf.term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+             * tf.tf*({K1}+1.0)/(tf.tf + {K1}*(1.0-{B}+{B}*dl.dl/s.avgdl))) AS score,
+         count(*) AS nt
+  FROM tf JOIN df ON tf.term = df.term
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tf_triples": (
+            f"SELECT term, doc_id, tf FROM ({_TF}) WHERE doc_id < 200"
+        ),
+        "term_df": (
+            f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
+        ),
+        "doc_stats": (
+            f"SELECT count(*) AS n_docs, round(sum(dl)/count(*), 6) AS avgdl, "
+            f"sum(dl) AS total_tokens FROM ({_DL})"
+        ),
+        "bm25_or_topk": (
+            _BM25_BODY
+            + "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "bm25_and_topk": (
+            _BM25_BODY
+            + "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "WHERE nt = (SELECT count(*) FROM qt) "
+            "ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "more_rank": (
+            f"SELECT doc_id, 1.0 + (length(text) - length(replace(text, '{MORE_TERM}', '')))"
+            f"/length('{MORE_TERM}') AS score FROM documents "
+            "ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "has_filter": (
+            f"SELECT doc_id, n_chars FROM documents WHERE text LIKE '%{HAS_TERM}%'"
+        ),
+        "events_filter": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'click' AND props NOT LIKE '%x%'"
+        ),
+        "q1_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, "
+            "CAST(round(sum(l_extendedprice) * 100.0, 0) AS BIGINT) AS sum_price_cents, "
+            "CAST(round(avg(l_discount) * 1000000.0, 0) AS BIGINT) AS avg_disc_e6, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "dedup_events": (
+            "SELECT user_id, event_type, event_id FROM ("
+            "  SELECT user_id, event_type, event_id, "
+            "         row_number() OVER (PARTITION BY user_id, event_type "
+            "                            ORDER BY ts, event_id) AS rn FROM events"
+            ") WHERE rn = 1"
+        ),
+        "dedup_documents": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "ann_cosine": (
+            # CAST to DOUBLE[]: duckdb's float32 cosine differs from the
+            # engine's float64 math at the 4th decimal otherwise
+            "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim "
+            "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
+        ),
+        "token_count": (
+            f"SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens FROM documents d "
+            f"LEFT JOIN (SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id) t "
+            f"ON d.doc_id = t.doc_id"
+        ),
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+    }

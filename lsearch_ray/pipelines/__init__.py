@@ -1,0 +1,8 @@
+"""End-to-end pipelines composed from stages/index/functions."""
+
+from lsearch_ray.pipelines.fulltext import (  # noqa: F401
+    bm25_topk_dataset,
+    doc_stats,
+    term_df,
+    tf_triples,
+)

@@ -1,0 +1,55 @@
+"""Dedup + ANN operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lsearch_ray.functions import cosine_topk, exact_dedup, exact_dedup_by_content
+
+
+def test_exact_dedup_keeps_first_by_order():
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "ts": [3, 1, 5, 5, 4],
+            "id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        }
+    )
+    out = exact_dedup(rd.from_arrow(t), ["k"], ["ts", "id"]).take_all()
+    got = {r["k"]: r["id"] for r in out}
+    assert got == {"a": 11, "b": 14}
+
+
+def test_exact_dedup_by_content():
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 1], type=pa.int64()),
+            "text": ["same", "same", "other", "same"],
+        }
+    )
+    out = exact_dedup_by_content(rd.from_arrow(t), "text", "doc_id").take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 9]
+
+
+def test_cosine_topk_exact():
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    q = vecs[7]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    got = cosine_topk(rd.from_arrow(t), q.astype(np.float64), k=5, round_to=None)
+    # brute-force check
+    m = vecs.astype(np.float64)
+    sims = (m @ q.astype(np.float64)) / (
+        np.linalg.norm(m, axis=1) * np.linalg.norm(q.astype(np.float64))
+    )
+    want = np.lexsort((np.arange(200), -sims))[:5]
+    assert got["vec_id"].to_pylist() == want.tolist()
+    assert got["vec_id"].to_pylist()[0] == 7
+    assert got["sim"].to_pylist()[0] == 1.0 or abs(got["sim"][0].as_py() - 1.0) < 1e-12
