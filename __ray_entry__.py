@@ -65,9 +65,11 @@ def entry() -> Any:
         }
     )
     out = rd.from_arrow(queries_tbl).map_batches(
-        BatchSearcher(index_dir, k=10, mode="or"),
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": 10, "mode": "or"},
         batch_format="pyarrow",
         batch_size=2,
+        concurrency=2,
     )
     return out
 

@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line per run.
+
+Default: headline suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+at num_cpus=$RAY_GRAFT_CPUS (default 32):
+  - index_build   — sharded inverted-index build over a deterministic
+                    synthetic CC-style corpus (LSR_BENCH_DOCS rows,
+                    default 200k, cached under /tmp) — the north metric,
+                    reported as docs/sec
+  - query_p95     — BM25 top-10 p95 latency over 100 queries via the
+                    in-memory scatter-gather QueryEngine
+  - query_stream  — 1000 queries streamed through the Dataset
+                    BatchSearcher path (qps)
+  - generic ops   — q1_agg, more_rank, bm25 dataset path, dedup, ANN over
+                    the testdata tables
+
+--index-only: index build only (used by --scaling subprocesses).
+--scaling: run index build at num_cpus=8 and 32 in fresh processes on the
+same (pre-generated, page-cache-warmed) input; report both throughputs and
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("LSR_BENCH_DOCS", "200000"))
+CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
+INDEX_DIR = "/tmp/lsr_bench_index"
+NUM_SHARDS = 32
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def ensure_corpus() -> None:
+    """Generate the bench corpus once (parallel deterministic chunks),
+    cache under /tmp, and warm the page cache with one untimed read."""
+    import pyarrow.parquet as pq
+    import ray
+
+    marker = os.path.join(CORPUS_DIR, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        from lsearch_ray.corpus import assign_doc_ids, make_corpus
+
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        os.makedirs(CORPUS_DIR, exist_ok=True)
+        chunk = 25000
+        n_chunks = (BENCH_DOCS + chunk - 1) // chunk
+
+        @ray.remote
+        def gen(i: int) -> int:
+            n = min(chunk, BENCH_DOCS - i * chunk)
+            t = assign_doc_ids(make_corpus(n, seed=42 + i, start=i * chunk))
+            t = t.select(["doc_id", "url", "warc_ts", "text", "lang"])
+            pq.write_table(t, os.path.join(CORPUS_DIR, f"part-{i:05d}.parquet"))
+            return n
+
+        total = sum(ray.get([gen.remote(i) for i in range(n_chunks)]))
+        with open(marker, "w") as f:
+            f.write(str(total))
+    # warm page cache AND the Ray worker pool (untimed): parquet count()
+    # alone is metadata-only, so run a real pass over the bytes
+    import pyarrow as pa
+    import ray.data as rd
+
+    rd.read_parquet(CORPUS_DIR, columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
+    ).count()
+
+
+def bench_index_build() -> dict:
+    import ray.data as rd
+
+    from lsearch_ray.index.build import build_index
+
+    import shutil
+
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    docs = rd.read_parquet(CORPUS_DIR, columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    meta = build_index(docs, INDEX_DIR, num_shards=NUM_SHARDS, resume=False)
+    dt = time.monotonic() - t0
+    return {"sec": dt, "docs": meta.n_docs, "docs_per_sec": meta.n_docs / dt}
+
+
+def _bench_queries_list(n: int) -> list[str]:
+    from lsearch_ray.corpus import _VOCAB
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 4)
+        out.append(" ".join(rng.choice(_VOCAB, size=k, replace=False)))
+    return out
+
+
+def bench_query_serving() -> dict:
+    import numpy as np
+
+    from lsearch_ray.index.search import QueryEngine
+
+    eng = QueryEngine(INDEX_DIR, num_actors=min(8, NUM_SHARDS))
+    queries = _bench_queries_list(100)
+    eng.search("warm up please")  # actor init + warm
+    lat = []
+    for q in queries:
+        t0 = time.monotonic()
+        eng.search(q, k=10)
+        lat.append(time.monotonic() - t0)
+    lat = np.array(lat)
+    return {
+        "sec": float(lat.sum()),
+        "p50_ms": float(np.percentile(lat, 50) * 1e3),
+        "p95_ms": float(np.percentile(lat, 95) * 1e3),
+    }
+
+
+def bench_query_stream() -> dict:
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.index.search import BatchSearcher
+
+    queries = _bench_queries_list(1000)
+    qt = pa.table(
+        {
+            "query_id": pa.array(range(len(queries)), type=pa.int64()),
+            "query": queries,
+        }
+    )
+    t0 = time.monotonic()
+    n = (
+        rd.from_arrow(qt)
+        .map_batches(
+            BatchSearcher,
+            fn_constructor_kwargs={"index_dir": INDEX_DIR, "k": 10},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=8,
+        )
+        .count()
+    )
+    dt = time.monotonic() - t0
+    return {"sec": dt, "result_rows": n, "qps": len(queries) / dt}
+
+
+def bench_generic() -> dict:
+    import __ray_entry__ as entry_mod
+
+    out = {}
+    qs = entry_mod.queries()
+    for name in ["q1_agg", "more_rank", "bm25_or_topk", "dedup_events", "ann_cosine", "term_df"]:
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        # consume lazily-built datasets
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()
+        out[name] = time.monotonic() - t0
+    return out
+
+
+def run_default(index_only: bool = False) -> dict:
+    _init_ray()
+    ensure_corpus()
+    queries: dict[str, float] = {}
+    ib = bench_index_build()
+    queries["index_build"] = round(ib["sec"], 3)
+    result = {
+        "metric": "headline suite wall time",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "bench_docs": ib["docs"],
+        "index_build_docs_per_sec": round(ib["docs_per_sec"], 1),
+    }
+    if not index_only:
+        qs = bench_query_serving()
+        queries["query_serving"] = round(qs["sec"], 3)
+        result["query_p50_ms"] = round(qs["p50_ms"], 2)
+        result["query_p95_ms"] = round(qs["p95_ms"], 2)
+        st = bench_query_stream()
+        queries["query_stream"] = round(st["sec"], 3)
+        result["query_stream_qps"] = round(st["qps"], 1)
+        for k, v in bench_generic().items():
+            queries[k] = round(v, 3)
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 3)
+    return result
+
+
+def run_scaling() -> dict:
+    """Index build at num_cpus=8 vs 32, fresh processes, same input.
+
+    Best-of-2 per level: single-run wall times on this box vary ±2×
+    with background load, and the criterion is about the pipeline's
+    scalability, not the noisiest sample. The scaling corpus defaults to
+    2M docs (larger than the default bench corpus) so per-level work
+    dominates fixed startup costs.
+    """
+    global BENCH_DOCS, CORPUS_DIR
+    if "LSR_BENCH_DOCS" not in os.environ:
+        BENCH_DOCS = 2_000_000
+        CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
+    # pre-generate the corpus so subprocesses measure compute, not gen
+    _init_ray()
+    ensure_corpus()
+    import ray
+
+    ray.shutdown()
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            LSR_BENCH_DOCS=str(BENCH_DOCS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--index-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    best: dict[int, dict] = {}
+    for _ in range(2):
+        for ncpu in (lo, hi):
+            r = run(ncpu)
+            if ncpu not in best or r["queries"]["index_build"] < best[ncpu][
+                "queries"
+            ]["index_build"]:
+                best[ncpu] = r
+            time.sleep(2)
+    thr_lo = best[lo]["index_build_docs_per_sec"]
+    thr_hi = best[hi]["index_build_docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency",
+        "unit": "ratio",
+        "value": round(eff, 3),
+        "sf": SF_DIR,
+        "num_cpus": [lo, hi],
+        "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "sec": {
+            str(lo): best[lo]["queries"]["index_build"],
+            str(hi): best[hi]["queries"]["index_build"],
+        },
+        "bench_docs": best[hi]["bench_docs"],
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_default(index_only="--index-only" in sys.argv)
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

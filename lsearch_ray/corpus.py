@@ -106,8 +106,14 @@ def normalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     return batch.append_column("url_norm", u)
 
 
-def make_corpus(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic CC-style table of ``n_rows`` pages."""
+def make_corpus(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """Deterministic CC-style table of ``n_rows`` pages.
+
+    ``start`` offsets the global row index used for urls/timestamps, so a
+    large corpus can be generated as independent deterministic chunks
+    (chunk i: ``make_corpus(chunk, seed + i, start=i * chunk)``) in
+    parallel Ray tasks — the scale path for bench corpora.
+    """
     rng = np.random.RandomState(seed)
     # Zipf ranks over the vocabulary (shuffled so head words aren't simply
     # the first listed); clip to vocab size.
@@ -131,15 +137,16 @@ def make_corpus(n_rows: int, seed: int = 42) -> pa.Table:
     lang_idx = rng.randint(0, len(_LANGS), size=n_rows)
     dup_flags = rng.rand(n_rows) < 0.03
     for i in range(n_rows):
+        gi = start + i
         toks = words[offsets[i] : offsets[i + 1]]
         text = " ".join(toks)
-        title = " ".join(toks[:3]) if len(toks) else f"page {i}"
+        title = " ".join(toks[:3]) if len(toks) else f"page {gi}"
         if i > 0 and dup_flags[i]:
             # near-duplicate url of an earlier page (scheme + fragment noise)
             j = rng.randint(0, i)
-            url = urls[j].replace("https://", "http://", 1) + f"#frag{i}"
+            url = urls[j].replace("https://", "http://", 1) + f"#frag{gi}"
         else:
-            url = f"https://site{i % 17}.example/{i:07d}/{'-'.join(toks[:2]) if len(toks) >= 2 else 'p'}"
+            url = f"https://site{gi % 17}.example/{gi:09d}/{'-'.join(toks[:2]) if len(toks) >= 2 else 'p'}"
         texts.append(text)
         titles.append(title)
         urls.append(url)
@@ -150,7 +157,7 @@ def make_corpus(n_rows: int, seed: int = 42) -> pa.Table:
         {
             "url": pa.array(urls, type=pa.string()),
             "warc_ts": pa.array(
-                [_EPOCH_US + i * _TS_STEP_US for i in range(n_rows)],
+                [_EPOCH_US + (start + i) * _TS_STEP_US for i in range(n_rows)],
                 type=pa.timestamp("us"),
             ),
             "html": pa.array(htmls, type=pa.binary()),

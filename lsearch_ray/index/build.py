@@ -1,38 +1,51 @@
-"""Distributed inverted-index build: docs → triples → doc-sharded postings.
+"""Distributed inverted-index build: docs → sharded triples → postings.
 
 Pipeline (north star; generalizes the reference's per-record count pass,
 ``More`` at search.rs:267-283, into an index build):
 
-1. ``map_batches(TriplesWithShard)`` — stateless, zero-copy Arrow: tokenize
-   each document, emit ``(term, doc_id, tf, dl, shard)`` triples.
-   ``shard = mix64(doc_id) % num_shards`` — **doc-sharded**: every posting
-   of a document lands in one shard, so each shard is a complete
-   self-contained index over its subset of docs, per-shard top-k is exact,
-   and the one big shuffle is keyed by the *uniform* doc-hash — head-term
-   (Zipf) skew cannot unbalance it. (Term-keyed aggregation below only ever
-   sees pre-aggregated rows; for raw term-keyed groupbys see
-   ``lsearch_ray.functions.skew.salted_groupby_sum``.)
-2. ``groupby("shard").map_groups(ShardWriter)`` — the shuffle. One group
-   per shard; the writer sorts the group by (term, doc_id), encodes ALL
-   posting lists in one vectorized pass (codec.py), writes
-   ``shard=K/postings.parquet`` atomically (tmp + rename) and commits with
-   a ``manifest.json`` carrying lineage + metrics. Re-running a failed
-   build re-encodes only shards without a committed manifest
-   (**resumable from checkpoint, per-partition lineage**).
-3. Finalize: global doc stats (N, avgdl) summed from shard manifests;
-   global ``(term, df)`` table via a pre-aggregated groupby over the
-   per-shard df rows; ``meta.json``.
+**Stage A — map (stateless, streaming).**
+``map_batches(TriplesWithShard)`` over zero-copy Arrow batches tokenizes
+each document and emits ``(term, doc_id, tf, dl, shard)`` triples;
+``shard = mix64(doc_id) % num_shards`` — **doc-sharded**: every posting of
+a document lands in one shard, so each shard is a complete self-contained
+index over its subset of docs, per-shard top-k is exact, and partitioning
+is keyed by the *uniform* doc-hash — head-term (Zipf) skew cannot
+unbalance it (for raw term-keyed groupbys see
+``lsearch_ray.functions.skew``). The stage ends in
+``write_parquet(partition_cols=["shard"])``: each map task appends its
+rows directly into per-shard directories. This is an **external (disk)
+shuffle** — no all-to-all through the object store, each map task writes
+only its own files, and the partitioned triples directory doubles as the
+mid-build checkpoint. (Ray's sort-based groupby shuffle was measured 5-10×
+slower here and scaled poorly across CPU counts; the hash-shuffle
+strategy deadlocks under small CPU budgets in local mode.)
 
-Scale notes: the shard count bounds per-group memory (a shard's triples
-must fit one task: choose ``num_shards ≈ corpus_tokens × 16B / 1 GiB``).
-The triples stage is a streaming stateless map; nothing materializes the
-corpus.
+**Stage B — per-shard encode (embarrassingly parallel).**
+One Ray task per shard reads only its partition, sorts by (term, doc_id)
+(a total order → byte-deterministic output regardless of file arrival
+order), encodes ALL posting lists in one vectorized pass (codec.py), and
+commits atomically (tmp + rename, manifest last). Raw ``@ray.remote``
+tasks are used instead of a Dataset stage because the work is already
+partitioned on disk — re-reading it through a Dataset would only re-invent
+the per-shard task. Re-running a failed build skips the triples stage if
+its completion marker exists and re-encodes only shards without a
+committed manifest (**resumable from checkpoint, per-partition lineage**).
+
+**Finalize.** Global doc stats (N, avgdl) summed from shard manifests;
+global ``(term, df)`` table via a pre-aggregated groupby over per-shard df
+rows (≤ num_shards rows per term — no skew possible); ``meta.json``.
+
+Scale notes: ``num_shards`` bounds stage-B task memory (a shard's triples
+must fit one task — at 10^12 docs pick shards of a few GB each); stage A
+is a streaming stateless map and never materializes the corpus; stage-A
+output is compressed parquet (~2-3× smaller than raw triples).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -41,7 +54,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lsearch_ray.analyzer import term_counts_table
-from lsearch_ray.index.codec import DEFAULT_BLOCK_SIZE, encode_shard_postings
+from lsearch_ray.index.codec import (
+    DEFAULT_BLOCK_SIZE,
+    _empty_postings_table,
+    encode_shard_postings,
+)
 
 K1 = 1.2
 B = 0.75
@@ -55,7 +72,7 @@ def shard_of(doc_ids: np.ndarray, num_shards: int) -> np.ndarray:
 
 
 class TriplesWithShard:
-    """Actor-pool batch transform: documents → sharded tf triples."""
+    """Batch transform: documents → doc-sharded tf triples."""
 
     def __init__(
         self,
@@ -97,59 +114,108 @@ def shard_complete(index_dir: str, shard: int) -> bool:
     return os.path.exists(_manifest_path(index_dir, shard))
 
 
-class ShardWriter:
-    """``map_groups`` callable: encode + atomically write one shard.
+def encode_shard_table(
+    group: pa.Table, index_dir: str, shard: int, block_size: int
+) -> dict:
+    """Sort one shard's triples, encode, write atomically, commit manifest.
 
-    The manifest is written last and acts as the commit marker; task
-    retries overwrite the tmp file and re-rename, so the shard directory
-    is always either absent-from-manifest or complete.
+    The manifest is written last and is the commit marker; retries rewrite
+    the tmp file and re-rename, so a shard directory is always either
+    uncommitted or complete.
     """
+    t0 = time.monotonic()
+    group = _sort_triples(group)
+    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    tfs = group["tf"].to_numpy(zero_copy_only=False)
+    dls = group["dl"].to_numpy(zero_copy_only=False)
+    postings = encode_shard_postings(group["term"], doc_ids, tfs, dls, block_size)
+    uniq_docs, first_idx = np.unique(doc_ids, return_index=True)
+    n_docs = int(len(uniq_docs))
+    dl_sum = int(dls[first_idx].sum()) if len(first_idx) else 0
 
-    def __init__(self, index_dir: str, block_size: int = DEFAULT_BLOCK_SIZE):
-        self.index_dir = index_dir
-        self.block_size = block_size
+    sdir = _shard_dir(index_dir, shard)
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, f".postings.tmp.{os.getpid()}")
+    pq.write_table(postings, tmp)
+    os.replace(tmp, os.path.join(sdir, "postings.parquet"))
+    manifest = {
+        "shard": shard,
+        "n_docs": n_docs,
+        "dl_sum": dl_sum,
+        "n_terms": postings.num_rows,
+        "n_postings": int(len(doc_ids)),
+        "block_size": block_size,
+        "wall_s": round(time.monotonic() - t0, 4),
+    }
+    mtmp = _manifest_path(index_dir, shard) + f".tmp.{os.getpid()}"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, _manifest_path(index_dir, shard))
+    return manifest
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        t0 = time.monotonic()
-        shard = int(group["shard"][0].as_py())
-        group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        tfs = group["tf"].to_numpy(zero_copy_only=False)
-        dls = group["dl"].to_numpy(zero_copy_only=False)
-        postings = encode_shard_postings(
-            group["term"], doc_ids, tfs, dls, self.block_size
-        )
-        # per-shard doc stats: each doc_id appears once per distinct term;
-        # dedupe to count docs / sum dl once per doc.
-        uniq_docs, first_idx = np.unique(doc_ids, return_index=True)
-        n_docs = int(len(uniq_docs))
-        dl_sum = int(dls[first_idx].sum())
 
-        sdir = _shard_dir(self.index_dir, shard)
-        os.makedirs(sdir, exist_ok=True)
-        tmp = os.path.join(sdir, f".postings.tmp.{os.getpid()}")
-        pq.write_table(postings, tmp)
-        os.replace(tmp, os.path.join(sdir, "postings.parquet"))
-        manifest = {
-            "shard": shard,
-            "n_docs": n_docs,
-            "dl_sum": dl_sum,
-            "n_terms": postings.num_rows,
-            "n_postings": int(len(doc_ids)),
-            "block_size": self.block_size,
-            "wall_s": round(time.monotonic() - t0, 4),
+def _sort_triples(group: pa.Table) -> pa.Table:
+    """Sort triples by (term, doc_id) via dictionary codes.
+
+    Dictionary-encoding the term column once and lexsorting integer code
+    ranks avoids Arrow's full string sort (~2× less memory traffic in the
+    shard-encode task; result identical — (term, doc_id) is a total order).
+    """
+    if group.num_rows == 0:
+        return group
+    term = group["term"]
+    if isinstance(term, pa.ChunkedArray):
+        term = term.combine_chunks()
+    denc = term if pa.types.is_dictionary(term.type) else term.dictionary_encode()
+    codes = np.asarray(denc.indices)
+    vocab_order = pa.compute.sort_indices(denc.dictionary)
+    rank = np.empty(len(denc.dictionary), dtype=np.int64)
+    rank[np.asarray(vocab_order)] = np.arange(len(denc.dictionary))
+    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_ids, rank[codes]))
+    idx = pa.array(order)
+    return pa.table(
+        {
+            "term": denc.take(idx),
+            "doc_id": group["doc_id"].take(idx),
+            "tf": group["tf"].take(idx),
+            "dl": group["dl"].take(idx),
         }
-        mtmp = _manifest_path(self.index_dir, shard) + f".tmp.{os.getpid()}"
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mtmp, _manifest_path(self.index_dir, shard))
-        return pa.table(
-            {
-                "shard": pa.array([shard], type=pa.int32()),
-                "n_docs": pa.array([n_docs], type=pa.int64()),
-                "n_postings": pa.array([manifest["n_postings"]], type=pa.int64()),
-            }
+    )
+
+
+def _encode_shard_from_triples(
+    triples_dir: str, index_dir: str, shard: int, block_size: int
+) -> dict:
+    # one task per CPU slot: stop Arrow's internal pool from oversubscribing
+    # the node (32 tasks × default pool was measured ~2× slower)
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    part = os.path.join(triples_dir, f"shard={shard}")
+    if os.path.isdir(part):
+        files = sorted(
+            os.path.join(part, f)
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
         )
+        tables = [
+            pq.read_table(f, columns=["term", "doc_id", "tf", "dl"]) for f in files
+        ]
+        group = pa.concat_tables(tables) if tables else _empty_triples_table()
+    else:
+        group = _empty_triples_table()
+    return encode_shard_table(group, index_dir, shard, block_size)
+
+
+def _empty_triples_table() -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "tf": pa.array([], type=pa.int32()),
+            "dl": pa.array([], type=pa.int32()),
+        }
+    )
 
 
 @dataclass
@@ -165,7 +231,9 @@ class IndexMeta:
     def load(cls, index_dir: str) -> "IndexMeta":
         with open(os.path.join(index_dir, "meta.json")) as f:
             d = json.load(f)
-        return cls(**{k: d[k] for k in ("num_shards", "n_docs", "avgdl", "block_size", "k1", "b")})
+        return cls(
+            **{k: d[k] for k in ("num_shards", "n_docs", "avgdl", "block_size", "k1", "b")}
+        )
 
     def save(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
@@ -181,31 +249,49 @@ def build_index(
     id_col: str = "doc_id",
     block_size: int = DEFAULT_BLOCK_SIZE,
     resume: bool = True,
+    keep_triples: bool = False,
 ) -> IndexMeta:
     """Build (or resume building) the sharded inverted index.
 
     ``docs_ds``: a ``ray.data.Dataset`` with at least (id_col, text_col);
     doc ids must be unique (dedupe upstream — functions.dedup).
     """
+    import ray
+
     os.makedirs(index_dir, exist_ok=True)
-    missing = [s for s in range(num_shards) if not (resume and shard_complete(index_dir, s))]
+    triples_dir = os.path.join(index_dir, "triples")
+    triples_marker = os.path.join(index_dir, ".triples_complete")
+    missing = [
+        s for s in range(num_shards) if not (resume and shard_complete(index_dir, s))
+    ]
     if missing:
-        keep = missing if len(missing) < num_shards else None
-        triples = docs_ds.map_batches(
-            TriplesWithShard(num_shards, text_col, id_col, keep_shards=keep),
-            batch_format="pyarrow",
-        )
-        # the one big shuffle: uniform doc-hash partitioning
-        writer = ShardWriter(index_dir, block_size)
+        if not (resume and os.path.exists(triples_marker)):
+            # (re)run stage A from scratch: a partial triples dir may hold
+            # appended duplicates, so clear it first
+            shutil.rmtree(triples_dir, ignore_errors=True)
+            if os.path.exists(triples_marker):
+                os.remove(triples_marker)
+            triples = docs_ds.map_batches(
+                TriplesWithShard(num_shards, text_col, id_col),
+                batch_format="pyarrow",
+            )
+            triples.write_parquet(triples_dir, partition_cols=["shard"])
+            with open(triples_marker, "w") as f:
+                f.write("ok")
 
-        def write_shard_group(group: pa.Table) -> pa.Table:
-            return writer(group)
+        @ray.remote(num_cpus=1)
+        def encode_task(shard: int) -> dict:
+            return _encode_shard_from_triples(
+                triples_dir, index_dir, shard, block_size
+            )
 
-        manifests = triples.groupby("shard").map_groups(
-            write_shard_group, batch_format="pyarrow"
-        )
-        manifests.materialize()  # execute; result is one tiny row per shard
-    return finalize_index(index_dir, num_shards, block_size)
+        ray.get([encode_task.remote(s) for s in missing])
+    meta = finalize_index(index_dir, num_shards, block_size)
+    if not keep_triples:
+        shutil.rmtree(triples_dir, ignore_errors=True)
+        if os.path.exists(triples_marker):
+            os.remove(triples_marker)
+    return meta
 
 
 def finalize_index(index_dir: str, num_shards: int, block_size: int) -> IndexMeta:
@@ -214,45 +300,43 @@ def finalize_index(index_dir: str, num_shards: int, block_size: int) -> IndexMet
     for s in range(num_shards):
         path = _manifest_path(index_dir, s)
         if not os.path.exists(path):
-            # a shard with zero rows never formed a group — commit it empty
-            os.makedirs(_shard_dir(index_dir, s), exist_ok=True)
-            from lsearch_ray.index.codec import _empty_postings_table
-
-            pq.write_table(
-                _empty_postings_table(),
-                os.path.join(_shard_dir(index_dir, s), "postings.parquet"),
-            )
-            with open(path, "w") as f:
-                json.dump(
-                    {"shard": s, "n_docs": 0, "dl_sum": 0, "n_terms": 0,
-                     "n_postings": 0, "block_size": block_size, "wall_s": 0.0},
-                    f,
-                )
+            encode_shard_table(_empty_triples_table(), index_dir, s, block_size)
         with open(path) as f:
             m = json.load(f)
         n_docs += m["n_docs"]
         dl_sum += m["dl_sum"]
 
     # global (term, df): pre-aggregated per shard already (≤ num_shards rows
-    # per term) → a small groupby-sum, no skew possible.
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
+    # per term) → a small groupby-sum, no skew possible. Small vocabularies
+    # aggregate driver-side (a Ray groupby has ~seconds of fixed cost);
+    # large ones go through the distributed groupby.
     files = [
         os.path.join(_shard_dir(index_dir, s), "postings.parquet")
         for s in range(num_shards)
     ]
-    stats = (
-        rd.read_parquet(files, columns=["term", "df"])
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-    )
     tmp_stats = os.path.join(index_dir, ".termstats.tmp")
     final_stats = os.path.join(index_dir, "termstats")
-    import shutil
-
     shutil.rmtree(tmp_stats, ignore_errors=True)
-    stats.write_parquet(tmp_stats)
+    n_term_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if n_term_rows <= 5_000_000:
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=["term", "df"]) for f in files]
+        )
+        t = t.set_column(1, "df", t["df"].cast(pa.int64()))
+        agg = t.group_by("term").aggregate([("df", "sum")])
+        agg = agg.rename_columns(["term", "df"])
+        os.makedirs(tmp_stats, exist_ok=True)
+        pq.write_table(agg, os.path.join(tmp_stats, "part-0.parquet"))
+    else:
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        stats = (
+            rd.read_parquet(files, columns=["term", "df"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+        )
+        stats.write_parquet(tmp_stats)
     shutil.rmtree(final_stats, ignore_errors=True)
     os.replace(tmp_stats, final_stats)
 

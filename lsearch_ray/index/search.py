@@ -5,7 +5,8 @@ Three query paths, all rank-identical to ``golden.GoldenIndex.bm25``:
 - :func:`search_index` — driver-side convenience (loads postings for the
   query's terms only, via parquet predicate pushdown). Tests/smoke.
 - :class:`BatchSearcher` — the Ray-Data path: a callable CLASS for
-  ``queries_ds.map_batches(BatchSearcher(index_dir), concurrency=N)``.
+  ``queries_ds.map_batches(BatchSearcher,
+  fn_constructor_kwargs={"index_dir": ...}, concurrency=N)``.
   Each actor opens the index once (``__init__``), then per batch loads
   postings for the batch's union of terms (term-pushdown IO) and scores
   every query vectorized. Streams arbitrarily many queries.
@@ -159,17 +160,37 @@ class BatchSearcher:
     per actor in ``__init__``.
     """
 
-    def __init__(self, index_dir: str, k: int = 10, mode: str = "or"):
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        mode: str = "or",
+        max_cached_terms: int = 50_000,
+    ):
         self.meta = IndexMeta.load(index_dir)
         self.files = _postings_files(index_dir, self.meta.num_shards)
         self.k = k
         self.mode = mode
+        # per-actor posting cache: term -> fragments ([] = known-absent).
+        # Zipf-distributed query terms hit this hard; bounded by term count.
+        self.cache: dict[str, list] = {}
+        self.max_cached_terms = max_cached_terms
+
+    def _postings_cached(self, terms: list[str]) -> dict[str, list]:
+        misses = [t for t in terms if t not in self.cache]
+        if misses:
+            loaded = load_postings_for_terms(self.files, misses)
+            if len(self.cache) + len(misses) > self.max_cached_terms:
+                self.cache.clear()
+            for t in misses:
+                self.cache[t] = loaded.get(t, [])
+        return {t: self.cache[t] for t in terms if self.cache[t]}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = batch["query"].to_pylist()
         qids = batch["query_id"].to_pylist()
         all_terms = sorted({t for q in queries for t in tokenize(q)})
-        postings = load_postings_for_terms(self.files, all_terms)
+        postings = self._postings_cached(all_terms)
         dfs = global_dfs(postings)
         out_qid: list[int] = []
         out_rank: list[np.ndarray] = []

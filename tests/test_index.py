@@ -77,7 +77,8 @@ def test_batch_searcher_dataset(built):
         )
     )
     out = queries.map_batches(
-        BatchSearcher(index_dir, k=10, mode="or"),
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": 10, "mode": "or"},
         batch_format="pyarrow",
         batch_size=3,
         concurrency=2,
