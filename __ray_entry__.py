@@ -304,6 +304,105 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_quality(sf_dir: str):
+    from lsearch_ray.functions import quality_stats
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_stats, batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda b: b.select(
+            ["doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "stopword_ratio"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_bpe_count(sf_dir: str):
+    from lsearch_ray.functions import bpe_ish_token_count
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: bpe_ish_token_count(b).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_salted_term_df(sf_dir: str):
+    """Salted two-stage term-df aggregation — must equal the plain
+    term_df oracle (skew path correctness)."""
+    from lsearch_ray.functions import salted_groupby_sum
+    from lsearch_ray.pipelines import tf_triples
+
+    ones = tf_triples(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: pa.table(
+            {"term": b["term"], "df": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    return salted_groupby_sum(ones, "term", ["df"], salt=8)
+
+
+def _q_fingerprint(sf_dir: str):
+    from lsearch_ray.functions import fingerprint
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: fingerprint(b).select(["doc_id", "fp64"]), batch_format="pyarrow"
+    )
+
+
+def _q_langid(sf_dir: str):
+    from lsearch_ray.functions import LangId
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId,
+        batch_format="pyarrow",
+        concurrency=2,
+    ).map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from lsearch_ray.functions import minhash_dedup
+
+    out = minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from lsearch_ray.functions import simhash_dedup
+
+    out = simhash_dedup(_docs(sf_dir, ["doc_id", "text"]), max_hamming=2)
+    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def _q_ngram_jaccard_dedup(sf_dir: str):
+    from lsearch_ray.functions import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from lsearch_ray.functions import embedding_dedup
+
+    out = embedding_dedup(_read(sf_dir, "embeddings"), threshold=0.999)
+    return out.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+
+
+def _q_lsh_ann(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.functions import lsh_cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = np.array(
+        pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    return lsh_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10, nplanes=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -322,6 +421,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
+        "quality_stats": _q_quality,
+        "bpe_token_count": _q_bpe_count,
+        "salted_term_df": _q_salted_term_df,
+        "fingerprint": _q_fingerprint,
+        "langid": _q_langid,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "lsh_ann": _q_lsh_ann,
     }
 
 
@@ -353,6 +462,29 @@ scores AS (
        CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
+"""
+
+
+def _quality_sql() -> str:
+    from lsearch_ray.functions.textstats import LANG_PROFILES
+
+    stopwords = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"]))
+    return f"""
+WITH toks AS ({_TOKS}),
+tstats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ({stopwords}) THEN 1 ELSE 0 END) AS stop_hits
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       round(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+             / greatest(length(d.text), 1), 6) AS alpha_ratio,
+       round(length(regexp_replace(d.text, '[^0-9]', '', 'g'))
+             / greatest(length(d.text), 1), 6) AS digit_ratio,
+       CASE WHEN coalesce(t.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(t.stop_hits * 1.0 / t.n_tokens, 6) END AS stopword_ratio
+FROM documents d LEFT JOIN tstats t ON d.doc_id = t.doc_id
 """
 
 
@@ -425,6 +557,15 @@ def oracle_sql() -> dict[str, str]:
             f"ON d.doc_id = t.doc_id"
         ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "quality_stats": _quality_sql(),
+        "bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "salted_term_df": (
+            f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
+        ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2"

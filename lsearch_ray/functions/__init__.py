@@ -1,9 +1,30 @@
 """Large-scale training-data pipeline operations.
 
 First-class components alongside the fulltext engine: deduplication
-(exact + near-dup families), similarity search over embeddings, text
-analysis, multimodal plumbing, skew-handling helpers.
+(exact, MinHash-LSH, n-gram Jaccard, SimHash, embedding cosine),
+similarity search (exact + LSH-bucketed), text analysis (language id,
+quality, token counting, fingerprints), multimodal plumbing, and skew
+helpers for Zipf-keyed shuffles.
 """
 
-from lsearch_ray.functions.dedup import exact_dedup, exact_dedup_by_content  # noqa: F401
 from lsearch_ray.functions.ann import cosine_topk  # noqa: F401
+from lsearch_ray.functions.ann_lsh import (  # noqa: F401
+    embedding_dedup,
+    lsh_cosine_topk,
+)
+from lsearch_ray.functions.dedup import (  # noqa: F401
+    exact_dedup,
+    exact_dedup_by_content,
+)
+from lsearch_ray.functions.minhash import (  # noqa: F401
+    minhash_dedup,
+    ngram_jaccard_dedup,
+)
+from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
+from lsearch_ray.functions.skew import salted_groupby_sum  # noqa: F401
+from lsearch_ray.functions.textstats import (  # noqa: F401
+    LangId,
+    bpe_ish_token_count,
+    fingerprint,
+    quality_stats,
+)

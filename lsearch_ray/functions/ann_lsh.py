@@ -1,0 +1,155 @@
+"""LSH-bucketed approximate similarity search + embedding near-dup.
+
+Random-hyperplane (sign) LSH for cosine similarity (Charikar '02):
+``bucket = sign bits of (V @ planes)``. Two uses:
+
+- :func:`lsh_cosine_topk` — the scale path for ANN: probe only the
+  buckets within hamming distance ``nprobe_hamming`` of the query's
+  bucket (a broadcast bucket-set filter — no shuffle), then exact cosine
+  on the surviving fraction. Complements the exact brute-force baseline
+  in functions/ann.py.
+- :func:`embedding_dedup` — near-duplicate removal by cosine ≥ threshold:
+  bucket groupby → candidate pairs → exact-cosine verify → union-find
+  survivors (same skeleton as MinHash/SimHash, functions/cluster.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lsearch_ray.functions.ann import _stack_embeddings
+from lsearch_ray.functions.cluster import (
+    bucket_pairs_fn,
+    drop_ids_from_pairs,
+    filter_out_ids,
+    gather_rows_for_ids,
+    unique_pairs,
+)
+
+
+def _planes(dim: int, nplanes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(dim, nplanes).astype(np.float64)
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes) > 0
+    out = np.zeros(len(m), dtype=np.int64)
+    for j in range(planes.shape[1]):
+        out |= bits[:, j].astype(np.int64) << j
+    return out
+
+
+class HyperplaneBuckets:
+    """map_batches transform appending ``bucket:int64``."""
+
+    def __init__(
+        self,
+        dim: int,
+        nplanes: int = 16,
+        seed: int = 4242,
+        emb_col: str = "embedding",
+    ):
+        self.planes = _planes(dim, nplanes, seed)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _stack_embeddings(batch[self.emb_col]).astype(np.float64)
+        if m.shape[0] == 0:
+            return batch.append_column("bucket", pa.array([], type=pa.int64()))
+        return batch.append_column(
+            "bucket", pa.array(_bucket_of(m, self.planes), type=pa.int64())
+        )
+
+
+def _neighbor_buckets(bucket: int, nplanes: int, max_hamming: int) -> list[int]:
+    out = {bucket}
+    if max_hamming >= 1:
+        for j in range(nplanes):
+            out.add(bucket ^ (1 << j))
+    if max_hamming >= 2:
+        for j in range(nplanes):
+            for l in range(j + 1, nplanes):
+                out.add(bucket ^ (1 << j) ^ (1 << l))
+    return sorted(out)
+
+
+def lsh_cosine_topk(
+    emb_ds,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    dim: int | None = None,
+    nplanes: int = 12,
+    nprobe_hamming: int = 1,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """Approximate cosine top-k: probe the query's LSH bucket
+    neighborhood, exact-score only the survivors."""
+    from lsearch_ray.functions.ann import cosine_topk
+
+    q = np.asarray(query, dtype=np.float64)
+    dim = dim if dim is not None else len(q)
+    planes = _planes(dim, nplanes, seed)
+    qb = int(_bucket_of(q[None, :], planes)[0])
+    probe = pa.array(
+        _neighbor_buckets(qb, nplanes, nprobe_hamming), type=pa.int64()
+    )
+    bucketed = emb_ds.map_batches(
+        HyperplaneBuckets(dim, nplanes, seed, emb_col), batch_format="pyarrow"
+    )
+    candidates = bucketed.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=probe)),
+        batch_format="pyarrow",
+    )
+    return cosine_topk(
+        candidates, q, k, id_col=id_col, emb_col=emb_col, round_to=round_to
+    )
+
+
+def embedding_dedup(
+    ds,
+    *,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    nplanes: int = 16,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Remove near-duplicate embeddings (cosine ≥ threshold); keeps the
+    min id per cluster. Exact verification on gathered candidate vectors."""
+    if dim is None:
+        first = ds.take(1)
+        if not first:
+            return ds
+        dim = len(first[0][emb_col])
+    bucketed = ds.map_batches(
+        HyperplaneBuckets(dim, nplanes, seed, emb_col), batch_format="pyarrow"
+    )
+    pairs = unique_pairs(
+        bucketed.groupby("bucket").map_groups(
+            bucket_pairs_fn(id_col), batch_format="pandas"
+        )
+    ).to_pandas()
+    if len(pairs) == 0:
+        return ds
+    a, b = pairs["a"].to_numpy(), pairs["b"].to_numpy()
+    cand = gather_rows_for_ids(ds, np.concatenate([a, b]), id_col).take_all()
+    vecs = {
+        int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64) for r in cand
+    }
+    sims = np.empty(len(a))
+    for i in range(len(a)):
+        va, vb = vecs[int(a[i])], vecs[int(b[i])]
+        na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+        sims[i] = float(va @ vb / (na * nb)) if na and nb else 0.0
+    keep = sims >= threshold
+    if not keep.any():
+        return ds
+    drop = drop_ids_from_pairs(a[keep], b[keep])
+    return filter_out_ids(ds, drop, id_col)

@@ -1,0 +1,183 @@
+"""Text analysis operators: language id, quality scoring, token counting,
+document fingerprinting. All vectorized batch transforms over Arrow.
+
+These extend the reference's per-record content scoring surface
+(``ContentScorer``, search.rs:191-197) with the metrics a training-data
+pipeline filters on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsearch_ray.analyzer import flat_tokens_arrow
+
+# Minimal stopword/function-word profiles for an n-gram-free heuristic
+# language id: score = fraction of tokens in each language's profile.
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in is for on with that as at by from this be are was "
+        "it an or have has not but they you we his her their".split()
+    ),
+    "es": frozenset(
+        "el la de que y en los del se las por un para con una su al es lo "
+        "como mas pero sus le ya o este si porque esta entre".split()
+    ),
+    "de": frozenset(
+        "der die und in den von zu das mit sich des auf fur ist im dem nicht "
+        "ein eine als auch es an werden aus er hat dass sie nach".split()
+    ),
+    "fr": frozenset(
+        "le de la et les des en un du une que est pour qui dans a par plus "
+        "pas au sur ne se ce il sont la mais comme ou si leur".split()
+    ),
+}
+
+# BPE-ish token pattern: words, numbers, or single non-space symbols —
+# the "token counting" regex of FIXTURES/engine docs.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+class LangId:
+    """Actor-pool batch transform appending ``lang_pred`` + ``lang_score``.
+
+    Profiles are built once per actor (``__init__``); per batch the flat
+    token stream is matched against each profile with Arrow ``is_in`` and
+    per-doc fractions come from one ``np.add.reduceat`` per language.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {
+            lang: pa.array(sorted(words)) for lang, words in LANG_PROFILES.items()
+        }
+        self.langs = sorted(self.profiles)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parents, flat = flat_tokens_arrow(batch[self.text_col])
+        counts = (
+            np.bincount(parents, minlength=n)
+            if len(parents)
+            else np.zeros(n, dtype=np.int64)
+        )
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        nonempty = counts > 0
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+        if len(flat):
+            rstarts = starts[nonempty]
+            for j, lang in enumerate(self.langs):
+                hits = pc.is_in(flat, value_set=self.profiles[lang])
+                hv = hits.to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(rstarts):
+                    scores[nonempty, j] = np.add.reduceat(hv, rstarts) / counts[
+                        nonempty
+                    ]
+        best = scores.argmax(axis=1)
+        pred = np.where(
+            scores.max(axis=1) > 0.0,
+            np.array(self.langs, dtype=object)[best],
+            "und",
+        )
+        return batch.append_column(
+            "lang_pred", pa.array(pred.tolist(), type=pa.string())
+        ).append_column("lang_score", pa.array(scores.max(axis=1)))
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality metrics: n_tokens, mean_token_len, stopword_ratio,
+    alpha_ratio, digit_ratio, upper_ratio — the standard cheap quality
+    signals (Gopher/C4-style rules build on exactly these)."""
+    n = batch.num_rows
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    total_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    safe_chars = np.maximum(total_chars, 1.0)
+
+    def char_class_count(pattern: str) -> np.ndarray:
+        return (
+            pc.count_substring_regex(text, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+
+    digits = char_class_count(r"[0-9]")
+    alpha = char_class_count(r"[A-Za-z]")
+    upper = char_class_count(r"[A-Z]")
+
+    parents, flat = flat_tokens_arrow(text)
+    counts = (
+        np.bincount(parents, minlength=n) if len(parents) else np.zeros(n, np.int64)
+    )
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nonempty = counts > 0
+    tok_lens = (
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(flat)
+        else np.empty(0)
+    )
+    mean_len = np.zeros(n)
+    stop_ratio = np.zeros(n)
+    if len(flat) and nonempty.any():
+        rstarts = starts[nonempty]
+        mean_len[nonempty] = np.add.reduceat(tok_lens, rstarts) / counts[nonempty]
+        stop_hits = (
+            pc.is_in(flat, value_set=pa.array(sorted(_EN_STOPWORDS)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        stop_ratio[nonempty] = np.add.reduceat(stop_hits, rstarts) / counts[nonempty]
+    def r6(x: np.ndarray) -> np.ndarray:
+        # half-away-from-zero to 6 dp (np.round is half-to-even, which
+        # disagrees with SQL engines on exactly-representable halves)
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    return (
+        batch.append_column("n_tokens", pa.array(counts.astype(np.int64)))
+        .append_column("mean_token_len", pa.array(r6(mean_len)))
+        .append_column("stopword_ratio", pa.array(r6(stop_ratio)))
+        .append_column("alpha_ratio", pa.array(r6(alpha / safe_chars)))
+        .append_column("digit_ratio", pa.array(r6(digits / safe_chars)))
+        .append_column("upper_ratio", pa.array(r6(upper / safe_chars)))
+    )
+
+
+def bpe_ish_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_bpe_tokens``: count of BPE-ish pattern matches
+    (words / numbers / standalone symbols)."""
+    text = batch[text_col]
+    c = pc.count_substring_regex(text, BPE_ISH_PATTERN)
+    return batch.append_column("n_bpe_tokens", c.cast(pa.int64()))
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``fp64``: order-sensitive 63-bit rolling polynomial hash of
+    the token stream (the exact-dup key that ignores whitespace/case but
+    not token order)."""
+    n = batch.num_rows
+    parents, flat = flat_tokens_arrow(batch[text_col])
+    from lsearch_ray.corpus import fnv1a64
+
+    h = fnv1a64(flat).astype(np.uint64) if len(flat) else np.empty(0, np.uint64)
+    counts = (
+        np.bincount(parents, minlength=n) if len(parents) else np.zeros(n, np.int64)
+    )
+    fp = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    mult = np.uint64(0x100000001B3)
+    # rolling hash per doc: sequential in token position, vectorized across
+    # docs at each position (docs have few hundred tokens; positions loop)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    max_len = int(counts.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for k in range(max_len):
+            active = counts > k
+            fp[active] = (fp[active] ^ h[starts[active] + k]) * mult
+    return batch.append_column(
+        "fp64",
+        pa.array((fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
+    )

@@ -1,0 +1,142 @@
+"""MinHash-LSH / SimHash / n-gram-Jaccard / embedding near-dup operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lsearch_ray.functions import (
+    embedding_dedup,
+    lsh_cosine_topk,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from lsearch_ray.functions.minhash import MinHashSignatures, _shingle_hashes, _token_hashes
+from lsearch_ray.functions.simhash import SimHash64, hamming64
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "bird and the fish swim under the bridge near the old mill town square"
+)
+
+
+def _docs_table():
+    texts = {
+        1: BASE,
+        2: BASE,  # exact dup of 1
+        3: BASE.replace("lazy", "sleepy"),  # near dup of 1
+        4: "completely different content about database engines and queries "
+        "with analytical workloads running on distributed clusters",
+        5: "numbers 1 2 3 4 5 6 7 8 9 10 counting words apples oranges pears "
+        "bananas grapes melons peaches plums cherries lemons",
+    }
+    return pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": [texts[k] for k in sorted(texts)],
+        }
+    )
+
+
+def test_minhash_signature_deterministic_across_batching():
+    t = _docs_table()
+    m = MinHashSignatures(num_perm=32)
+    full = m(t)
+    split = pa.concat_tables([m(t.slice(0, 2)), m(t.slice(2))])
+    assert full.equals(split)
+
+
+def test_minhash_similarity_ordering():
+    t = _docs_table()
+    sigs = MinHashSignatures(num_perm=128)(t)
+    s = {
+        sigs["doc_id"][i].as_py(): np.asarray(sigs["sig"][i].as_py())
+        for i in range(sigs.num_rows)
+    }
+    est = lambda a, b: float((s[a] == s[b]).mean())
+    assert est(1, 2) == 1.0  # exact dup
+    assert est(1, 3) > 0.6  # near dup
+    assert est(1, 4) < 0.2  # unrelated
+
+
+def test_minhash_dedup_removes_cluster():
+    ds = rd.from_arrow(_docs_table())
+    out = minhash_dedup(ds, threshold=0.6)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [1, 4, 5]  # 2 and 3 fold into cluster of 1
+
+
+def test_ngram_jaccard_dedup_exact_verify():
+    ds = rd.from_arrow(_docs_table())
+    out = ngram_jaccard_dedup(ds, threshold=0.5, ngram=3)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert 1 in ids and 2 not in ids and 4 in ids and 5 in ids
+
+
+def test_shingles_short_doc_no_cross_boundary():
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()), "text": ["ab cd", "ef gh ij kl"]}
+    )
+    parents, h = _token_hashes(t["text"])
+    starts, sh = _shingle_hashes(parents, h, 2, 3)
+    # doc 1 (2 tokens < ngram): exactly one shingle
+    assert starts.tolist() == [0, 1, 3]
+    # recompute doc 1 alone: same shingle (no dependence on doc 2)
+    p1, h1 = _token_hashes(pa.array(["ab cd"]))
+    s1, sh1 = _shingle_hashes(p1, h1, 1, 3)
+    assert sh1[0] == sh[0]
+
+
+def test_simhash_properties():
+    t = _docs_table()
+    fp = SimHash64()(t)
+    vals = {fp["doc_id"][i].as_py(): fp["simhash"][i].as_py() for i in range(5)}
+    assert vals[1] == vals[2]
+    d13 = hamming64(np.array([vals[1]]), np.array([vals[3]]))[0]
+    d14 = hamming64(np.array([vals[1]]), np.array([vals[4]]))[0]
+    assert d13 < d14
+    assert d13 <= 8
+
+
+def test_simhash_dedup():
+    ds = rd.from_arrow(_docs_table())
+    out = simhash_dedup(ds, max_hamming=8)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert 1 in ids and 2 not in ids and 4 in ids
+
+
+def _emb_table():
+    rng = np.random.RandomState(5)
+    base = rng.randn(20, 12).astype(np.float64)
+    vecs = list(base)
+    vecs.append(base[0] + 1e-4 * rng.randn(12))  # near-dup of 0 -> id 20
+    vecs.append(base[3] * 2.0)  # scaled copy of 3 (cos=1) -> id 21
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def test_embedding_dedup():
+    ds = rd.from_arrow(_emb_table())
+    out = embedding_dedup(ds, threshold=0.999, nplanes=8)
+    ids = sorted(r["vec_id"] for r in out.take_all())
+    assert 20 not in ids and 21 not in ids
+    assert 0 in ids and 3 in ids
+    assert len(ids) == 20
+
+
+def test_lsh_cosine_topk_finds_near_neighbor():
+    t = _emb_table()
+    ds = rd.from_arrow(t)
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    got = lsh_cosine_topk(ds, q, k=3, nplanes=8, nprobe_hamming=1, round_to=None)
+    top2 = got["vec_id"].to_pylist()[:2]
+    assert set(top2) == {0, 20}

@@ -1,0 +1,148 @@
+"""Text analysis + skew helper + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsearch_ray.functions import (
+    LangId,
+    bpe_ish_token_count,
+    fingerprint,
+    quality_stats,
+    salted_groupby_sum,
+)
+from lsearch_ray.functions.multimodal import (
+    DecodeImage,
+    SampleFrames,
+    embed_fake,
+    suggest_batch_size,
+)
+
+
+def test_langid():
+    t = pa.table(
+        {
+            "text": [
+                "the cat is on the mat and the dog is in the house with the bird",
+                "el gato esta en la casa y el perro en el jardin con los ninos",
+                "der hund ist in dem haus und die katze auf dem dach mit den kindern",
+                "xyzzy qwerty plugh",
+            ]
+        }
+    )
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "de", "und"]
+    assert out["lang_score"][0].as_py() > 0.3
+
+
+def test_quality_stats():
+    t = pa.table({"text": ["The cat sat. 123!", ""]})
+    out = quality_stats(t)
+    r = out.to_pylist()[0]
+    assert r["n_tokens"] == 4  # the cat sat 123
+    assert r["digit_ratio"] == pytest.approx(3 / 17, abs=1e-6)
+    assert r["upper_ratio"] == pytest.approx(1 / 17, abs=1e-6)
+    assert r["stopword_ratio"] == pytest.approx(1 / 4)
+    empty = out.to_pylist()[1]
+    assert empty["n_tokens"] == 0 and empty["mean_token_len"] == 0.0
+
+
+def test_bpe_ish_count():
+    t = pa.table({"text": ["Hello, world! 42 times"]})
+    # tokens: Hello , world ! 42 times -> 6
+    assert bpe_ish_token_count(t)["n_bpe_tokens"].to_pylist() == [6]
+
+
+def test_fingerprint_order_sensitive_case_insensitive():
+    t = pa.table({"text": ["a b c", "A  b C", "c b a", ""]})
+    fp = fingerprint(t)["fp64"].to_pylist()
+    assert fp[0] == fp[1]  # case/whitespace insensitive
+    assert fp[0] != fp[2]  # order sensitive
+    assert isinstance(fp[3], int)
+
+
+def test_salted_groupby_sum():
+    n = 5000
+    rng = np.random.RandomState(0)
+    keys = np.where(rng.rand(n) < 0.7, "hot", rng.choice(["a", "b", "c"], n))
+    vals = rng.randint(0, 10, n)
+    t = pa.table({"k": keys.tolist(), "v": pa.array(vals, type=pa.int64())})
+    out = salted_groupby_sum(rd.from_arrow(t), "k", ["v"], salt=8)
+    got = {r["k"]: r["v"] for r in out.take_all()}
+    import collections
+
+    want = collections.defaultdict(int)
+    for k, v in zip(keys, vals):
+        want[k] += int(v)
+    assert got == dict(want)
+
+
+def test_decode_image_fake_and_stub():
+    t = pa.table(
+        {
+            "img_id": pa.array([1, 2], type=pa.int64()),
+            "image": pa.array([b"\x03\x04abcdef", b""], type=pa.binary()),
+        }
+    )
+    out = DecodeImage(image_col="image")(t)
+    r = out.to_pylist()[0]
+    assert r["height"] == 1 + 3 % 8 and r["width"] == 1 + 4 % 8
+    assert len(r["pixels"]) == r["height"] * r["width"] * 3
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+
+
+def test_sample_frames_flatmap_shape():
+    t = pa.table(
+        {
+            "vid_id": pa.array([7], type=pa.int64()),
+            "video": pa.array([b"0123456789abcdef" * 2], type=pa.binary()),
+        }
+    )
+    out = SampleFrames(video_col="video", every_n=1)(t)
+    assert out.column_names == ["vid_id", "frame_idx", "frame"]
+    assert out.num_rows >= 1
+    assert all(v == 7 for v in out["vid_id"].to_pylist())
+
+
+def test_embed_fake_normalized():
+    t = pa.table({"pixels": pa.array([b"abcdef" * 10], type=pa.large_binary())})
+    out = embed_fake(t, "pixels", dim=8)
+    v = np.asarray(out["embedding"][0].as_py())
+    assert len(v) == 8
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_suggest_batch_size():
+    assert suggest_batch_size(1 << 20, budget_mb=64) == 64
+    assert suggest_batch_size(0) > 1
+
+
+def test_multimodal_through_ray_pipeline():
+    """The Ray-side plumbing is real: binary columns stream through an
+    actor-pool stage and an ANN stage end-to-end."""
+    rng = np.random.RandomState(1)
+    payloads = [rng.bytes(64) for _ in range(50)]
+    t = pa.table(
+        {
+            "img_id": pa.array(range(50), type=pa.int64()),
+            "image": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"image_col": "image"},
+            batch_format="pyarrow",
+            batch_size=suggest_batch_size(64, budget_mb=1),
+            concurrency=2,
+        )
+        .map_batches(lambda b: embed_fake(b, "pixels", dim=8), batch_format="pyarrow")
+    )
+    rows = out.take_all()
+    assert len(rows) == 50
+    assert all(len(r["embedding"]) == 8 for r in rows)
