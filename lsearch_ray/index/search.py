@@ -81,6 +81,176 @@ def global_dfs(
     return {t: sum(len(frag[0]) for frag in frags) for t, frags in postings.items()}
 
 
+def load_postings_with_skips(
+    files: list[str], terms: list[str]
+) -> dict[str, list[tuple]]:
+    """Like :func:`load_postings_for_terms` but each fragment also carries
+    the block-max skip arrays: (doc_ids, tfs, dls, skip_max_tf, skip_min_dl)."""
+    out: dict[str, list[tuple]] = {}
+    if not terms:
+        return out
+    tset = pa.array(sorted(set(terms)))
+    cols = ["term", "docs", "tfs", "dls", "skip_max_tf", "skip_min_dl"]
+    for f in files:
+        t = pq.read_table(f, columns=cols, filters=pc.field("term").isin(tset))
+        for i in range(t.num_rows):
+            term = t["term"][i].as_py()
+            doc_ids, tfs, dls = decode_posting_column(
+                t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+            )
+            out.setdefault(term, []).append(
+                (
+                    doc_ids,
+                    tfs,
+                    dls,
+                    np.asarray(t["skip_max_tf"][i].as_py(), dtype=np.int64),
+                    np.asarray(t["skip_min_dl"][i].as_py(), dtype=np.int64),
+                )
+            )
+    return out
+
+
+def _bm25_norm(tf: np.ndarray, dl: np.ndarray, meta: IndexMeta) -> np.ndarray:
+    """The tf-normalization factor, operation order matching golden.py."""
+    return tf * (meta.k1 + 1.0) / (
+        tf + meta.k1 * (1.0 - meta.b + meta.b * dl / meta.avgdl)
+    )
+
+
+def score_query_blockmax(
+    query: str,
+    postings: dict[str, list[tuple]],
+    dfs: dict[str, int],
+    meta: IndexMeta,
+    k: int = 10,
+    mode: str = "or",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max-pruned BM25 top-k — rank-identical to :func:`score_query`.
+
+    Vectorized document-at-a-time variant of block-max WAND (Ding &
+    Suel '11), restructured for numpy instead of per-posting cursors:
+
+    1. θ := kth-best PARTIAL score over the highest-idf term's postings —
+       partial scores lower-bound those docs' totals, so θ lower-bounds
+       the true kth-best total.
+    2. Per-doc upper bound := scatter-add of per-BLOCK impact bounds
+       ``idf · norm(max_tf, min_dl)`` (the codec's block-max metadata;
+       valid because the BM25 impact is ↑ in tf and ↓ in dl). Blocks are
+       the codec's 128-posting skip units, so this pass touches one cheap
+       precomputed bound per posting instead of the float-division chain.
+    3. Exact-score only docs whose bound ≥ θ (same deterministic
+       sorted-term accumulation as the exhaustive path).
+
+    AND mode intersects posting lists first (semi-join via
+    ``np.searchsorted`` against the rarest term — the reference's
+    conjunctive short-circuit, cli.rs:405-408) and then scores exactly;
+    block-max pruning applies to the OR path where the candidate set is
+    the union.
+    """
+    terms = sorted(set(tokenize(query)))
+    present = [t for t in terms if postings.get(t)]
+    if not present:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    def idf(t: str) -> float:
+        df = dfs[t]
+        return math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
+
+    def frag_arrays(t: str):
+        for frag in postings[t]:
+            yield frag[0], frag[1], frag[2], frag[3], frag[4]
+
+    if mode == "and":
+        if len(present) < len(terms):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        # intersect: start from the rarest term's doc set
+        rare = min(present, key=lambda t: dfs[t])
+        cand = np.concatenate([f[0] for f in postings[rare]])
+        cand.sort()
+        for t in present:
+            if t == rare:
+                continue
+            docs_t = np.concatenate([f[0] for f in postings[t]])
+            docs_t.sort()
+            if len(docs_t) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            idx = np.searchsorted(docs_t, cand)
+            valid = idx < len(docs_t)
+            match = np.zeros(len(cand), dtype=bool)
+            match[valid] = docs_t[idx[valid]] == cand[valid]
+            cand = cand[match]
+            if len(cand) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        keep_set = cand
+    else:
+        # θ from the single highest-idf term (cheap, exact partial scores)
+        lead = max(present, key=idf)
+        w = idf(lead)
+        lead_scores = np.concatenate(
+            [
+                w * _bm25_norm(tf.astype(np.float64), dl.astype(np.float64), meta)
+                for _, tf, dl, _, _ in frag_arrays(lead)
+            ]
+        )
+        if len(lead_scores) > k:
+            theta = float(np.partition(lead_scores, -k)[-k])
+        else:
+            theta = 0.0
+        # per-doc upper bound via block-max metadata
+        doc_parts, ub_parts = [], []
+        for t in present:
+            w_t = idf(t)
+            for doc_ids, tf, dl, bmax_tf, bmin_dl in frag_arrays(t):
+                block_ub = w_t * _bm25_norm(
+                    bmax_tf.astype(np.float64), bmin_dl.astype(np.float64), meta
+                )
+                n = len(doc_ids)
+                n_blocks = len(block_ub)
+                reps = np.full(n_blocks, meta_block(meta), dtype=np.int64)
+                if n_blocks:
+                    reps[-1] = n - (n_blocks - 1) * meta_block(meta)
+                doc_parts.append(doc_ids)
+                ub_parts.append(np.repeat(block_ub, reps))
+        docs = np.concatenate(doc_parts)
+        ubs = np.concatenate(ub_parts)
+        uniq, inverse = np.unique(docs, return_inverse=True)
+        bound = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(bound, inverse, ubs)
+        keep_set = uniq[bound >= theta] if theta > 0.0 else uniq
+
+    if len(keep_set) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    # exact scoring restricted to keep_set (deterministic term order)
+    doc_parts, contrib_parts = [], []
+    for t in present:
+        w_t = idf(t)
+        for doc_ids, tf, dl, _, _ in frag_arrays(t):
+            sel = np.searchsorted(keep_set, doc_ids)
+            valid = sel < len(keep_set)
+            mask = np.zeros(len(doc_ids), dtype=bool)
+            mask[valid] = keep_set[sel[valid]] == doc_ids[valid]
+            if not mask.any():
+                continue
+            contrib = w_t * _bm25_norm(
+                tf[mask].astype(np.float64), dl[mask].astype(np.float64), meta
+            )
+            doc_parts.append(doc_ids[mask])
+            contrib_parts.append(contrib)
+    if not doc_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(doc_parts)
+    contribs = np.concatenate(contrib_parts)
+    uniq, inverse = np.unique(docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inverse, contribs)
+    order = np.lexsort((uniq, -scores))[:k]
+    return uniq[order].astype(np.int64), scores[order]
+
+
+def meta_block(meta: IndexMeta) -> int:
+    return meta.block_size
+
+
 def score_query(
     query: str,
     postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]],
@@ -103,7 +273,8 @@ def score_query(
         # math.log, not np.log: they can differ by 1 ulp, and the contract
         # is exact float64 equality with golden.py
         idf = math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
-        for doc_ids, tfs, dls in frags:
+        for frag in frags:
+            doc_ids, tfs, dls = frag[0], frag[1], frag[2]
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
             # operation order mirrors golden.py exactly (float64 IEEE):
@@ -131,15 +302,16 @@ def score_query(
 
 
 def search_index(
-    index_dir: str, query: str, k: int = 10, mode: str = "or"
+    index_dir: str, query: str, k: int = 10, mode: str = "or", blockmax: bool = True
 ) -> pa.Table:
     """One-shot search (driver-side). Returns (rank, doc_id, score)."""
     meta = IndexMeta.load(index_dir)
     files = _postings_files(index_dir, meta.num_shards)
     terms = sorted(set(tokenize(query)))
-    postings = load_postings_for_terms(files, terms)
+    postings = load_postings_with_skips(files, terms)
     dfs = global_dfs(postings)
-    doc_ids, scores = score_query(query, postings, dfs, meta, k, mode)
+    scorer = score_query_blockmax if blockmax else score_query
+    doc_ids, scores = scorer(query, postings, dfs, meta, k, mode)
     return pa.table(
         {
             "rank": pa.array(np.arange(1, len(doc_ids) + 1), type=pa.int32()),
@@ -179,7 +351,7 @@ class BatchSearcher:
     def _postings_cached(self, terms: list[str]) -> dict[str, list]:
         misses = [t for t in terms if t not in self.cache]
         if misses:
-            loaded = load_postings_for_terms(self.files, misses)
+            loaded = load_postings_with_skips(self.files, misses)
             if len(self.cache) + len(misses) > self.max_cached_terms:
                 self.cache.clear()
             for t in misses:
@@ -197,7 +369,7 @@ class BatchSearcher:
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
         for qid, q in zip(qids, queries):
-            doc_ids, scores = score_query(
+            doc_ids, scores = score_query_blockmax(
                 q, postings, dfs, self.meta, self.k, self.mode
             )
             out_qid.extend([qid] * len(doc_ids))
@@ -233,12 +405,19 @@ class _ShardGroupSearcher:
         for s in shard_ids:
             t = pq.read_table(
                 os.path.join(_shard_dir(index_dir, s), "postings.parquet"),
-                columns=["term", "docs", "tfs", "dls"],
+                columns=["term", "docs", "tfs", "dls", "skip_max_tf", "skip_min_dl"],
             )
             for i in range(t.num_rows):
+                doc_ids, tfs, dls = decode_posting_column(
+                    t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+                )
                 self.postings.setdefault(t["term"][i].as_py(), []).append(
-                    decode_posting_column(
-                        t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+                    (
+                        doc_ids,
+                        tfs,
+                        dls,
+                        np.asarray(t["skip_max_tf"][i].as_py(), dtype=np.int64),
+                        np.asarray(t["skip_min_dl"][i].as_py(), dtype=np.int64),
                     )
                 )
 
@@ -252,7 +431,7 @@ class _ShardGroupSearcher:
     ) -> tuple[np.ndarray, np.ndarray]:
         # dfs are GLOBAL (gathered by QueryEngine) so idf matches golden;
         # doc-sharding makes local scores complete → local top-k is exact.
-        return score_query(query, self.postings, dfs, self.meta, k, mode)
+        return score_query_blockmax(query, self.postings, dfs, self.meta, k, mode)
 
 
 class QueryEngine:
