@@ -28,6 +28,7 @@ Every op is a pyarrow.compute kernel over the batch; no Python row loops.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -117,9 +118,16 @@ def op_scores(content: pa.Array, op: ScoreOp, insensitive: bool) -> np.ndarray:
     )
 
 
-def compile_run(run: ContentRun) -> Callable[[pa.Table], pa.Table]:
+def compile_run(
+    run: ContentRun, stats_actor=None, run_idx: int = 0
+) -> Callable[[pa.Table], pa.Table]:
     """Compile one run to a map_batches function: score + conjunctive
-    filter, appending/replacing the ``score`` column."""
+    filter, appending/replacing the ``score`` column.
+
+    ``stats_actor`` (a ``ray.remote(StatsCollector)`` handle) receives one
+    fire-and-forget per-(batch, op) metrics record — the distributed form
+    of the reference's ``--stats`` running means (M1, cli.rs:14-44)."""
+    loader_name = run.loader if isinstance(run.loader, str) else "<callable>"
 
     def apply(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -132,16 +140,31 @@ def compile_run(run: ContentRun) -> Callable[[pa.Table], pa.Table]:
         total = np.zeros(batch.num_rows, dtype=np.float64)
         keep = np.ones(batch.num_rows, dtype=bool)
         ops = run.ops if run.ops else (ScoreOp("pass"),)
+        avg_size = None
         for op in ops:
+            t0 = time.perf_counter_ns() if stats_actor is not None else 0
             s = op_scores(content, op, run.insensitive)
             keep &= s >= 1.0
             total += s
+            if stats_actor is not None:
+                if avg_size is None:
+                    avg_size = float(
+                        pc.mean(pc.utf8_length(content)).as_py() or 0.0
+                    )
+                stats_actor.record.remote(
+                    run_idx,
+                    loader_name,
+                    f"{op.kind}({op.target})",
+                    batch.num_rows,
+                    (time.perf_counter_ns() - t0) / batch.num_rows,
+                    avg_size,
+                )
         if "score" in batch.column_names:
             batch = batch.drop_columns(["score"])
         batch = batch.append_column("score", pa.array(total, type=pa.float64()))
         return batch.filter(pa.array(keep))
 
-    apply.__name__ = f"run_{run.loader if isinstance(run.loader, str) else 'fn'}"
+    apply.__name__ = f"run_{loader_name}"
     return apply
 
 
@@ -152,6 +175,7 @@ def run_pipeline(
     id_col: str | None = None,
     k: int | None = None,
     sort: bool = True,
+    stats_actor=None,
 ):
     """Chain runs over a Dataset (reference executor loop, cli.rs:465-500).
 
@@ -161,8 +185,10 @@ def run_pipeline(
     are presentation-only in the reference and would be pointless
     all-to-alls at scale).
     """
-    for run in runs:
-        ds = ds.map_batches(compile_run(run), batch_format="pyarrow")
+    for i, run in enumerate(runs):
+        ds = ds.map_batches(
+            compile_run(run, stats_actor, i), batch_format="pyarrow"
+        )
     if sort:
         keys = ["score"] + ([id_col] if id_col else [])
         ds = ds.sort(keys, descending=[True] + [False] * (len(keys) - 1))

@@ -1,0 +1,80 @@
+"""Result sinks: parquet writer + the reference's presentation formats.
+
+Reference parity (SURVEY.md §2.1): K1 grid (cli.rs:651-688, MAX_LINE=80),
+K2 score lines (cli.rs:573-585), K3 long format (cli.rs:587-621 — we
+render carried metadata columns instead of fs perm bits; the reference's
+perm-bit rendering is buggy and fs-specific, SURVEY.md §2.1 note), K4
+bare lines (cli.rs:623-635), K5 dispatch (cli.rs:520-527).
+
+The engine sink is ``write_results`` (partitioned parquet — resumable);
+formatters are driver-side presentation over small result tables.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+MAX_LINE = 80
+
+
+def format_grid(items: list[str], max_line: int = MAX_LINE) -> str:
+    """Column-aligned grid within ``max_line`` chars (reference
+    ``grid_print``: column width = longest item + 1)."""
+    if not items:
+        return ""
+    width = max(len(s) for s in items) + 1
+    per_row = max(1, max_line // width)
+    lines = []
+    for i in range(0, len(items), per_row):
+        lines.append("".join(s.ljust(width) for s in items[i : i + per_row]).rstrip())
+    return "\n".join(lines)
+
+
+def format_score(table: pa.Table, label_col: str, score_col: str = "score") -> str:
+    """``[score] label`` lines (reference ScoreFormatter)."""
+    return "\n".join(
+        f"[{s}] {v}"
+        for s, v in zip(table[score_col].to_pylist(), table[label_col].to_pylist())
+    )
+
+
+def format_long(table: pa.Table, columns: list[str] | None = None) -> str:
+    """One row per line, fixed-width metadata columns then the label
+    (reference LongFormatter shape, minus fs perm bits)."""
+    cols = columns or table.column_names
+    widths = {
+        c: max([len(c)] + [len(str(v)) for v in table[c].to_pylist()]) for c in cols
+    }
+    lines = ["  ".join(c.ljust(widths[c]) for c in cols)]
+    for i in range(table.num_rows):
+        lines.append(
+            "  ".join(str(table[c][i].as_py()).ljust(widths[c]) for c in cols)
+        )
+    return "\n".join(lines)
+
+
+def format_std(items: list[str]) -> str:
+    """Bare line-per-item (reference StdFormatter)."""
+    return "\n".join(items)
+
+
+def print_results(
+    table: pa.Table,
+    *,
+    label_col: str,
+    mode: str = "grid",
+    score_col: str = "score",
+) -> str:
+    """Sink dispatch (K5): long/score → linear; else grid."""
+    if mode == "score":
+        return format_score(table, label_col, score_col)
+    if mode == "long":
+        return format_long(table)
+    if mode == "std":
+        return format_std(table[label_col].to_pylist())
+    return format_grid(table[label_col].to_pylist())
+
+
+def write_results(ds, out_dir: str, *, partition_cols: list[str] | None = None):
+    """Engine sink: partitioned parquet directory (resumable layout)."""
+    ds.write_parquet(out_dir, partition_cols=partition_cols)

@@ -1,0 +1,138 @@
+"""CLI parser/builder, sources, sinks, metrics."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lsearch_ray.cli import build_runs, main, parse_tokens
+from lsearch_ray.sources import expand_pattern, read_pages
+from lsearch_ray.stages.sinks import (
+    format_grid,
+    format_long,
+    format_score,
+    print_results,
+)
+from lsearch_ray.state.metrics import AppStats, OpStats, RunStats
+
+
+def test_parse_bundled_short_flags():
+    pats, tokens, flags, k = parse_tokens(["-th", "ContentLoader", "-Ee", "rs"])
+    assert tokens == [
+        ("content-text", None),
+        ("has", "ContentLoader"),
+        ("content-ext", None),
+        ("is", "rs"),
+    ]
+    assert pats == [] and k is None
+
+
+def test_build_runs_reference_example():
+    """README.md:17-22: `lsearch -th ContentLoader -Ee rs` → two runs."""
+    pats, tokens, flags, _ = parse_tokens(["-th", "ContentLoader", "-Ee", "rs"])
+    runs = build_runs(tokens, flags)
+    assert len(runs) == 2
+    assert runs[0].loader == "text"
+    assert [o.kind for o in runs[0].ops] == ["has"]
+    assert runs[0].ops[0].target == "ContentLoader"
+    assert runs[1].loader == "ext"
+    assert runs[1].ops[0].target == "rs"
+    # explicitly-started runs default sensitive (cli.rs:264,273,283)
+    assert runs[0].insensitive is False
+
+
+def test_build_runs_default_and_insensitive_flip():
+    runs = build_runs([], set())
+    assert len(runs) == 1 and runs[0].ops[0].kind == "pass"
+    pats, tokens, flags, _ = parse_tokens(["-i", "-th", "x"])
+    runs = build_runs(tokens, flags)
+    assert runs[0].insensitive is True
+
+
+def test_less_silently_ignored():
+    """Reference parity quirk: --less declared, never implemented (R2)."""
+    pats, tokens, flags, _ = parse_tokens(["--content-text", "--less", "x", "--more", "y"])
+    runs = build_runs(tokens, flags)
+    assert [o.kind for o in runs[0].ops] == ["more"]
+
+
+def test_expand_pattern(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    for name in ["a.parquet", "b.parquet", ".hidden.parquet"]:
+        (d / name).write_bytes(b"x")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "c.parquet").write_bytes(b"x")
+    got = expand_pattern(str(d / "*.parquet"))
+    assert [os.path.basename(p) for p in got] == ["b.parquet", "a.parquet"]
+    got_hidden = expand_pattern(str(d / "*.parquet"), hidden=True)
+    assert len(got_hidden) == 3
+    got_rec = expand_pattern(str(d / "*.parquet"), recursive=True)
+    assert any(p.endswith("c.parquet") for p in got_rec)
+    # literal fallback
+    assert expand_pattern(str(d / "a.parquet")) == [
+        os.path.realpath(str(d / "a.parquet"))
+    ]
+    with pytest.raises(FileNotFoundError):
+        expand_pattern(str(d / "nope*.parquet"))
+
+
+def test_read_pages_prunes_columns(tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["a", "b"], "extra": [0, 0]}), p
+    )
+    ds = read_pages(p, columns=["doc_id", "text"])
+    assert set(ds.schema().names) == {"doc_id", "text"}
+
+
+def test_formatters():
+    assert format_grid(["aa", "b", "cc"], max_line=6) == "aa b\ncc"
+    t = pa.table({"url": ["u1", "u2"], "score": [2.0, 1.0]})
+    assert format_score(t, "url") == "[2.0] u1\n[1.0] u2"
+    long = format_long(t)
+    assert "url" in long and "u2" in long
+    assert print_results(t, label_col="url", mode="std") == "u1\nu2"
+
+
+def test_metrics_running_means():
+    s = OpStats()
+    s.record(2, 100.0, 10.0)
+    s.record(2, 300.0, 30.0)
+    assert s.n == 4 and s.avg_t_ns == 200.0 and s.avg_size == 20.0
+    app = AppStats(runs=[RunStats(loader="text", wall_us=5.0, ops={"has(x)": s})])
+    assert "has(x)" in app.summary()
+    assert '"n": 4' in app.to_json()
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "url": ["https://a/x.html", "https://b/y.rs", "https://c/z.rs"],
+                "text": ["biology notes", "rust code", "more rust biology"],
+            }
+        ),
+        p,
+    )
+    rc = main([p, "--content-text", "--more", "biology", "--score", "--stats"])
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "[2.0] https://a/x.html" in captured
+    assert "[2.0] https://c/z.rs" in captured
+    # more() never drops (reference: 1 + count >= 1.0) — y.rs ranks last
+    assert "[1.0] https://b/y.rs" in captured
+    assert captured.index("[2.0]") < captured.index("[1.0]")
+    assert "more(biology)" in captured  # stats block
+
+
+def test_cli_strats(capsys):
+    rc = main(["--strats", "--content-text", "--has", "x"])
+    out = capsys.readouterr().out
+    assert "load[text]" in out and "has(x)" in out
