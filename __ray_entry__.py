@@ -403,6 +403,27 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10, nplanes=10)
 
 
+def _q_web_flagship(sf_dir: str):
+    """End-to-end north-star pipeline on the deterministic synthetic web
+    corpus (input_hint schema): html → byte-identical extract → url dedup
+    → sharded index → block-max BM25 top-k. Rows-only check (no SQL over
+    html), rank-identity is pytest-gated (tests/test_web_pipeline.py)."""
+    import shutil
+
+    import ray.data as rd
+
+    from lsearch_ray.corpus import make_corpus
+    from lsearch_ray.pipelines.web import index_web_corpus, search_web_corpus
+
+    index_dir = "/tmp/lsr_entry_web_index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    corpus = make_corpus(800, seed=42)
+    index_web_corpus(rd.from_arrow(corpus), index_dir, num_shards=4)
+    return search_web_corpus(
+        index_dir, ["the data search", "biology music", "word042"], k=10
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -431,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_ann": _q_lsh_ann,
+        "web_flagship": _q_web_flagship,
     }
 
 
