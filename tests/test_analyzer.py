@@ -71,3 +71,25 @@ def test_flat_tokens_parents():
     parents, flat = flat_tokens_arrow(pa.array(["a b", "", "c"]))
     assert list(parents) == [0, 0, 2]
     assert flat.to_pylist() == ["a", "b", "c"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=10))
+def test_fast_tokenizer_matches_regex_path(texts):
+    from lsearch_ray.analyzer import flat_tokens_regex
+
+    arr = pa.array(texts, type=pa.string())
+    p_fast, f_fast = flat_tokens_arrow(arr)
+    p_ref, f_ref = flat_tokens_regex(arr)
+    assert list(p_fast) == list(p_ref)
+    assert f_fast.to_pylist() == f_ref.to_pylist()
+
+
+def test_fast_tokenizer_nulls_and_unicode():
+    from lsearch_ray.analyzer import flat_tokens_regex
+
+    arr = pa.array(["a b", None, "", "héllo wörld", "日本語 abc", "x"])
+    p_fast, f_fast = flat_tokens_arrow(arr)
+    p_ref, f_ref = flat_tokens_regex(arr)
+    assert list(p_fast) == list(p_ref)
+    assert f_fast.to_pylist() == f_ref.to_pylist()
