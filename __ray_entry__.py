@@ -403,6 +403,64 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10, nplanes=10)
 
 
+def _q_join_revenue(sf_dir: str):
+    """lineitem ⋈ orders (partitioned hash join) with a broadcast
+    semi-join against BUILDING-segment customers; revenue per priority."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from lsearch_ray.functions.joins import broadcast_semi_join, hash_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    orders = broadcast_semi_join(
+        orders, building.combine_chunks(), "o_custkey"
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    )
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue_cents": pc.round(
+                    pc.multiply(b["revenue"], pa.scalar(100.0)), 0
+                ).cast(pa.int64()),
+                "n": b["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_distinct_segments(sf_dir: str):
+    vals = sorted(_read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, type=pa.string())})
+
+
+def _q_sessionize(sf_dir: str):
+    from lsearch_ray.functions.joins import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ev, gap_seconds=1800.0)
+
+
 def _q_web_flagship(sf_dir: str):
     """End-to-end north-star pipeline on the deterministic synthetic web
     corpus (input_hint schema): html → byte-identical extract → url dedup
@@ -453,6 +511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "lsh_ann": _q_lsh_ann,
         "web_flagship": _q_web_flagship,
+        "join_revenue": _q_join_revenue,
+        "distinct_segments": _q_distinct_segments,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -591,5 +652,26 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "join_revenue": (
+            "SELECT o.o_orderpriority, "
+            "CAST(round(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0, 0) AS BIGINT)"
+            " AS revenue_cents, count(*) AS n "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' GROUP BY o.o_orderpriority"
+        ),
+        "distinct_segments": (
+            "SELECT DISTINCT c_mktsegment FROM customer"
+        ),
+        "sessionize": (
+            "SELECT user_id, count(*) AS n_events, "
+            "sum(CASE WHEN prev_ts IS NULL OR "
+            "date_diff('microsecond', prev_ts, ts) > 1800000000 "
+            "THEN 1 ELSE 0 END) AS n_sessions FROM ("
+            "  SELECT user_id, ts, event_id, "
+            "         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts"
+            "  FROM events"
+            ") GROUP BY user_id"
         ),
     }

@@ -1,0 +1,115 @@
+"""Join operators (SURVEY.md §2.9 — the reference has none; the engine
+needs broadcast and partitioned hash joins for hydration and analytics).
+
+- :func:`broadcast_join` — the small-side pattern: the dimension table
+  ships to every task once (Ray serializes the captured table into the
+  object store with the task spec), each batch joins locally with
+  Arrow's acero join kernel. No shuffle.
+- :func:`hash_join` — both-sides-large: ``Dataset.join`` (hash-partitioned;
+  both inputs repartitioned on the key). ``num_partitions`` controls
+  reducer memory.
+- :func:`broadcast_semi_join` / anti — key-set membership filters.
+- :func:`sessionize` — the stream-shaped pattern: per-key ordered
+  ``map_groups`` computing gap-based sessions (Ray Data has no event-time
+  windows; the ordering assumption is per-group sort inside the task).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(
+    big_ds,
+    small: pa.Table,
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+    right_on: list[str] | str | None = None,
+):
+    """Join a Dataset against a small in-memory Arrow table, per batch."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = (
+        keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        return batch.join(
+            small, keys=keys, right_keys=rkeys, join_type=how
+        )
+
+    return big_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def broadcast_semi_join(big_ds, keys: pa.Array, on: str, *, anti: bool = False):
+    """Keep rows whose ``on`` value is (not) in ``keys`` — no shuffle."""
+    import pyarrow.compute as pc
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[on], value_set=keys)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return big_ds.map_batches(filt, batch_format="pyarrow")
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: list[str] | str,
+    *,
+    right_on: list[str] | str | None = None,
+    how: str = "inner",
+    num_partitions: int = 16,
+):
+    """Partitioned hash join of two Datasets (both sides shuffled)."""
+    keys = (on,) if isinstance(on, str) else tuple(on)
+    rkeys = (
+        None
+        if right_on is None
+        else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    )
+    return left_ds.join(
+        right_ds,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=keys,
+        right_on=rkeys,
+    )
+
+
+def sessionize(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    gap_seconds: float = 1800.0,
+):
+    """Per-key session assignment: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``. Returns one row per key:
+    (key, n_events, n_sessions)."""
+
+    gap_ns = int(round(gap_seconds * 1e9))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, *order_cols], kind="mergesort")
+        # pandas 2 may keep us resolution — normalize to ns explicitly
+        ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype("int64")
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (np.diff(ts) > gap_ns).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(new_session.sum())],
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -146,3 +146,38 @@ def test_multimodal_through_ray_pipeline():
     rows = out.take_all()
     assert len(rows) == 50
     assert all(len(r["embedding"]) == 8 for r in rows)
+
+
+def test_broadcast_and_hash_join():
+    from lsearch_ray.functions.joins import broadcast_join, hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4], type=pa.int64()), "v": ["a", "b", "c", "d"]}
+    )
+    right = pa.table(
+        {"k": pa.array([2, 3, 5], type=pa.int64()), "w": ["x", "y", "z"]}
+    )
+    bj = broadcast_join(rd.from_arrow(left), right, "k").take_all()
+    assert sorted((r["k"], r["w"]) for r in bj) == [(2, "x"), (3, "y")]
+    hj = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", num_partitions=2
+    ).take_all()
+    assert sorted((r["k"], r["w"]) for r in hj) == [(2, "x"), (3, "y")]
+
+
+def test_sessionize():
+    from lsearch_ray.functions.joins import sessionize
+
+    ts = pa.array(
+        [0, 10_000_000, 4_000_000_000, 4_010_000_000, 9_000_000_000],
+        type=pa.timestamp("us"),
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(5), type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 1], type=pa.int64()),
+            "ts": ts,
+        }
+    )
+    out = sessionize(rd.from_arrow(ev), gap_seconds=60.0).take_all()
+    assert out == [{"user_id": 1, "n_events": 5, "n_sessions": 3}]
