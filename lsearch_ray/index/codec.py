@@ -90,12 +90,21 @@ def _grouped_delta(values: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
 
 
 def _grouped_undelta(deltas: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`_grouped_delta`: per-group cumulative sum."""
-    # cumsum, then subtract the running total carried across group starts.
-    cs = np.cumsum(deltas)
-    carry = np.zeros_like(deltas)
-    carry[group_starts[1:]] = cs[group_starts[1:] - 1]
-    return cs - np.maximum.accumulate(carry)
+    """Inverse of :func:`_grouped_delta`: per-group cumulative sum.
+
+    Works in modular uint64 arithmetic: the global cumsum may wrap (each
+    group's first delta is a raw ~2^62 doc id), but subtracting the
+    pre-group prefix — also wrapped — recovers the exact in-group sums.
+    """
+    d = np.ascontiguousarray(deltas, dtype=np.uint64)
+    if len(d) == 0:
+        return d
+    with np.errstate(over="ignore"):
+        cs = np.cumsum(d, dtype=np.uint64)
+        sub = np.zeros(len(group_starts), dtype=np.uint64)
+        sub[1:] = cs[group_starts[1:] - 1]
+        lengths = np.diff(np.concatenate((group_starts, [len(d)])))
+        return cs - np.repeat(sub, lengths)
 
 
 def _binary_from_offsets(data: np.ndarray, offsets: np.ndarray) -> pa.Array:

@@ -1,0 +1,108 @@
+"""Index merging: combine sharded indexes into one (sort-based reduce).
+
+Incremental indexing path: build per-increment indexes (e.g. per crawl
+snapshot) with the same ``num_shards``/``block_size``, then merge. Because
+doc-sharding assigns a doc to the same shard in every index, merging is
+per-shard local: decode each input shard's posting lists back to flat
+triples (vectorized — one varint decode over the concatenated blobs with
+per-term delta reset), concatenate, and re-encode through the same
+sort→encode reduce the build uses. Output is byte-identical to a direct
+build over the union corpus (tested), so merged indexes inherit every
+rank-identity guarantee.
+
+Doc ids must be disjoint across inputs (they are: ids are content hashes
+of normalized urls; re-crawled duplicate urls should be deduped upstream,
+functions.dedup).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lsearch_ray.index.build import (
+    IndexMeta,
+    _shard_dir,
+    encode_shard_table,
+    finalize_index,
+    shard_complete,
+)
+from lsearch_ray.index.codec import _grouped_undelta, varint_decode
+
+
+def decode_all_postings(table: pa.Table) -> pa.Table:
+    """Postings table (one row per term) → flat triples table.
+
+    Vectorized: one varint pass per blob column over the concatenated
+    bytes, delta-undone with per-term resets.
+    """
+    n_terms = table.num_rows
+    if n_terms == 0:
+        from lsearch_ray.index.build import _empty_triples_table
+
+        return _empty_triples_table()
+    df = table["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(df)))[:-1]
+
+    def blob_concat(col) -> np.ndarray:
+        joined = b"".join(col.to_pylist())
+        return np.frombuffer(joined, dtype=np.uint8)
+
+    deltas = varint_decode(blob_concat(table["docs"]))
+    doc_ids = _grouped_undelta(deltas, starts).astype(np.int64)
+    tfs = varint_decode(blob_concat(table["tfs"])).astype(np.int32)
+    dls = varint_decode(blob_concat(table["dls"])).astype(np.int32)
+
+    codes = np.repeat(np.arange(n_terms, dtype=np.int64), df)
+    term_col = table["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    terms_flat = pa.DictionaryArray.from_arrays(
+        pa.array(codes, type=pa.int32()), term_col
+    )
+    return pa.table(
+        {
+            "term": terms_flat,
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int32()),
+            "dl": pa.array(dls, type=pa.int32()),
+        }
+    )
+
+
+def merge_indexes(
+    index_dirs: list[str], out_dir: str, *, resume: bool = True
+) -> IndexMeta:
+    """Merge same-shape sharded indexes into ``out_dir``."""
+    import ray
+
+    metas = [IndexMeta.load(d) for d in index_dirs]
+    num_shards = metas[0].num_shards
+    block_size = metas[0].block_size
+    for m in metas[1:]:
+        if m.num_shards != num_shards or m.block_size != block_size:
+            raise ValueError("merge requires identical num_shards/block_size")
+    os.makedirs(out_dir, exist_ok=True)
+    missing = [
+        s for s in range(num_shards) if not (resume and shard_complete(out_dir, s))
+    ]
+
+    @ray.remote(num_cpus=1)
+    def merge_shard(shard: int) -> dict:
+        pa.set_cpu_count(1)
+        parts = []
+        for d in index_dirs:
+            t = pq.read_table(
+                os.path.join(_shard_dir(d, shard), "postings.parquet"),
+                columns=["term", "df", "docs", "tfs", "dls"],
+            )
+            parts.append(decode_all_postings(t))
+        merged = pa.concat_tables(parts, promote_options="permissive")
+        return encode_shard_table(merged, out_dir, shard, block_size)
+
+    if missing:
+        ray.get([merge_shard.remote(s) for s in missing])
+    return finalize_index(out_dir, num_shards, block_size)

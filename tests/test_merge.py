@@ -1,0 +1,67 @@
+"""Index merge: byte-identical to a direct build over the union corpus."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lsearch_ray.corpus import assign_doc_ids, make_corpus
+from lsearch_ray.index.build import build_index
+from lsearch_ray.index.merge import decode_all_postings, merge_indexes
+
+
+def _dedup(t: pa.Table) -> pa.Table:
+    first = np.sort(np.unique(t["doc_id"].to_numpy(), return_index=True)[1])
+    return t.take(pa.array(first))
+
+
+def _digest(index_dir: str, num_shards: int) -> str:
+    h = hashlib.sha256()
+    for s in range(num_shards):
+        with open(
+            os.path.join(index_dir, f"shard={s:05d}", "postings.parquet"), "rb"
+        ) as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def test_merge_equals_direct_build(tmp_path):
+    a = _dedup(assign_doc_ids(make_corpus(300, seed=21)))
+    b = _dedup(assign_doc_ids(make_corpus(300, seed=22)))
+    # ensure id-disjoint (different seeds → different urls; drop collisions)
+    ids_a = set(a["doc_id"].to_pylist())
+    mask = [i not in ids_a for i in b["doc_id"].to_pylist()]
+    b = b.filter(pa.array(mask))
+    union = pa.concat_tables([a, b])
+
+    d_a, d_b, d_u, d_m = (str(tmp_path / n) for n in ["a", "b", "u", "m"])
+    build_index(rd.from_arrow(a.select(["doc_id", "text"])), d_a, num_shards=4)
+    build_index(rd.from_arrow(b.select(["doc_id", "text"])), d_b, num_shards=4)
+    build_index(rd.from_arrow(union.select(["doc_id", "text"])), d_u, num_shards=4)
+    meta = merge_indexes([d_a, d_b], d_m)
+
+    assert meta.n_docs == union.num_rows
+    assert _digest(d_m, 4) == _digest(d_u, 4)
+
+
+def test_decode_all_postings_roundtrip(tmp_path):
+    corpus = _dedup(assign_doc_ids(make_corpus(200, seed=31)))
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(corpus.select(["doc_id", "text"])), d, num_shards=2)
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.index.build import encode_shard_table
+
+    t = pq.read_table(os.path.join(d, "shard=00000", "postings.parquet"))
+    flat = decode_all_postings(t)
+    assert flat.num_rows == int(pa.compute.sum(t["df"]).as_py())
+    # re-encoding the decoded triples reproduces the same postings
+    re_dir = str(tmp_path / "re")
+    os.makedirs(re_dir)
+    encode_shard_table(flat, re_dir, 0, 128)
+    t2 = pq.read_table(os.path.join(re_dir, "shard=00000", "postings.parquet"))
+    assert t2.equals(t)
