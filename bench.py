@@ -143,7 +143,7 @@ def bench_query_stream() -> dict:
 
     from lsearch_ray.index.search import BatchSearcher
 
-    queries = _bench_queries_list(1000)
+    queries = _bench_queries_list(4000)
     qt = pa.table(
         {
             "query_id": pa.array(range(len(queries)), type=pa.int64()),
@@ -153,11 +153,12 @@ def bench_query_stream() -> dict:
     t0 = time.monotonic()
     n = (
         rd.from_arrow(qt)
+        .repartition(8)  # from_arrow yields ONE block → would serialize the pool
         .map_batches(
             BatchSearcher,
             fn_constructor_kwargs={"index_dir": INDEX_DIR, "k": 10},
             batch_format="pyarrow",
-            batch_size=64,
+            batch_size=500,  # one batch per actor → one pushdown IO round each
             concurrency=8,
         )
         .count()

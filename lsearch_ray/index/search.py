@@ -151,6 +151,11 @@ def score_query_blockmax(
     present = [t for t in terms if postings.get(t)]
     if not present:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    # small posting sets score faster exhaustively (the θ/bound passes are
+    # pure overhead until pruning has enough volume to bite); both paths
+    # are exact, so this is a cost choice, not a semantics one
+    if mode == "or" and sum(dfs[t] for t in present) < 50_000:
+        return score_query(query, postings, dfs, meta, k, mode)
 
     def idf(t: str) -> float:
         df = dfs[t]
