@@ -214,11 +214,11 @@ def run_default(index_only: bool = False) -> dict:
 def run_scaling() -> dict:
     """Index build at num_cpus=8 vs 32, fresh processes, same input.
 
-    Best-of-2 per level: single-run wall times on this box vary ±2×
-    with background load, and the criterion is about the pipeline's
-    scalability, not the noisiest sample. The scaling corpus defaults to
-    2M docs (larger than the default bench corpus) so per-level work
-    dominates fixed startup costs.
+    Best-of-3 per level with cooldowns: single-run wall times on this
+    box vary ±2-4× with background host load, and the criterion is about
+    the pipeline's scalability, not the noisiest sample. The scaling
+    corpus defaults to 2M docs (larger than the default bench corpus) so
+    per-level work dominates fixed startup costs.
     """
     global BENCH_DOCS, CORPUS_DIR
     if "LSR_BENCH_DOCS" not in os.environ:
@@ -249,14 +249,15 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     best: dict[int, dict] = {}
-    for _ in range(2):
+    for _ in range(3):
         for ncpu in (lo, hi):
             r = run(ncpu)
             if ncpu not in best or r["queries"]["index_build"] < best[ncpu][
                 "queries"
             ]["index_build"]:
                 best[ncpu] = r
-            time.sleep(2)
+            time.sleep(15)  # cooldown: consecutive heavy runs degrade 2-4x
+                            # on this host (see BASELINE.md noise notes)
     thr_lo = best[lo]["index_build_docs_per_sec"]
     thr_hi = best[hi]["index_build_docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
