@@ -323,6 +323,8 @@ def build_index(
     """
     import ray
 
+    build_t0 = time.monotonic()
+    stage_walls: dict[str, float] = {}
     os.makedirs(index_dir, exist_ok=True)
     triples_dir = os.path.join(index_dir, "triples")
     triples_marker = os.path.join(index_dir, ".triples_complete")
@@ -340,8 +342,17 @@ def build_index(
             writer = TriplesPartitionedWriter(
                 triples_dir, num_shards, text_col, id_col, keep_shards=keep
             )
+            t0 = time.monotonic()
             counts = docs_ds.map_batches(writer, batch_format="pyarrow")
-            counts.sum("n_triples")  # consume → executes the writes
+            # materialize executes the writes once and keeps the (tiny)
+            # count rows so ds.stats() reflects the real execution
+            executed = counts.materialize()
+            stage_walls["triples_map_s"] = round(time.monotonic() - t0, 3)
+            try:
+                with open(os.path.join(index_dir, "stage_a_stats.txt"), "w") as f:
+                    f.write(executed.stats())
+            except Exception:
+                pass
             with open(triples_marker, "w") as f:
                 f.write("ok")
 
@@ -351,13 +362,49 @@ def build_index(
                 triples_dir, index_dir, shard, block_size
             )
 
+        t0 = time.monotonic()
         ray.get([encode_task.remote(s) for s in missing])
+        stage_walls["encode_shards_s"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
     meta = finalize_index(index_dir, num_shards, block_size)
+    stage_walls["finalize_s"] = round(time.monotonic() - t0, 3)
+    _write_build_metrics(index_dir, num_shards, stage_walls, build_t0)
     if not keep_triples:
         shutil.rmtree(triples_dir, ignore_errors=True)
         if os.path.exists(triples_marker):
             os.remove(triples_marker)
     return meta
+
+
+def _write_build_metrics(
+    index_dir: str, num_shards: int, stage_walls: dict, build_t0: float
+) -> None:
+    """metrics.json: build-level stage walls + per-partition metrics rolled
+    up from shard manifests (the M3/AppStats counterpart for the build —
+    the north rule's "per-partition lineage + metrics")."""
+    shards = []
+    for s in range(num_shards):
+        try:
+            with open(_manifest_path(index_dir, s)) as f:
+                shards.append(json.load(f))
+        except FileNotFoundError:
+            pass
+    metrics = {
+        "total_wall_s": round(time.monotonic() - build_t0, 3),
+        "stages": stage_walls,
+        "shards": {
+            "n": len(shards),
+            "n_postings_total": sum(m["n_postings"] for m in shards),
+            "n_terms_total": sum(m["n_terms"] for m in shards),
+            "encode_wall_s_sum": round(sum(m["wall_s"] for m in shards), 3),
+            "encode_wall_s_max": round(
+                max((m["wall_s"] for m in shards), default=0.0), 4
+            ),
+            "n_postings_max": max((m["n_postings"] for m in shards), default=0),
+        },
+    }
+    with open(os.path.join(index_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
 
 
 def finalize_index(index_dir: str, num_shards: int, block_size: int) -> IndexMeta:
