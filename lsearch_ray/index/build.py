@@ -275,7 +275,7 @@ def _encode_shard_from_triples(
 def _empty_triples_table() -> pa.Table:
     return pa.table(
         {
-            "term": pa.array([], type=pa.string()),
+            "term": pa.array([], type=pa.large_string()),
             "doc_id": pa.array([], type=pa.int64()),
             "tf": pa.array([], type=pa.int32()),
             "dl": pa.array([], type=pa.int32()),
@@ -433,7 +433,8 @@ def finalize_index(index_dir: str, num_shards: int, block_size: int) -> IndexMet
     n_term_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     if n_term_rows <= 5_000_000:
         t = pa.concat_tables(
-            [pq.read_table(f, columns=["term", "df"]) for f in files]
+            [pq.read_table(f, columns=["term", "df"]) for f in files],
+            promote_options="permissive",
         )
         t = t.set_column(1, "df", t["df"].cast(pa.int64()))
         agg = t.group_by("term").aggregate([("df", "sum")])

@@ -209,7 +209,7 @@ def _empty_postings_table() -> pa.Table:
     i64list = pa.large_list(pa.int64())
     return pa.table(
         {
-            "term": pa.array([], type=pa.string()),
+            "term": pa.array([], type=pa.large_string()),
             "df": pa.array([], type=pa.int32()),
             "docs": pa.array([], type=pa.large_binary()),
             "tfs": pa.array([], type=pa.large_binary()),
