@@ -461,6 +461,23 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ev, gap_seconds=1800.0)
 
 
+def _q_ivf_ann(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.functions.ann_ivf import ivf_cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = np.array(
+        pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    # probing every cluster makes IVF exact → the brute-force SQL oracle
+    # applies (the approximation knob is nprobe < n_clusters)
+    return ivf_cosine_topk(
+        _read(sf_dir, "embeddings"), qvec, k=10, n_clusters=8, nprobe=8
+    )
+
+
 def _q_web_flagship(sf_dir: str):
     """End-to-end north-star pipeline on the deterministic synthetic web
     corpus (input_hint schema): html → byte-identical extract → url dedup
@@ -514,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue": _q_join_revenue,
         "distinct_segments": _q_distinct_segments,
         "sessionize": _q_sessionize,
+        "ivf_ann": _q_ivf_ann,
     }
 
 
@@ -626,6 +644,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_documents": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "ivf_ann": (
+            "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim "
+            "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
         ),
         "ann_cosine": (
             # CAST to DOUBLE[]: duckdb's float32 cosine differs from the
