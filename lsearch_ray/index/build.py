@@ -155,7 +155,7 @@ class TriplesPartitionedWriter:
         ends = np.concatenate((bounds, [len(sv)]))
         # idempotent batch tag: doc-id range + row count identifies the
         # batch's lineage, so retries overwrite rather than duplicate
-        tag = f"{int(doc_ids.min()):016x}-{len(doc_ids)}"
+        tag = f"{int(doc_ids.min()):016x}-{int(doc_ids.max()):016x}-{len(doc_ids)}"
         for s, e in zip(starts, ends):
             k = int(sv[s])
             sdir = os.path.join(self.triples_dir, f"shard={k}")

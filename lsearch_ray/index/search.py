@@ -358,7 +358,11 @@ class BatchSearcher:
         if misses:
             loaded = load_postings_with_skips(self.files, misses)
             if len(self.cache) + len(misses) > self.max_cached_terms:
-                self.cache.clear()
+                # evict everything NOT needed by this batch (wholesale
+                # clear would drop this batch's already-cached terms and
+                # KeyError below)
+                keep = set(terms)
+                self.cache = {t: v for t, v in self.cache.items() if t in keep}
             for t in misses:
                 self.cache[t] = loaded.get(t, [])
         return {t: self.cache[t] for t in terms if self.cache[t]}

@@ -159,3 +159,20 @@ def test_documents_table_end_to_end(built):
     got = search_index(index_dir, q, k=10)
     assert got["doc_id"].to_pylist() == [d for d, _ in want]
     assert got["score"].to_pylist() == [s for _, s in want]
+
+
+def test_batch_searcher_cache_eviction(built):
+    """Cache over capacity must keep the current batch's terms (a
+    wholesale clear() used to KeyError on already-cached terms)."""
+    index_dir, meta, golden = built
+    s = BatchSearcher(index_dir, k=5, max_cached_terms=2)
+    batch = pa.table(
+        {
+            "query_id": pa.array([0], type=pa.int64()),
+            "query": ["the data search index"],
+        }
+    )
+    out1 = s(batch)
+    out2 = s(batch)  # second call: all terms cached, over capacity
+    assert out1.equals(out2)
+    assert len(s.cache) <= 4
