@@ -45,6 +45,26 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(ascii_lower(text))
 
 
+def parse_query(query: str) -> tuple[list[str], list[str]]:
+    """Query syntax: whitespace-separated clauses; a ``-`` prefix excludes.
+
+    ``"data -spark"`` → include ``[data]``, exclude ``[spark]``. Both sides
+    go through the analyzer; results are deduped and sorted (the
+    determinism contract for scoring order). Generalizes the reference's
+    ``Not``/``Hasnt`` operators (search.rs:216-231, 250-265) to the query
+    language: an excluded doc is dropped even if it matches every other
+    clause (conjunctive drop, cli.rs:405-408).
+    """
+    inc: list[str] = []
+    exc: list[str] = []
+    for clause in query.split():
+        if clause.startswith("-") and len(clause) > 1:
+            exc.extend(tokenize(clause[1:]))
+        else:
+            inc.extend(tokenize(clause))
+    return sorted(set(inc)), sorted(set(exc))
+
+
 def term_counts(text: str) -> dict[str, int]:
     """Pure-Python reference term-frequency map for one document."""
     counts: dict[str, int] = {}

@@ -61,17 +61,25 @@ class GoldenIndex:
 
         ``mode="and"`` keeps only docs containing every query term
         (the reference's conjunctive short-circuit, cli.rs:405-408);
-        ``mode="or"`` is standard disjunctive BM25.
+        ``mode="or"`` is standard disjunctive BM25. ``-term`` clauses
+        exclude any doc containing that term (analyzer.parse_query).
         """
-        terms = sorted(set(tokenize(query)))
+        from lsearch_ray.analyzer import parse_query
+
+        terms, excluded = parse_query(query)
         if not terms:
             return []
+        banned: set[int] = set()
+        for term in excluded:
+            banned.update(self.postings.get(term, {}))
         scores: dict[int, float] = {}
         hits: dict[int, int] = {}
         for term in terms:
             plist = self.postings.get(term, {})
             w = self.idf(term)
             for doc_id, tf in plist.items():
+                if doc_id in banned:
+                    continue
                 norm = tf * (K1 + 1.0) / (
                     tf + K1 * (1.0 - B + B * self.dl[doc_id] / self.avgdl)
                 )

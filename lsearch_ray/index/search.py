@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from lsearch_ray.analyzer import tokenize
+from lsearch_ray.analyzer import parse_query, tokenize
 from lsearch_ray.index.build import IndexMeta, _shard_dir
 from lsearch_ray.index.codec import decode_posting_column
 
@@ -147,7 +147,11 @@ def score_query_blockmax(
     block-max pruning applies to the OR path where the candidate set is
     the union.
     """
-    terms = sorted(set(tokenize(query)))
+    terms, excluded = parse_query(query)
+    if excluded:
+        # masking banned docs breaks block-skip alignment; negation
+        # queries take the exhaustive (still exact) path
+        return score_query(query, postings, dfs, meta, k, mode)
     present = [t for t in terms if postings.get(t)]
     if not present:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -256,6 +260,38 @@ def meta_block(meta: IndexMeta) -> int:
     return meta.block_size
 
 
+def _filter_excluded(
+    postings: dict[str, list], inc: list[str], exc: list[str]
+) -> dict[str, list]:
+    """Drop postings of banned docs (docs containing any excluded term).
+
+    Returns 3-tuple fragments only: masking invalidates block-skip
+    alignment, so negation queries score exhaustively (still exact).
+    """
+    if not exc:
+        return postings
+    ban_parts = [f[0] for t in exc for f in postings.get(t, ())]
+    if not ban_parts:
+        return {t: postings[t] for t in inc if postings.get(t)}
+    banned = np.unique(np.concatenate(ban_parts))
+    out: dict[str, list] = {}
+    for t in inc:
+        kept = []
+        for frag in postings.get(t, ()):
+            doc_ids = frag[0]
+            sel = np.searchsorted(banned, doc_ids)
+            valid = sel < len(banned)
+            is_banned = np.zeros(len(doc_ids), dtype=bool)
+            is_banned[valid] = banned[sel[valid]] == doc_ids[valid]
+            if is_banned.all():
+                continue
+            m = ~is_banned
+            kept.append((frag[0][m], frag[1][m], frag[2][m]))
+        if kept:
+            out[t] = kept
+    return out
+
+
 def score_query(
     query: str,
     postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]],
@@ -265,7 +301,8 @@ def score_query(
     mode: str = "or",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive vectorized BM25; returns (top_doc_ids, top_scores)."""
-    terms = sorted(set(tokenize(query)))
+    terms, excluded = parse_query(query)
+    postings = _filter_excluded(postings, terms, excluded)
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
     n_terms_matched = 0
@@ -312,7 +349,8 @@ def search_index(
     """One-shot search (driver-side). Returns (rank, doc_id, score)."""
     meta = IndexMeta.load(index_dir)
     files = _postings_files(index_dir, meta.num_shards)
-    terms = sorted(set(tokenize(query)))
+    inc, exc = parse_query(query)
+    terms = sorted(set(inc) | set(exc))
     postings = load_postings_with_skips(files, terms)
     dfs = global_dfs(postings)
     scorer = score_query_blockmax if blockmax else score_query
@@ -370,7 +408,9 @@ class BatchSearcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = batch["query"].to_pylist()
         qids = batch["query_id"].to_pylist()
-        all_terms = sorted({t for q in queries for t in tokenize(q)})
+        all_terms = sorted(
+            {t for q in queries for side in parse_query(q) for t in side}
+        )
         postings = self._postings_cached(all_terms)
         dfs = global_dfs(postings)
         out_qid: list[int] = []
@@ -468,7 +508,8 @@ class QueryEngine:
     def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:
         import ray
 
-        terms = sorted(set(tokenize(query)))
+        inc, exc = parse_query(query)
+        terms = sorted(set(inc) | set(exc))
         df_parts = ray.get([a.local_dfs.remote(terms) for a in self.actors])
         dfs: dict[str, int] = {t: 0 for t in terms}
         for part in df_parts:

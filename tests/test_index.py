@@ -176,3 +176,22 @@ def test_batch_searcher_cache_eviction(built):
     out2 = s(batch)  # second call: all terms cached, over capacity
     assert out1.equals(out2)
     assert len(s.cache) <= 4
+
+
+def test_query_negation_all_paths(built):
+    """-term clauses exclude docs containing the term, rank-identically
+    across golden / one-shot / scatter-gather paths."""
+    index_dir, meta, golden = built
+    eng = QueryEngine(index_dir, num_actors=2)
+    for q in ["the -data", "biology -the", "data search -zzz", "-the"]:
+        want = golden.bm25(q, k=10)
+        got = search_index(index_dir, q, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q
+        assert got["score"].to_pylist() == [s for _, s in want], q
+        got2 = eng.search(q, k=10)
+        assert got2["doc_id"].to_pylist() == [d for d, _ in want], q
+    # excluded docs really are gone
+    plain = set(search_index(index_dir, "the", k=1000)["doc_id"].to_pylist())
+    negated = set(search_index(index_dir, "the -data", k=1000)["doc_id"].to_pylist())
+    with_data = set(search_index(index_dir, "data", k=1000)["doc_id"].to_pylist())
+    assert negated == plain - with_data
