@@ -1,0 +1,109 @@
+"""Distributed connected components via iterative min-label propagation.
+
+The scale path for near-dup clustering when the candidate-pair set is too
+large for driver-side union-find (boilerplate-heavy corpora): each round
+every node adopts the minimum label in its neighborhood, implemented as a
+Dataset groupby over the symmetrized edge list. Converges in O(diameter)
+rounds; near-dup clusters are dense (tiny diameter), so a handful of
+rounds suffices. Used by the dedup family when
+``len(pairs) > driver_pair_limit``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def connected_components_ds(
+    pairs_ds,
+    *,
+    max_rounds: int = 10,
+    num_partitions: int = 2,
+):
+    """(a, b) edge Dataset → (node, label) Dataset, label = min node id of
+    the component. Pure Dataset transforms; driver holds only the
+    convergence counter.
+
+    ``num_partitions`` sizes the per-round hash join — pick ≈ cluster
+    cores at scale. (Kept small by default: Ray's hash-join aggregator
+    fails on fully-empty right partitions, which tiny inputs with many
+    partitions can produce.)"""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # symmetrize edges once: every node sees every neighbor
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a_col = b["a"].to_numpy(zero_copy_only=False)
+        b_col = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a_col, b_col]), type=pa.int64()),
+                "nbr": pa.array(np.concatenate([b_col, a_col]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # labels start as the node's own id (incl. its neighbors' ids round 1)
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "label": pa.compute.min_element_wise(b["node"], b["label"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        # propagate: node's label -> its neighbors; take min over incoming
+        from lsearch_ray.functions.joins import hash_join
+
+        nbr_labels = labels.map_batches(
+            lambda b: pa.table({"lnode": b["node"], "lbl": b["label"]}),
+            batch_format="pyarrow",
+        )
+        incoming = hash_join(
+            edges,
+            nbr_labels,
+            on="nbr",
+            right_on="lnode",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "cand": b["lbl"]}),
+            batch_format="pyarrow",
+        )
+        both = incoming.union(
+            labels.map_batches(
+                lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = (
+            both.groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        # convergence: total label sum is monotonically decreasing
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+    return labels
+
+
+def drop_ids_from_pairs_ds(pairs_ds, *, max_rounds: int = 10) -> list[int]:
+    """Distributed counterpart of cluster.drop_ids_from_pairs: every node
+    whose component label isn't itself is dropped (keep min per cluster)."""
+    labels = connected_components_ds(pairs_ds, max_rounds=max_rounds)
+    drops = labels.map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b["node"], b["label"])),
+        batch_format="pyarrow",
+    )
+    return sorted(r["node"] for r in drops.select_columns(["node"]).take_all())

@@ -140,3 +140,29 @@ def test_lsh_cosine_topk_finds_near_neighbor():
     got = lsh_cosine_topk(ds, q, k=3, nplanes=8, nprobe_hamming=1, round_to=None)
     top2 = got["vec_id"].to_pylist()[:2]
     assert set(top2) == {0, 20}
+
+
+def test_connected_components_ds():
+    from lsearch_ray.functions.components import (
+        connected_components_ds,
+        drop_ids_from_pairs_ds,
+    )
+    from lsearch_ray.functions.cluster import drop_ids_from_pairs
+
+    # two chains + one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 10, 20, 21], type=pa.int64()),
+            "b": pa.array([2, 3, 4, 11, 21, 22], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(pairs)
+    labels = {
+        r["node"]: r["label"] for r in connected_components_ds(ds).take_all()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    got = drop_ids_from_pairs_ds(rd.from_arrow(pairs))
+    want = drop_ids_from_pairs(
+        pairs["a"].to_numpy(), pairs["b"].to_numpy()
+    )
+    assert got == want

@@ -39,6 +39,9 @@ def query_set() -> list[dict]:
     for qid in range(N_QUERIES):
         k = int(rng.randint(1, 5))
         terms = rng.choice(vocab, size=k, replace=False).tolist()
+        if qid % 7 == 6 and k > 1:
+            # negation clause: exclude the last term (query-level Not)
+            terms[-1] = "-" + terms[-1]
         out.append(
             {
                 "query_id": qid,
