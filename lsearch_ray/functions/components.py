@@ -45,6 +45,9 @@ def connected_components_ds(
         )
 
     edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # scale partitions with data: Ray's hash-join aggregator fails on
+    # fully-empty partitions, which tiny inputs with many partitions make
+    num_partitions = max(1, min(num_partitions, edges.count() // 64 or 1))
     # labels start as the node's own id (incl. its neighbors' ids round 1)
     labels = (
         edges.groupby("node")
@@ -98,10 +101,14 @@ def connected_components_ds(
     return labels
 
 
-def drop_ids_from_pairs_ds(pairs_ds, *, max_rounds: int = 10) -> list[int]:
+def drop_ids_from_pairs_ds(
+    pairs_ds, *, max_rounds: int = 10, num_partitions: int = 2
+) -> list[int]:
     """Distributed counterpart of cluster.drop_ids_from_pairs: every node
     whose component label isn't itself is dropped (keep min per cluster)."""
-    labels = connected_components_ds(pairs_ds, max_rounds=max_rounds)
+    labels = connected_components_ds(
+        pairs_ds, max_rounds=max_rounds, num_partitions=num_partitions
+    )
     drops = labels.map_batches(
         lambda b: b.filter(pa.compute.not_equal(b["node"], b["label"])),
         batch_format="pyarrow",

@@ -215,6 +215,75 @@ def estimated_jaccard(
     return out
 
 
+def _verify_pairs_distributed(
+    pairs_ds, sigs_ds, threshold: float, id_col: str, num_partitions: int = 8
+):
+    """Distributed verify: hash-join each pair side to its signature, then
+    compute the estimated Jaccard per row vectorized. Returns the verified
+    (a, b) pair Dataset — nothing materializes on the driver."""
+    from lsearch_ray.functions.joins import hash_join
+
+    def sig_blob(b: pa.Table, key: str, sig_name: str) -> pa.Table:
+        # Acero joins reject list payload columns → carry the signature as
+        # a fixed-width binary blob (num_perm × 8 bytes)
+        col = b["sig"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        vals = np.ascontiguousarray(np.asarray(col.values, dtype=np.int64))
+        width = (len(vals) // n) * 8 if n else 0
+        offs = np.arange(n + 1, dtype=np.int64) * width
+        blob = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(offs), pa.py_buffer(vals.tobytes())],
+        )
+        return pa.table({key: b[id_col], sig_name: blob})
+
+    sa = sigs_ds.map_batches(
+        lambda b: sig_blob(b, "ja", "sig_a"), batch_format="pyarrow"
+    )
+    sb = sigs_ds.map_batches(
+        lambda b: sig_blob(b, "jb", "sig_b"), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        hash_join(pairs_ds, sa, on="a", right_on="ja", num_partitions=num_partitions),
+        sb,
+        on="b",
+        right_on="jb",
+        num_partitions=num_partitions,
+    )
+
+    def blob_matrix(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset : col.offset + n + 1
+        ]
+        width = int(offs[1] - offs[0]) if n else 0
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        start = int(offs[0])
+        flat = np.frombuffer(
+            data[start : start + n * width].tobytes(), dtype=np.int64
+        )
+        return flat.reshape(n, width // 8)
+
+    def verify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ma = blob_matrix(b["sig_a"])
+        mb = blob_matrix(b["sig_b"])
+        est = (ma == mb).mean(axis=1)
+        keep = pa.array(est >= threshold)
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(keep)
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dedup(
     ds,
     *,
@@ -225,12 +294,17 @@ def minhash_dedup(
     bands: int = 32,
     ngram: int = 3,
     seed: int = 12345,
+    driver_pair_limit: int = 2_000_000,
 ):
     """Near-dup dedup: survivors Dataset (min id per near-dup cluster).
 
-    Driver-side steps (verified pairs + union-find) are bounded by the
-    candidate-pair count, which banding keeps ≪ corpus size. Signature
-    gather for verification is a broadcast id-filter (semi-join).
+    Two verify/cluster regimes, switched on candidate-pair volume:
+    - pairs ≤ ``driver_pair_limit``: broadcast signature gather +
+      driver-side union-find (fast path; banding keeps pairs ≪ corpus).
+    - pairs above the limit (boilerplate-heavy corpora): fully
+      distributed — hash-join pairs to signatures, vectorized estimate
+      per row, min-label-propagation components
+      (functions/components.py); the driver only holds the drop list.
     """
     sigs, pairs = minhash_candidate_pairs(
         ds,
@@ -241,6 +315,17 @@ def minhash_dedup(
         ngram=ngram,
         seed=seed,
     )
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs > driver_pair_limit:
+        from lsearch_ray.functions.components import drop_ids_from_pairs_ds
+
+        np_eff = max(1, min(8, n_pairs // 64 or 1))
+        verified = _verify_pairs_distributed(
+            pairs, sigs, threshold, id_col, num_partitions=np_eff
+        )
+        drop = drop_ids_from_pairs_ds(verified, num_partitions=np_eff)
+        return filter_out_ids(ds, drop, id_col)
     pairs_df = pairs.to_pandas()
     if len(pairs_df) == 0:
         return ds

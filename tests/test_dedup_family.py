@@ -166,3 +166,17 @@ def test_connected_components_ds():
         pairs["a"].to_numpy(), pairs["b"].to_numpy()
     )
     assert got == want
+
+
+def test_minhash_dedup_distributed_path_matches_driver_path():
+    ds = rd.from_arrow(_docs_table())
+    fast = sorted(
+        r["doc_id"] for r in minhash_dedup(ds, threshold=0.6).take_all()
+    )
+    dist = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            ds, threshold=0.6, driver_pair_limit=0
+        ).take_all()
+    )
+    assert dist == fast == [1, 4, 5]
