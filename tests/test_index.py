@@ -195,3 +195,30 @@ def test_query_negation_all_paths(built):
     negated = set(search_index(index_dir, "the -data", k=1000)["doc_id"].to_pylist())
     with_data = set(search_index(index_dir, "data", k=1000)["doc_id"].to_pylist())
     assert negated == plain - with_data
+
+
+def test_resume_from_triples_checkpoint_skips_stage_a(tmp_path):
+    """With keep_triples=True, resuming after a stage-B loss must NOT
+    re-scan the corpus: passing an unreadable docs dataset proves stage A
+    is skipped (its checkpoint marker is honored)."""
+    import shutil
+
+    corpus = assign_doc_ids(make_corpus(200, seed=2))
+    first = np.sort(np.unique(corpus["doc_id"].to_numpy(), return_index=True)[1])
+    corpus = corpus.take(pa.array(first))
+    d = str(tmp_path / "idx")
+    build_index(
+        rd.from_arrow(corpus.select(["doc_id", "text"])),
+        d,
+        num_shards=3,
+        keep_triples=True,
+    )
+    shutil.rmtree(os.path.join(d, "shard=00001"))
+    # a dataset that raises if anyone consumes it (read_parquet validates
+    # paths eagerly, so poison a lazy map instead)
+    def boom(b):
+        raise RuntimeError("stage A must not re-run on resume")
+
+    poison = rd.range(1).map_batches(boom, batch_format="pyarrow")
+    meta = build_index(poison, d, num_shards=3, resume=True, keep_triples=True)
+    assert meta.n_docs == corpus.num_rows
