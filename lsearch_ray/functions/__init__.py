@@ -8,6 +8,17 @@ helpers for Zipf-keyed shuffles.
 """
 
 from lsearch_ray.functions.ann import cosine_topk  # noqa: F401
+from lsearch_ray.functions.ann_ivf import ivf_cosine_topk, train_centroids  # noqa: F401
+from lsearch_ray.functions.components import (  # noqa: F401
+    connected_components_ds,
+    drop_ids_from_pairs_ds,
+)
+from lsearch_ray.functions.joins import (  # noqa: F401
+    broadcast_join,
+    broadcast_semi_join,
+    hash_join,
+    sessionize,
+)
 from lsearch_ray.functions.ann_lsh import (  # noqa: F401
     embedding_dedup,
     lsh_cosine_topk,

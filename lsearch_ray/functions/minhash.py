@@ -17,8 +17,10 @@ MMDS ch.3):
    computed by joining candidate pairs back to signatures (broadcast when
    signatures fit, hash-join otherwise).
 5. Connected components via union-find over surviving pairs (pairs ≪
-   corpus after banding; for boilerplate-heavy corpora swap in the
-   iterative min-label-propagation variant — functions/components.py).
+   corpus after banding); above ``driver_pair_limit`` the verify and
+   clustering both run fully distributed (hash-join + min-label
+   propagation, functions/components.py) — nothing pair-shaped touches
+   the driver.
 
 ``minhash_dedup`` returns the survivor Dataset (min doc_id per cluster
 kept), same schema as the input.
