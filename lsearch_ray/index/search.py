@@ -518,14 +518,74 @@ class QueryEngine:
         results = ray.get(
             [a.search.remote(query, dfs, k, mode) for a in self.actors]
         )
-        docs = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
-        scores = np.concatenate([r[1] for r in results]) if results else np.empty(0)
-        order = np.lexsort((docs, -scores))[:k]
-        docs, scores = docs[order].astype(np.int64), scores[order]
+        docs, scores = self._merge(results, k)
         return pa.table(
             {
                 "rank": pa.array(np.arange(1, len(docs) + 1), type=pa.int32()),
                 "doc_id": pa.array(docs, type=pa.int64()),
                 "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+    @staticmethod
+    def _merge(results, k: int) -> tuple[np.ndarray, np.ndarray]:
+        docs = (
+            np.concatenate([r[0] for r in results])
+            if results
+            else np.empty(0, np.int64)
+        )
+        scores = (
+            np.concatenate([r[1] for r in results]) if results else np.empty(0)
+        )
+        order = np.lexsort((docs, -scores))[:k]
+        return docs[order].astype(np.int64), scores[order]
+
+    def search_many(
+        self, queries: list[str], k: int = 10, mode: str = "or"
+    ) -> pa.Table:
+        """Batch serving: one df-gather round for the union of all terms,
+        then every (query, actor) scatter call in flight at once; per-query
+        merge. Returns (query_id, rank, doc_id, score)."""
+        import ray
+
+        all_terms = sorted(
+            {t for q in queries for side in parse_query(q) for t in side}
+        )
+        df_parts = ray.get(
+            [a.local_dfs.remote(all_terms) for a in self.actors]
+        )
+        dfs: dict[str, int] = {t: 0 for t in all_terms}
+        for part in df_parts:
+            for t, c in part.items():
+                dfs[t] += c
+        futures = [
+            [a.search.remote(q, dfs, k, mode) for a in self.actors]
+            for q in queries
+        ]
+        out_qid: list[int] = []
+        parts_docs: list[np.ndarray] = []
+        parts_scores: list[np.ndarray] = []
+        parts_rank: list[np.ndarray] = []
+        for qid, futs in enumerate(futures):
+            docs, scores = self._merge(ray.get(futs), k)
+            out_qid.extend([qid] * len(docs))
+            parts_docs.append(docs)
+            parts_scores.append(scores)
+            parts_rank.append(np.arange(1, len(docs) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(
+                    np.concatenate(parts_rank) if parts_rank else np.empty(0),
+                    type=pa.int32(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(parts_docs) if parts_docs else np.empty(0),
+                    type=pa.int64(),
+                ),
+                "score": pa.array(
+                    np.concatenate(parts_scores) if parts_scores else np.empty(0),
+                    type=pa.float64(),
+                ),
             }
         )

@@ -222,3 +222,17 @@ def test_resume_from_triples_checkpoint_skips_stage_a(tmp_path):
     poison = rd.range(1).map_batches(boom, batch_format="pyarrow")
     meta = build_index(poison, d, num_shards=3, resume=True, keep_triples=True)
     assert meta.n_docs == corpus.num_rows
+
+
+def test_query_engine_search_many(built):
+    index_dir, meta, golden = built
+    eng = QueryEngine(index_dir, num_actors=2)
+    out = eng.search_many(QUERIES, k=10)
+    by_q: dict[int, list] = {}
+    for r in out.to_pylist():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(QUERIES):
+        want = golden.bm25(q, k=10)
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], q
+        assert [r["score"] for r in got] == [s for _, s in want], q
