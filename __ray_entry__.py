@@ -106,10 +106,14 @@ def _q_doc_stats(sf_dir: str):
     from lsearch_ray.pipelines import doc_stats
 
     s = doc_stats(_docs(sf_dir, ["doc_id", "text"]))
+    # avgdl as exact integer fixed-point (millionths): float rounding of
+    # total/n differs between engines at the ulp (round() is banker's,
+    # DuckDB's is half-away); integer floor-division is representation-free
+    avgdl_e6 = (s["total_tokens"] * 1_000_000) // s["n_docs"] if s["n_docs"] else 0
     return pa.table(
         {
             "n_docs": pa.array([s["n_docs"]], type=pa.int64()),
-            "avgdl": pa.array([round(s["avgdl"], 6)], type=pa.float64()),
+            "avgdl_e6": pa.array([avgdl_e6], type=pa.int64()),
             "total_tokens": pa.array([s["total_tokens"]], type=pa.int64()),
         }
     )
@@ -598,8 +602,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
         ),
         "doc_stats": (
-            f"SELECT count(*) AS n_docs, round(sum(dl)/count(*), 6) AS avgdl, "
-            f"sum(dl) AS total_tokens FROM ({_DL})"
+            # n_docs counts ALL documents (token-less docs have dl = 0);
+            # avgdl_e6 is pure-integer fixed point — no float anywhere
+            f"WITH dl AS ({_DL}), s AS (SELECT coalesce(sum(dl), 0) AS tot FROM dl), "
+            "c AS (SELECT count(*) AS n FROM documents) "
+            "SELECT c.n AS n_docs, "
+            "CAST((s.tot * 1000000) // c.n AS BIGINT) AS avgdl_e6, "
+            "CAST(s.tot AS BIGINT) AS total_tokens FROM s, c"
         ),
         "bm25_or_topk": (
             _BM25_BODY

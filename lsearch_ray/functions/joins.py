@@ -106,10 +106,13 @@ def sessionize(
             new_session[1:] = (np.diff(ts) > gap_ns).astype(np.int64)
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(new_session.sum())],
+                key_col: np.asarray([g[key_col].iloc[0]], dtype=np.int64),
+                "n_events": np.asarray([len(g)], dtype=np.int64),
+                "n_sessions": np.asarray([int(new_session.sum())], dtype=np.int64),
             }
         )
 
-    return events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    out = events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    # canonical output order: the groupby shuffle's block order is not
+    # reproducible run-to-run; downstream value hashes need determinism
+    return out.sort(key_col)
