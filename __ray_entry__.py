@@ -230,7 +230,7 @@ def _q_dedup_events(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["user_id", "event_type", "event_id"]),
         batch_format="pyarrow",
-    )
+    ).sort(["user_id", "event_type"])  # canonical order for the value hash
 
 
 def _q_dedup_documents(sf_dir: str):

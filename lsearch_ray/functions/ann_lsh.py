@@ -20,10 +20,11 @@ import pyarrow as pa
 
 from lsearch_ray.functions.ann import _stack_embeddings
 from lsearch_ray.functions.cluster import (
+    apply_verified_pairs,
+    attach_pair_payloads,
     bucket_pairs_fn,
-    drop_ids_from_pairs,
-    filter_out_ids,
-    gather_rows_for_ids,
+    fixed_blob_matrix,
+    list_to_blob,
     unique_pairs,
 )
 
@@ -122,7 +123,15 @@ def embedding_dedup(
     emb_col: str = "embedding",
 ):
     """Remove near-duplicate embeddings (cosine ≥ threshold); keeps the
-    min id per cluster. Exact verification on gathered candidate vectors."""
+    min id per cluster.
+
+    Fully distributed: candidate vectors travel to the pair rows as
+    fixed-width float64 blobs through hash joins
+    (cluster.attach_pair_payloads), exact cosine runs vectorized per batch
+    (row-wise einsum), and clustering + survivor filtering share the
+    components/anti-join path with the other dedup variants."""
+    from lsearch_ray.functions.minhash import _pair_partitions
+
     if dim is None:
         first = ds.take(1)
         if not first:
@@ -135,21 +144,34 @@ def embedding_dedup(
         bucketed.groupby("bucket").map_groups(
             bucket_pairs_fn(id_col), batch_format="pandas"
         )
-    ).to_pandas()
-    if len(pairs) == 0:
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
-    a, b = pairs["a"].to_numpy(), pairs["b"].to_numpy()
-    cand = gather_rows_for_ids(ds, np.concatenate([a, b]), id_col).take_all()
-    vecs = {
-        int(r[id_col]): np.asarray(r[emb_col], dtype=np.float64) for r in cand
-    }
-    sims = np.empty(len(a))
-    for i in range(len(a)):
-        va, vb = vecs[int(a[i])], vecs[int(b[i])]
-        na, nb = np.linalg.norm(va), np.linalg.norm(vb)
-        sims[i] = float(va @ vb / (na * nb)) if na and nb else 0.0
-    keep = sims >= threshold
-    if not keep.any():
-        return ds
-    drop = drop_ids_from_pairs(a[keep], b[keep])
-    return filter_out_ids(ds, drop, id_col)
+    np_eff = _pair_partitions(n_pairs)
+    vec_blobs = ds.map_batches(
+        lambda b: pa.table(
+            {id_col: b[id_col], "vb": list_to_blob(b[emb_col], np.float64)}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = attach_pair_payloads(pairs, vec_blobs, id_col, num_partitions=np_eff)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ma = fixed_blob_matrix(b["vb_a"], np.float64)
+        mb = fixed_blob_matrix(b["vb_b"], np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        denom = na * nb
+        denom[denom == 0] = np.inf  # zero vectors: cosine treated as 0
+        sims = np.einsum("ij,ij->i", ma, mb) / denom
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(
+            pa.array(sims >= threshold)
+        )
+
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    return apply_verified_pairs(ds, verified, id_col, num_partitions=np_eff)

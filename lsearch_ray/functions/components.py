@@ -1,12 +1,11 @@
 """Distributed connected components via iterative min-label propagation.
 
-The scale path for near-dup clustering when the candidate-pair set is too
-large for driver-side union-find (boilerplate-heavy corpora): each round
-every node adopts the minimum label in its neighborhood, implemented as a
+The clustering path for every near-dup dedup variant: each round every
+node adopts the minimum label in its neighborhood, implemented as a
 Dataset groupby over the symmetrized edge list. Converges in O(diameter)
 rounds; near-dup clusters are dense (tiny diameter), so a handful of
-rounds suffices. Used by the dedup family when
-``len(pairs) > driver_pair_limit``.
+rounds suffices — non-convergence within ``max_rounds`` is surfaced with
+a warning (dedup then under-drops, the safe direction).
 """
 
 from __future__ import annotations
@@ -63,6 +62,7 @@ def connected_components_ds(
         )
         .materialize()
     )
+    converged = False
     for _ in range(max_rounds):
         # propagate: node's label -> its neighbors; take min over incoming
         from lsearch_ray.functions.joins import hash_join
@@ -97,20 +97,40 @@ def connected_components_ds(
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == old_sum:
+            converged = True
             break
+    if not converged:
+        # diameter > max_rounds (chain-shaped clusters from over-cap bucket
+        # chaining): labels are a valid partition refinement but some
+        # components may carry several local-minimum labels — dedup then
+        # under-drops (safe direction). Surface it instead of staying silent.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components_ds: min-label propagation did not converge "
+            "within max_rounds=%d; components with diameter > %d may be "
+            "split (dedup will under-drop). Raise max_rounds.",
+            max_rounds,
+            max_rounds,
+        )
     return labels
 
 
 def drop_ids_from_pairs_ds(
     pairs_ds, *, max_rounds: int = 10, num_partitions: int = 2
-) -> list[int]:
+):
     """Distributed counterpart of cluster.drop_ids_from_pairs: every node
-    whose component label isn't itself is dropped (keep min per cluster)."""
+    whose component label isn't itself is dropped (keep min per cluster).
+
+    Returns a Dataset with one ``node:int64`` column — the drop set stays
+    distributed; apply it with cluster.filter_out_ids_ds (broadcast when
+    small, anti-join when large), never a driver-side list."""
     labels = connected_components_ds(
         pairs_ds, max_rounds=max_rounds, num_partitions=num_partitions
     )
-    drops = labels.map_batches(
-        lambda b: b.filter(pa.compute.not_equal(b["node"], b["label"])),
+    return labels.map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b["node"], b["label"])
+        ).select(["node"]),
         batch_format="pyarrow",
     )
-    return sorted(r["node"] for r in drops.select_columns(["node"]).take_all())

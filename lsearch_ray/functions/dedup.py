@@ -2,13 +2,14 @@
 
 Exact dedup generalizes the reference's path-canonicalization dedup key
 (cli.rs:454: ``canonicalize()`` collapses ``./x`` vs ``x``) to
-hash-partition + per-group-first over arbitrary keys (SURVEY.md §2.9).
+hash-partition + first-per-key over arbitrary keys (SURVEY.md §2.9).
 
 Scale design: the shuffle key for content dedup is a 64-bit hash of the
 content, not the content itself — only (hash, id) pairs move in the
 all-to-all; survivors are selected per group and the surviving rows are
-recovered with a broadcast-semi-join filter (no second shuffle of the
-payload).
+recovered with a broadcast semi-join when the survivor set is small, or a
+distributed inner hash join when it would not fit the driver
+(cluster.semi_join_ids_ds).
 """
 
 from __future__ import annotations
@@ -16,38 +17,82 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from lsearch_ray.corpus import fnv1a64
 
 
-def exact_dedup(ds, key_cols: list[str], order_cols: list[str]):
+def _col_hash64(col) -> np.ndarray:
+    """uint64 hash of an arbitrary Arrow column (strings hashed directly,
+    numerics mixed by multiplication)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return v * np.uint64(0x9E3779B97F4A7C15)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return fnv1a64(col).astype(np.uint64)
+    return fnv1a64(pc.cast(col, pa.string())).astype(np.uint64)
+
+
+def exact_dedup(
+    ds, key_cols: list[str], order_cols: list[str], *, num_partitions: int = 64
+):
     """Keep the first row per key group, ordered by ``order_cols``.
 
-    groupby(key) is a hash shuffle; each group is tiny (the duplicates of
-    one key), so ``map_groups`` per-group pandas cost is bounded.
+    Vectorized form of groupby(key)+first: rows are hash-partitioned on
+    the key columns, the groupby runs over the partition id (so each
+    reduce task receives one whole hash partition — the same reducer
+    memory shape as any Ray groupby), and within a partition one pandas
+    ``sort_values`` + ``drop_duplicates`` selects every key's first row —
+    no per-group Python. Size ``num_partitions`` ≈ cluster cores × 4 at
+    scale so a partition fits a worker's heap.
     """
+    mult = np.uint64(0x100000001B3)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, kind="mergesort").head(1)
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.full(b.num_rows, 0xCBF29CE484222325, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                h = (h ^ _col_hash64(b[c])) * mult
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
 
-    return ds.groupby(key_cols).map_groups(first, batch_format="pandas")
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        return g.drop_duplicates(subset=key_cols, keep="first").drop(
+            columns="__part"
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedup_partition, batch_format="pandas")
+    )
 
 
-def exact_dedup_by_content(ds, content_col: str, id_col: str):
+def exact_dedup_by_content(
+    ds,
+    content_col: str,
+    id_col: str,
+    *,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 8,
+):
     """Exact content dedup at scale: hash the content per batch, shuffle
     only (hash, id), keep the min-id row per hash, then recover surviving
-    rows with a broadcast id-set semi-join.
+    rows — broadcast id-set semi-join while the survivor set fits the
+    driver (``broadcast_limit``), distributed inner hash join beyond that.
 
-    Returns a Dataset with the same schema as ``ds`` (plus no extra
-    columns), containing one row per distinct content, the one with the
-    smallest ``id_col``.
-
-    Note: the survivor id set is collected to the driver and broadcast —
-    appropriate while ``n_distinct × 8B`` fits driver memory (hundreds of
-    millions of rows); beyond that, swap the semi-join for a shuffle join
-    on the hash column.
+    Returns a Dataset with the same schema as ``ds``, containing one row
+    per distinct content, the one with the smallest ``id_col``.
     """
     from ray.data.aggregate import Min
+
+    from lsearch_ray.functions.cluster import semi_join_ids_ds
 
     def add_hash(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -62,10 +107,11 @@ def exact_dedup_by_content(ds, content_col: str, id_col: str):
         .groupby("content_hash")
         .aggregate(Min(id_col, alias_name="keep_id"))
     )
-    keep = {r["keep_id"] for r in survivors.take_all()}
-    keep_arr = pa.array(sorted(keep), type=pa.int64())
-
-    def filter_survivors(b: pa.Table) -> pa.Table:
-        return b.filter(pa.compute.is_in(b[id_col], value_set=keep_arr))
-
-    return ds.map_batches(filter_survivors, batch_format="pyarrow")
+    return semi_join_ids_ds(
+        ds,
+        survivors,
+        id_col,
+        keep_col="keep_id",
+        broadcast_limit=broadcast_limit,
+        num_partitions=num_partitions,
+    )

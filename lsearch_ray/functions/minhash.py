@@ -14,13 +14,12 @@ MMDS ch.3):
    boilerplate — pairs against the bucket minimum still chain the
    cluster together through union-find instead of emitting O(n²) pairs).
 4. Verify: estimated Jaccard = fraction of equal signature components,
-   computed by joining candidate pairs back to signatures (broadcast when
-   signatures fit, hash-join otherwise).
-5. Connected components via union-find over surviving pairs (pairs ≪
-   corpus after banding); above ``driver_pair_limit`` the verify and
-   clustering both run fully distributed (hash-join + min-label
-   propagation, functions/components.py) — nothing pair-shaped touches
-   the driver.
+   computed by hash-joining each pair side to its signature blob
+   (cluster.attach_pair_payloads) — distributed, vectorized per batch.
+5. Clustering: distributed min-label-propagation connected components
+   (functions/components.py); the drop set applies as a broadcast filter
+   when small, a distributed anti-join when large
+   (cluster.filter_out_ids_ds). Nothing pair-shaped touches the driver.
 
 ``minhash_dedup`` returns the survivor Dataset (min doc_id per cluster
 kept), same schema as the input.
@@ -172,10 +171,12 @@ class BandRows:
 
 
 from lsearch_ray.functions.cluster import (
+    apply_verified_pairs,
+    attach_pair_payloads,
+    blob_lists,
     bucket_pairs_fn,
-    drop_ids_from_pairs,
-    filter_out_ids,
-    gather_rows_for_ids,
+    fixed_blob_matrix,
+    list_to_blob,
     unique_pairs,
 )
 
@@ -205,85 +206,40 @@ def minhash_candidate_pairs(
     return sigs, unique_pairs(pairs)
 
 
-def estimated_jaccard(
-    pairs_df, sig_lookup: dict[int, np.ndarray]
-) -> np.ndarray:
-    a = pairs_df["a"].to_numpy()
-    b = pairs_df["b"].to_numpy()
-    out = np.empty(len(a), dtype=np.float64)
-    for i in range(len(a)):
-        sa, sb = sig_lookup[int(a[i])], sig_lookup[int(b[i])]
-        out[i] = float((sa == sb).mean())
-    return out
-
-
 def _verify_pairs_distributed(
     pairs_ds, sigs_ds, threshold: float, id_col: str, num_partitions: int = 8
 ):
-    """Distributed verify: hash-join each pair side to its signature, then
-    compute the estimated Jaccard per row vectorized. Returns the verified
-    (a, b) pair Dataset — nothing materializes on the driver."""
-    from lsearch_ray.functions.joins import hash_join
-
-    def sig_blob(b: pa.Table, key: str, sig_name: str) -> pa.Table:
-        # Acero joins reject list payload columns → carry the signature as
-        # a fixed-width binary blob (num_perm × 8 bytes)
-        col = b["sig"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        vals = np.ascontiguousarray(np.asarray(col.values, dtype=np.int64))
-        width = (len(vals) // n) * 8 if n else 0
-        offs = np.arange(n + 1, dtype=np.int64) * width
-        blob = pa.Array.from_buffers(
-            pa.large_binary(),
-            n,
-            [None, pa.py_buffer(offs), pa.py_buffer(vals.tobytes())],
-        )
-        return pa.table({key: b[id_col], sig_name: blob})
-
-    sa = sigs_ds.map_batches(
-        lambda b: sig_blob(b, "ja", "sig_a"), batch_format="pyarrow"
+    """Distributed verify: hash-join each pair side to its signature blob
+    (cluster.attach_pair_payloads), then compute the estimated Jaccard per
+    row vectorized. Returns the verified (a, b) pair Dataset — nothing
+    materializes on the driver."""
+    blobs = sigs_ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "sig": list_to_blob(b["sig"])}),
+        batch_format="pyarrow",
     )
-    sb = sigs_ds.map_batches(
-        lambda b: sig_blob(b, "jb", "sig_b"), batch_format="pyarrow"
+    joined = attach_pair_payloads(
+        pairs_ds, blobs, id_col, num_partitions=num_partitions
     )
-    joined = hash_join(
-        hash_join(pairs_ds, sa, on="a", right_on="ja", num_partitions=num_partitions),
-        sb,
-        on="b",
-        right_on="jb",
-        num_partitions=num_partitions,
-    )
-
-    def blob_matrix(col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
-            col.offset : col.offset + n + 1
-        ]
-        width = int(offs[1] - offs[0]) if n else 0
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        start = int(offs[0])
-        flat = np.frombuffer(
-            data[start : start + n * width].tobytes(), dtype=np.int64
-        )
-        return flat.reshape(n, width // 8)
 
     def verify(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
+        if b.num_rows == 0:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
             )
-        ma = blob_matrix(b["sig_a"])
-        mb = blob_matrix(b["sig_b"])
+        ma = fixed_blob_matrix(b["sig_a"])
+        mb = fixed_blob_matrix(b["sig_b"])
         est = (ma == mb).mean(axis=1)
         keep = pa.array(est >= threshold)
         return pa.table({"a": b["a"], "b": b["b"]}).filter(keep)
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def _pair_partitions(n_pairs: int, cap: int = 8) -> int:
+    """Hash-join partition count for a pair volume. Kept ≥64 rows per
+    partition: Ray's hash-join aggregator rejects fully-empty partitions,
+    which tiny inputs with many partitions produce."""
+    return max(1, min(cap, n_pairs // 64 or 1))
 
 
 def minhash_dedup(
@@ -296,18 +252,15 @@ def minhash_dedup(
     bands: int = 32,
     ngram: int = 3,
     seed: int = 12345,
-    driver_pair_limit: int = 2_000_000,
+    broadcast_limit: int = 2_000_000,
 ):
     """Near-dup dedup: survivors Dataset (min id per near-dup cluster).
 
-    Two verify/cluster regimes, switched on candidate-pair volume:
-    - pairs ≤ ``driver_pair_limit``: broadcast signature gather +
-      driver-side union-find (fast path; banding keeps pairs ≪ corpus).
-    - pairs above the limit (boilerplate-heavy corpora): fully
-      distributed — hash-join pairs to signatures, vectorized estimate
-      per row, min-label-propagation components
-      (functions/components.py); the driver only holds the drop list.
-    """
+    Fully distributed end-to-end: hash-join pairs to signature blobs,
+    vectorized Jaccard estimate per row, min-label-propagation components
+    (functions/components.py). The only driver-side artifact is the drop
+    set, and only while it is below ``broadcast_limit`` — above that the
+    drop is a distributed anti-join (cluster.filter_out_ids_ds)."""
     sigs, pairs = minhash_candidate_pairs(
         ds,
         text_col=text_col,
@@ -319,37 +272,19 @@ def minhash_dedup(
     )
     pairs = pairs.materialize()
     n_pairs = pairs.count()
-    if n_pairs > driver_pair_limit:
-        from lsearch_ray.functions.components import drop_ids_from_pairs_ds
-
-        np_eff = max(1, min(8, n_pairs // 64 or 1))
-        verified = _verify_pairs_distributed(
-            pairs, sigs, threshold, id_col, num_partitions=np_eff
-        )
-        drop = drop_ids_from_pairs_ds(verified, num_partitions=np_eff)
-        return filter_out_ids(ds, drop, id_col)
-    pairs_df = pairs.to_pandas()
-    if len(pairs_df) == 0:
+    if n_pairs == 0:
         return ds
-    cand_ids = np.unique(
-        np.concatenate([pairs_df["a"].to_numpy(), pairs_df["b"].to_numpy()])
+    np_eff = _pair_partitions(n_pairs)
+    verified = _verify_pairs_distributed(
+        pairs, sigs, threshold, id_col, num_partitions=np_eff
     )
-    cand_set = pa.array(cand_ids, type=pa.int64())
-    sig_rows = sigs.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=cand_set)),
-        batch_format="pyarrow",
-    ).take_all()
-    lookup = {
-        int(r[id_col]): np.asarray(r["sig"], dtype=np.int64) for r in sig_rows
-    }
-    est = estimated_jaccard(pairs_df, lookup)
-    keep_pairs = pairs_df[est >= threshold]
-    if len(keep_pairs) == 0:
-        return ds
-    drop = drop_ids_from_pairs(
-        keep_pairs["a"].to_numpy(), keep_pairs["b"].to_numpy()
+    return apply_verified_pairs(
+        ds,
+        verified,
+        id_col,
+        num_partitions=np_eff,
+        broadcast_limit=broadcast_limit,
     )
-    return filter_out_ids(ds, drop, id_col)
 
 
 class ShingleSets:
@@ -395,10 +330,14 @@ def ngram_jaccard_dedup(
     """Near-dup dedup with EXACT n-gram Jaccard verification.
 
     Candidates come from MinHash banding (same recall), but each surviving
-    pair is verified on the true shingle sets of the two docs (gathered by
-    broadcast semi-join), not the signature estimate — zero false-positive
-    merges at the cost of recomputing shingles for candidates only.
-    """
+    pair is verified on the true shingle sets of the two docs — zero
+    false-positive merges at the cost of recomputing shingles for
+    candidates only. Fully distributed: shingle sets travel to the pair
+    rows as sorted-unique int64 blobs through hash joins
+    (cluster.attach_pair_payloads); the per-pair set intersection runs
+    inside map tasks (sorted-array ``np.intersect1d``), clustering and
+    survivor filtering through the same components/anti-join path as
+    minhash_dedup."""
     _, pairs = minhash_candidate_pairs(
         ds,
         text_col=text_col,
@@ -408,27 +347,39 @@ def ngram_jaccard_dedup(
         ngram=ngram,
         seed=seed,
     )
-    pairs_df = pairs.to_pandas()
-    if len(pairs_df) == 0:
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
-    a, b = pairs_df["a"].to_numpy(), pairs_df["b"].to_numpy()
-    cand_rows = (
-        gather_rows_for_ids(ds, np.concatenate([a, b]), id_col)
-        .map_batches(
-            ShingleSets(ngram, text_col, id_col), batch_format="pyarrow"
-        )
-        .take_all()
+    np_eff = _pair_partitions(n_pairs)
+    shingle_blobs = ds.map_batches(
+        ShingleSets(ngram, text_col, id_col), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table(
+            {id_col: b[id_col], "sh": list_to_blob(b["shingles"])}
+        ),
+        batch_format="pyarrow",
     )
-    sets = {int(r[id_col]): set(r["shingles"]) for r in cand_rows}
-    keep_a, keep_b = [], []
-    for x, y in zip(a, b):
-        sa, sb = sets[int(x)], sets[int(y)]
-        union = len(sa | sb)
-        jac = (len(sa & sb) / union) if union else 1.0
-        if jac >= threshold:
-            keep_a.append(int(x))
-            keep_b.append(int(y))
-    if not keep_a:
-        return ds
-    drop = drop_ids_from_pairs(np.array(keep_a), np.array(keep_b))
-    return filter_out_ids(ds, drop, id_col)
+    joined = attach_pair_payloads(
+        pairs, shingle_blobs, id_col, num_partitions=np_eff
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        offs_a, flat_a = blob_lists(b["sh_a"])
+        offs_b, flat_b = blob_lists(b["sh_b"])
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i in range(b.num_rows):
+            sa = flat_a[offs_a[i] : offs_a[i + 1]]
+            sb = flat_b[offs_b[i] : offs_b[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = (inter / union) if union else 1.0
+            keep[i] = jac >= threshold
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(pa.array(keep))
+
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    return apply_verified_pairs(ds, verified, id_col, num_partitions=np_eff)

@@ -18,12 +18,12 @@ import numpy as np
 import pyarrow as pa
 
 from lsearch_ray.functions.cluster import (
+    apply_verified_pairs,
+    attach_pair_payloads,
     bucket_pairs_fn,
-    drop_ids_from_pairs,
-    filter_out_ids,
     unique_pairs,
 )
-from lsearch_ray.functions.minhash import _token_hashes
+from lsearch_ray.functions.minhash import _pair_partitions, _token_hashes
 
 
 class SimHash64:
@@ -107,6 +107,12 @@ def simhash_dedup(
     Note: 4×16 banding only guarantees recall for hamming ≤ 3 on the full
     64 bits; the top bit is masked for int64 storage, which is absorbed
     into the distance check.
+
+    Fully distributed verify: the scalar fingerprint hash-joins onto each
+    pair side (cluster.attach_pair_payloads — no blob needed for a scalar
+    payload), exact hamming distance runs vectorized inside map tasks,
+    and clustering + survivor filtering share the components/anti-join
+    path with the other dedup variants.
     """
     fps = ds.map_batches(SimHash64(text_col, id_col), batch_format="pyarrow")
     band_rows = fps.map_batches(_SimhashBands(id_col), batch_format="pyarrow")
@@ -114,20 +120,22 @@ def simhash_dedup(
         band_rows.groupby(["band", "band_hash"]).map_groups(
             bucket_pairs_fn(id_col), batch_format="pandas"
         )
-    ).to_pandas()
-    if len(pairs) == 0:
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
-    a = pairs["a"].to_numpy()
-    b = pairs["b"].to_numpy()
-    from lsearch_ray.functions.cluster import gather_rows_for_ids
+    np_eff = _pair_partitions(n_pairs)
+    joined = attach_pair_payloads(pairs, fps, id_col, num_partitions=np_eff)
 
-    cand = gather_rows_for_ids(fps, np.concatenate([a, b]), id_col).take_all()
-    lookup = {int(r[id_col]): int(r["simhash"]) for r in cand}
-    fa = np.array([lookup[int(x)] for x in a], dtype=np.int64)
-    fb = np.array([lookup[int(x)] for x in b], dtype=np.int64)
-    dist = hamming64(fa, fb)
-    keep = dist <= max_hamming
-    if not keep.any():
-        return ds
-    drop = drop_ids_from_pairs(a[keep], b[keep])
-    return filter_out_ids(ds, drop, id_col)
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        fa = b["simhash_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fb = b["simhash_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hamming64(fa, fb) <= max_hamming
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(pa.array(keep))
+
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    return apply_verified_pairs(ds, verified, id_col, num_partitions=np_eff)

@@ -161,22 +161,57 @@ def test_connected_components_ds():
         r["node"]: r["label"] for r in connected_components_ds(ds).take_all()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
-    got = drop_ids_from_pairs_ds(rd.from_arrow(pairs))
+    got = sorted(
+        r["node"] for r in drop_ids_from_pairs_ds(rd.from_arrow(pairs)).take_all()
+    )
     want = drop_ids_from_pairs(
         pairs["a"].to_numpy(), pairs["b"].to_numpy()
     )
     assert got == want
 
 
-def test_minhash_dedup_distributed_path_matches_driver_path():
+def test_minhash_dedup_antijoin_drop_path_matches_broadcast():
+    """Force the distributed anti-join drop regime (broadcast_limit=0):
+    the drop set is applied without ever materializing on the driver."""
     ds = rd.from_arrow(_docs_table())
-    fast = sorted(
+    broadcast = sorted(
         r["doc_id"] for r in minhash_dedup(ds, threshold=0.6).take_all()
     )
-    dist = sorted(
+    anti = sorted(
         r["doc_id"]
-        for r in minhash_dedup(
-            ds, threshold=0.6, driver_pair_limit=0
+        for r in minhash_dedup(ds, threshold=0.6, broadcast_limit=0).take_all()
+    )
+    assert anti == broadcast == [1, 4, 5]
+
+
+def test_filter_out_ids_ds_antijoin_matches_broadcast():
+    from lsearch_ray.functions.cluster import filter_out_ids_ds
+
+    ds = rd.from_arrow(_docs_table())
+    drop = rd.from_arrow(pa.table({"node": pa.array([2, 4], type=pa.int64())}))
+    bc = sorted(r["doc_id"] for r in filter_out_ids_ds(ds, drop).take_all())
+    aj = sorted(
+        r["doc_id"]
+        for r in filter_out_ids_ds(ds, drop, broadcast_limit=0).take_all()
+    )
+    assert bc == aj == [1, 3, 5]
+
+
+def test_exact_dedup_by_content_join_path_matches_broadcast():
+    from lsearch_ray.functions import exact_dedup_by_content
+
+    t = _docs_table()
+    bc = sorted(
+        r["doc_id"]
+        for r in exact_dedup_by_content(
+            rd.from_arrow(t), "text", "doc_id"
         ).take_all()
     )
-    assert dist == fast == [1, 4, 5]
+    joined = sorted(
+        r["doc_id"]
+        for r in exact_dedup_by_content(
+            rd.from_arrow(t), "text", "doc_id", broadcast_limit=0
+        ).take_all()
+    )
+    # doc 2 is a byte-exact dup of doc 1; both regimes keep min-id survivors
+    assert bc == joined == [1, 3, 4, 5]
