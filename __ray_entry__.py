@@ -384,14 +384,18 @@ def _q_ngram_jaccard_dedup(sf_dir: str):
     from lsearch_ray.functions import ngram_jaccard_dedup
 
     out = ngram_jaccard_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
-    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    ).sort("doc_id")
 
 
 def _q_embedding_dedup(sf_dir: str):
     from lsearch_ray.functions import embedding_dedup
 
     out = embedding_dedup(_read(sf_dir, "embeddings"), threshold=0.999)
-    return out.map_batches(lambda b: b.select(["vec_id"]), batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["vec_id"]), batch_format="pyarrow"
+    ).sort("vec_id")
 
 
 def _q_lsh_ann(sf_dir: str):
@@ -570,6 +574,206 @@ scores AS (
 """
 
 
+# ordered tokens with positions (UNNEST and generate_subscripts must sit
+# together in the SELECT list — one in FROM would cross-multiply them)
+_ORDERED_TOKS = (
+    "SELECT doc_id, term, pos FROM ("
+    "  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos"
+    "  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks"
+    "        FROM documents)"
+    ") WHERE term <> ''"
+)
+
+# FNV-1a-64 of a string expression, masked to 63 bits — the exact arithmetic
+# of corpus.fnv1a64 (h = (h ^ byte) * 0x100000001B3 mod 2^64), expressible in
+# DuckDB because a 64-bit × 40-bit product fits HUGEINT (int128)
+_FNV_BASIS = "CAST(14695981039346656037 AS HUGEINT)"
+_FNV_STEP = (
+    "(acc, x) -> (xor(acc, x) * 1099511628211) "
+    "% CAST(18446744073709551616 AS HUGEINT)"
+)
+
+
+def _fnv63_of(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend({_FNV_BASIS}, "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ord(substr({expr}, i, 1)) AS HUGEINT))), {_FNV_STEP}) "
+        "% CAST(9223372036854775808 AS HUGEINT)"
+    )
+
+
+def _fingerprint_sql() -> str:
+    """Exact SQL twin of functions.textstats.fingerprint: 63-bit FNV of
+    each token, rolling-combined in token order with the same mult-mod,
+    final 63-bit mask; token-less docs keep the masked offset basis."""
+    return f"""
+WITH toks AS ({_ORDERED_TOKS}),
+dt AS (SELECT DISTINCT term FROM toks),
+th AS (SELECT term, {_fnv63_of('term')} AS h FROM dt),
+ordered AS (
+  SELECT t.doc_id, list(th.h ORDER BY t.pos) AS hs
+  FROM toks t JOIN th ON t.term = th.term GROUP BY t.doc_id
+),
+fp AS (
+  SELECT doc_id,
+    CAST(list_reduce(list_prepend({_FNV_BASIS}, hs), {_FNV_STEP})
+         % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS fp64
+  FROM ordered
+)
+SELECT d.doc_id,
+       coalesce(fp.fp64,
+                CAST(14695981039346656037 % 9223372036854775808 AS BIGINT)) AS fp64
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+
+def _langid_sql() -> str:
+    """Exact SQL twin of functions.textstats.LangId: per-language profile
+    hit fraction over the token stream (with multiplicity), argmax with
+    alphabetical tie-break, 'und' when every score is zero."""
+    from lsearch_ray.functions.textstats import LANG_PROFILES
+
+    prof_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_PROFILES)
+        for w in sorted(LANG_PROFILES[lang])
+    )
+    return f"""
+WITH toks AS ({_TOKS}),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+prof(lang, word) AS (VALUES {prof_rows}),
+hits AS (SELECT t.doc_id, p.lang, count(*) AS h
+         FROM toks t JOIN prof p ON t.term = p.word GROUP BY 1, 2),
+combos AS (
+  SELECT d.doc_id, l.lang, coalesce(c.n, 0) AS n
+  FROM documents d CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+  LEFT JOIN cnt c ON d.doc_id = c.doc_id
+),
+scored AS (
+  SELECT cb.doc_id, cb.lang,
+         CASE WHEN cb.n = 0 THEN 0.0
+              ELSE coalesce(h.h, 0) * 1.0 / cb.n END AS score
+  FROM combos cb LEFT JOIN hits h ON cb.doc_id = h.doc_id AND cb.lang = h.lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+
+def _lsh_ann_sql() -> str:
+    """Exact SQL twin of functions.ann_lsh.lsh_cosine_topk (nplanes=10,
+    seed 4242, hamming-1 probe): the seeded hyperplanes are embedded as
+    float literals, buckets are sign-bit integers, probing is a popcount
+    condition, survivors get exact cosine top-k."""
+    from lsearch_ray.functions.ann_lsh import _planes
+
+    planes = _planes(64, 10, 4242)
+    plane_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[:, j])}]::DOUBLE[])"
+        for j in range(planes.shape[1])
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+planes(j, p) AS (VALUES {plane_rows}),
+dots AS (SELECT e.vec_id, pl.j, list_dot_product(e.v, pl.p) AS dp
+         FROM e CROSS JOIN planes pl),
+buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << j ELSE 0 END)
+                                 AS BIGINT) AS bkt
+            FROM dots GROUP BY 1),
+qb AS (SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, pl.p) > 0
+                            THEN 1 << pl.j ELSE 0 END) AS BIGINT) AS bkt
+       FROM q CROSS JOIN planes pl),
+cand AS (SELECT b.vec_id FROM buckets b, qb
+         WHERE bit_count(xor(b.bkt, qb.bkt)) <= 1)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def _cc_survivors_sql(edges_cte: str, table: str, id_col: str) -> str:
+    """Connected components over an ``edges(a, b)`` CTE via recursive
+    transitive closure; survivors = ids that reach no smaller id (exactly
+    the engine's keep-min-per-cluster rule)."""
+    return f"""
+{edges_cte},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a
+  ) SELECT src, dst FROM r
+),
+dropped AS (SELECT DISTINCT src AS {id_col} FROM reach WHERE dst < src)
+SELECT d.{id_col} FROM {table} d
+WHERE d.{id_col} NOT IN (SELECT {id_col} FROM dropped)
+ORDER BY d.{id_col}
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    """Brute-force exact twin of ngram_jaccard_dedup (threshold 0.8,
+    3-gram token shingles, per-doc unique sets, keep-min-per-component).
+    Shingle semantics mirror minhash._shingle_hashes: docs with 1-2
+    tokens contribute one shingle over the whole run. The SQL considers
+    ALL pairs; the engine's MinHash banding (b=32, r=4) has miss
+    probability < 1e-7 at jaccard 0.8, so the outputs coincide."""
+    edges = """
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2] AS s
+  FROM l, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+  WHERE len(toks) >= 3
+  UNION
+  SELECT DISTINCT doc_id, list_aggregate(toks, 'string_agg', chr(1)) AS s
+  FROM l WHERE len(toks) BETWEEN 1 AND 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+  WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
+)"""
+    return _cc_survivors_sql(edges, "documents", "doc_id")
+
+
+def _embedding_dedup_sql() -> str:
+    """Brute-force exact twin of embedding_dedup (cosine ≥ 0.999,
+    keep-min-per-component). The SQL scores ALL pairs; the engine's
+    hyperplane-LSH candidate generation can in principle miss a pair two
+    buckets apart, but at threshold 0.999 the pair angle is ≤ 2.6°, and
+    the driver testdata's max off-diagonal cosine is ~0.51 — no edges
+    exist at any tested scale, so the contract is exercised as an
+    over-drop guard."""
+    edges = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+)"""
+    return _cc_survivors_sql(edges, "embeddings", "vec_id")
+
+
 def _quality_sql() -> str:
     from lsearch_ray.functions.textstats import LANG_PROFILES
 
@@ -681,6 +885,11 @@ def oracle_sql() -> dict[str, str]:
         "salted_term_df": (
             f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
         ),
+        "fingerprint": _fingerprint_sql(),
+        "langid": _langid_sql(),
+        "lsh_ann": _lsh_ann_sql(),
+        "ngram_jaccard_dedup": _ngram_jaccard_sql(),
+        "embedding_dedup": _embedding_dedup_sql(),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2"
