@@ -8,7 +8,12 @@ helpers for Zipf-keyed shuffles.
 """
 
 from lsearch_ray.functions.ann import cosine_topk  # noqa: F401
-from lsearch_ray.functions.ann_ivf import ivf_cosine_topk, train_centroids  # noqa: F401
+from lsearch_ray.functions.ann_ivf import (  # noqa: F401
+    build_ivf_index,
+    ivf_cosine_topk,
+    ivf_search,
+    train_centroids,
+)
 from lsearch_ray.functions.components import (  # noqa: F401
     connected_components_ds,
     drop_ids_from_pairs_ds,

@@ -11,13 +11,22 @@ The coarse-quantizer scale path complementing LSH (ann_lsh.py):
    query, probe the top ``nprobe`` clusters (broadcast membership filter,
    no shuffle), exact cosine on the surviving fraction.
 
-At scale the assigned dataset is written partitioned by cluster
-(``write_parquet(partition_cols=["cluster"])``) so probing reads only the
-probed partitions; here the filter-pushdown form keeps the test path
-simple while the layout note documents the storage contract.
+Two serving forms:
+
+- :func:`ivf_cosine_topk` — one-shot: assigns clusters inline and
+  filters (full corpus pass per query; fine for ad-hoc use, wrong for
+  repeated queries).
+- :func:`build_ivf_index` + :func:`ivf_search` — the serving path:
+  assignment is materialized ONCE as cluster-partitioned Parquet
+  (``write_parquet(partition_cols=["cluster"])``) with the centroid
+  matrix stored alongside; each query then reads ONLY the ``nprobe``
+  probed partition directories — probe cost scales with the probed
+  fraction, independent of corpus size.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -72,6 +81,86 @@ class AssignClusters:
         return batch.append_column(
             "cluster", pa.array(assign.astype(np.int32), type=pa.int32())
         )
+
+
+def build_ivf_index(
+    emb_ds,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    seed: int = 1234,
+    sample_limit: int = 20_000,
+) -> np.ndarray:
+    """Materialize the IVF layout: train centroids, assign every vector,
+    write cluster-partitioned Parquet + ``centroids.npy``/``meta.json``.
+
+    One full pass over the corpus at build time buys probe cost
+    independent of corpus size at query time (ivf_search reads only the
+    probed ``cluster=<c>/`` directories). Returns the centroid matrix."""
+    import json
+
+    centroids = train_centroids(
+        emb_ds,
+        n_clusters,
+        emb_col=emb_col,
+        seed=seed,
+        sample_limit=sample_limit,
+    )
+    assigned = emb_ds.map_batches(
+        AssignClusters(centroids, emb_col), batch_format="pyarrow"
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.write_parquet(index_dir, partition_cols=["cluster"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"n_clusters": int(len(centroids)), "emb_col": emb_col, "dim": int(centroids.shape[1])},
+            f,
+        )
+    return centroids
+
+
+def ivf_search(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """Query a materialized IVF index: rank centroids by cosine to the
+    query, read ONLY the ``nprobe`` nearest ``cluster=<c>/`` partition
+    directories, exact cosine top-k over those vectors."""
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(centroids @ qn))[:nprobe]
+    # read_parquet accepts one directory but a LIST must be files — expand
+    import glob
+
+    paths = [
+        f
+        for c in probe
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, f"cluster={int(c)}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+    candidates = rd.read_parquet(paths)
+    return cosine_topk(
+        candidates, q, k, id_col=id_col, emb_col=emb_col, round_to=round_to
+    )
 
 
 def ivf_cosine_topk(

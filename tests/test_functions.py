@@ -53,3 +53,32 @@ def test_cosine_topk_exact():
     assert got["vec_id"].to_pylist() == want.tolist()
     assert got["vec_id"].to_pylist()[0] == 7
     assert got["sim"].to_pylist()[0] == 1.0 or abs(got["sim"][0].as_py() - 1.0) < 1e-12
+
+
+def test_ivf_materialized_layout(tmp_path):
+    """build_ivf_index writes cluster-partitioned Parquet; ivf_search with
+    nprobe=n_clusters is exact (equals brute force), and a partial probe
+    reads only the probed partition directories."""
+    import os
+
+    from lsearch_ray.functions import build_ivf_index, cosine_topk, ivf_search
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t), idx, n_clusters=6, seed=7)
+    parts = sorted(d for d in os.listdir(idx) if d.startswith("cluster="))
+    assert len(parts) >= 2  # layout materialized
+    q = vecs[42].astype(np.float64)
+    exact = cosine_topk(rd.from_arrow(t), q, k=5, round_to=None)
+    full_probe = ivf_search(idx, q, k=5, nprobe=6, round_to=None)
+    assert full_probe["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    # partial probe still surfaces the identical self-match
+    part_probe = ivf_search(idx, q, k=5, nprobe=1, round_to=None)
+    assert part_probe["vec_id"].to_pylist()[0] == 42
