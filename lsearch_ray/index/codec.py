@@ -233,3 +233,145 @@ def decode_posting_column(
     tfs = varint_decode(np.frombuffer(tfs_blob, dtype=np.uint8)).astype(np.int64)
     dls = varint_decode(np.frombuffer(dls_blob, dtype=np.uint8)).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def _gather_slices(
+    buf: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """Concatenate buf[starts[i]:ends[i]] slices, vectorized."""
+    lengths = (ends - starts).astype(np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    out_off = np.concatenate(([0], np.cumsum(lengths)))
+    gather = np.arange(total, dtype=np.int64) + np.repeat(
+        starts.astype(np.int64) - out_off[:-1], lengths
+    )
+    return buf[gather]
+
+
+class LazyPostings:
+    """One term-fragment kept ENCODED, with per-block skip metadata.
+
+    True skip-pointer decoding: ``decode_blocks`` varint-decodes only the
+    requested blocks by slicing the three blobs at the codec's per-block
+    byte offsets; the doc-id delta chain restarts from ``skip_last`` of
+    the preceding block (deltas reset per TERM, so block b's running sum
+    re-bases on the previous block's last doc id). ``decode_all`` is the
+    memoized full decode for paths that need the whole list (θ lead term,
+    AND intersection, negation fallback).
+    """
+
+    __slots__ = (
+        "docs_buf",
+        "tfs_buf",
+        "dls_buf",
+        "skip_last",
+        "skip_doff",
+        "skip_toff",
+        "skip_loff",
+        "skip_max_tf",
+        "skip_min_dl",
+        "df",
+        "block_size",
+        "_all",
+    )
+
+    def __init__(
+        self,
+        docs_blob: bytes,
+        tfs_blob: bytes,
+        dls_blob: bytes,
+        skip_last: np.ndarray,
+        skip_doff: np.ndarray,
+        skip_toff: np.ndarray,
+        skip_loff: np.ndarray,
+        skip_max_tf: np.ndarray,
+        skip_min_dl: np.ndarray,
+        df: int,
+        block_size: int,
+    ):
+        self.docs_buf = np.frombuffer(docs_blob, dtype=np.uint8)
+        self.tfs_buf = np.frombuffer(tfs_blob, dtype=np.uint8)
+        self.dls_buf = np.frombuffer(dls_blob, dtype=np.uint8)
+        self.skip_last = np.asarray(skip_last, dtype=np.int64)
+        self.skip_doff = np.asarray(skip_doff, dtype=np.int64)
+        self.skip_toff = np.asarray(skip_toff, dtype=np.int64)
+        self.skip_loff = np.asarray(skip_loff, dtype=np.int64)
+        self.skip_max_tf = np.asarray(skip_max_tf, dtype=np.int64)
+        self.skip_min_dl = np.asarray(skip_min_dl, dtype=np.int64)
+        self.df = int(df)
+        self.block_size = int(block_size)
+        self._all = None
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.skip_last)
+
+    def block_counts(self) -> np.ndarray:
+        nb = self.n_blocks
+        counts = np.full(nb, self.block_size, dtype=np.int64)
+        if nb:
+            counts[-1] = self.df - (nb - 1) * self.block_size
+        return counts
+
+    def block_ranges(self) -> tuple[np.ndarray, np.ndarray]:
+        """Inclusive doc-id interval [lo, hi] each block can cover: hi is
+        the stored block-last; lo is the previous block's last + 1 (doc
+        ids are strictly increasing within a term)."""
+        hi = self.skip_last
+        lo = np.concatenate(([0], self.skip_last[:-1] + 1))
+        return lo, hi
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._all is None:
+            self._all = decode_posting_column(
+                self.docs_buf.tobytes(),
+                self.tfs_buf.tobytes(),
+                self.dls_buf.tobytes(),
+            )
+        return self._all
+
+    def decode_blocks(
+        self, sel: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode only blocks ``sel`` (sorted indices). Returns the
+        concatenated (doc_ids, tfs, dls) of those blocks, identical to
+        the corresponding slices of ``decode_all``."""
+        sel = np.asarray(sel, dtype=np.int64)
+        if len(sel) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        if len(sel) == self.n_blocks or self._all is not None:
+            docs, tfs, dls = self.decode_all()
+            if len(sel) == self.n_blocks:
+                return docs, tfs, dls
+            counts = self.block_counts()
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            lengths = counts[sel]
+            out_off = np.concatenate(([0], np.cumsum(lengths)))
+            idx = np.arange(out_off[-1], dtype=np.int64) + np.repeat(
+                starts[sel] - out_off[:-1], lengths
+            )
+            return docs[idx], tfs[idx], dls[idx]
+        d_b = np.concatenate((self.skip_doff, [len(self.docs_buf)]))
+        t_b = np.concatenate((self.skip_toff, [len(self.tfs_buf)]))
+        l_b = np.concatenate((self.skip_loff, [len(self.dls_buf)]))
+        deltas = varint_decode(
+            _gather_slices(self.docs_buf, d_b[sel], d_b[sel + 1])
+        )
+        tfs = varint_decode(
+            _gather_slices(self.tfs_buf, t_b[sel], t_b[sel + 1])
+        ).astype(np.int64)
+        dls = varint_decode(
+            _gather_slices(self.dls_buf, l_b[sel], l_b[sel + 1])
+        ).astype(np.int64)
+        counts = self.block_counts()[sel]
+        group_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        sums = _grouped_undelta(deltas, group_starts)
+        bases = np.where(sel > 0, self.skip_last[np.maximum(sel - 1, 0)], 0)
+        with np.errstate(over="ignore"):
+            docs = (sums + np.repeat(bases.astype(np.uint64), counts)).astype(
+                np.int64
+            )
+        return docs, tfs, dls

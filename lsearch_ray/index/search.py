@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from lsearch_ray.analyzer import parse_query, tokenize
 from lsearch_ray.index.build import IndexMeta, _shard_dir
-from lsearch_ray.index.codec import decode_posting_column
+from lsearch_ray.index.codec import LazyPostings, decode_posting_column
 
 
 def _postings_files(index_dir: str, num_shards: int) -> list[str]:
@@ -110,6 +110,279 @@ def load_postings_with_skips(
     return out
 
 
+# below this total posting volume the θ/bound passes are pure overhead;
+# both paths are exact so this is a cost knob (tests pin it to 0 to force
+# the pruned path on small corpora)
+EXHAUSTIVE_CUTOFF = 50_000
+
+# terms at or below this df decode fully in the lazy path and prune with
+# exact point impacts instead of block intervals — decoding a short list
+# is cheaper than the pruning it defeats (a sparse block's doc-id interval
+# spans nearly the whole corpus, which would smear its bound everywhere)
+SPARSE_DECODE_LIMIT = 8192
+
+_LAZY_COLS = [
+    "term",
+    "df",
+    "docs",
+    "tfs",
+    "dls",
+    "skip_last",
+    "skip_doff",
+    "skip_toff",
+    "skip_loff",
+    "skip_max_tf",
+    "skip_min_dl",
+]
+
+
+def _lazy_rows(t: pa.Table, block_size: int, out: dict[str, list[LazyPostings]]):
+    for i in range(t.num_rows):
+        out.setdefault(t["term"][i].as_py(), []).append(
+            LazyPostings(
+                t["docs"][i].as_py(),
+                t["tfs"][i].as_py(),
+                t["dls"][i].as_py(),
+                np.asarray(t["skip_last"][i].as_py(), dtype=np.int64),
+                np.asarray(t["skip_doff"][i].as_py(), dtype=np.int64),
+                np.asarray(t["skip_toff"][i].as_py(), dtype=np.int64),
+                np.asarray(t["skip_loff"][i].as_py(), dtype=np.int64),
+                np.asarray(t["skip_max_tf"][i].as_py(), dtype=np.int64),
+                np.asarray(t["skip_min_dl"][i].as_py(), dtype=np.int64),
+                int(t["df"][i].as_py()),
+                block_size,
+            )
+        )
+
+
+def load_postings_lazy(
+    files: list[str], terms: list[str], block_size: int
+) -> dict[str, list[LazyPostings]]:
+    """Pushdown-read the query terms' rows, kept ENCODED: fragments decode
+    per block on demand (true skip-pointer decoding)."""
+    out: dict[str, list[LazyPostings]] = {}
+    if not terms:
+        return out
+    tset = pa.array(sorted(set(terms)))
+    for f in files:
+        t = pq.read_table(f, columns=_LAZY_COLS, filters=pc.field("term").isin(tset))
+        _lazy_rows(t, block_size, out)
+    return out
+
+
+def global_dfs_lazy(postings: dict[str, list[LazyPostings]]) -> dict[str, int]:
+    return {t: sum(f.df for f in frags) for t, frags in postings.items()}
+
+
+def _eager5(postings: dict[str, list[LazyPostings]]) -> dict[str, list[tuple]]:
+    """Full-decode view in the 5-tuple shape the eager scorers consume."""
+    return {
+        t: [f.decode_all() + (f.skip_max_tf, f.skip_min_dl) for f in frags]
+        for t, frags in postings.items()
+    }
+
+
+def _range_max(vals: np.ndarray, los: np.ndarray, his: np.ndarray) -> np.ndarray:
+    """Vectorized inclusive range-max over ``vals`` via a sparse table
+    (O(n log n) build, O(1) per query; ranges may overlap arbitrarily)."""
+    n = len(vals)
+    if n == 0 or len(los) == 0:
+        return np.empty(0, dtype=vals.dtype)
+    table = [vals]
+    j = 0
+    while (1 << (j + 1)) <= n:
+        prev = table[j]
+        half = 1 << j
+        table.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+        j += 1
+    lengths = his - los + 1
+    ks = np.zeros(len(lengths), dtype=np.int64)
+    ln = lengths >> 1
+    while ln.any():
+        ks += (ln > 0).astype(np.int64)
+        ln >>= 1
+    out = np.empty(len(los), dtype=vals.dtype)
+    for k in np.unique(ks):
+        m = ks == k
+        half = 1 << int(k)
+        out[m] = np.maximum(
+            table[int(k)][los[m]], table[int(k)][his[m] - half + 1]
+        )
+    return out
+
+
+def score_query_blockmax_lazy(
+    query: str,
+    postings: dict[str, list[LazyPostings]],
+    dfs: dict[str, int],
+    meta: IndexMeta,
+    k: int = 10,
+    mode: str = "or",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max BM25 top-k with TRUE skip-pointer decoding — decodes only
+    posting blocks whose interval upper bound can reach the θ threshold;
+    rank- and score-identical to :func:`score_query_blockmax`.
+
+    1. θ := kth-best partial score over the highest-idf term (that term
+       decodes fully — it is one list).
+    2. Block survival without decoding the LONG lists: sparse terms
+       (df ≤ SPARSE_DECODE_LIMIT — cheap) decode fully and contribute
+       their exact per-posting impacts as point events at their actual
+       doc ids; each block of a long list contributes its impact bound
+       ``idf·norm(max_tf, min_dl)`` over its doc-id interval
+       [prev skip_last+1, skip_last]. An interval sweep (sorted boundary
+       events + prefix sums) yields the active bound-sum per doc-range
+       segment, and a long-list block survives iff the max segment sum
+       over its interval ≥ θ. Point events are what make pruning bite: a
+       rare high-idf term only lifts segments at its actual hits instead
+       of smearing its bound across the whole doc-id range.
+       Rank identity: any doc with true total ≥ θ has segment sum ≥ its
+       (tight) bound ≥ its true total ≥ θ at its position, so every block
+       containing it survives and its exact score is complete; pruned
+       docs have bound < θ, hence true score < θ, and ≥ k docs score ≥ θ.
+    3. Decode surviving blocks only (codec byte-offset slices), refine to
+       the per-doc bound, exact-score docs with bound ≥ θ in the same
+       deterministic term order as the exhaustive path.
+
+    AND / negation / small-OR queries delegate to the eager paths (they
+    need the full lists anyway)."""
+    terms, excluded = parse_query(query)
+    present = [t for t in terms if postings.get(t)]
+    if excluded or mode != "or" or not present:
+        return score_query_blockmax(query, _eager5(postings), dfs, meta, k, mode)
+    if sum(dfs[t] for t in present) < EXHAUSTIVE_CUTOFF:
+        return score_query(query, _eager5(postings), dfs, meta, k, mode)
+
+    def idf(t: str) -> float:
+        df = dfs[t]
+        return math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
+
+    lead = max(present, key=idf)
+    w = idf(lead)
+    lead_scores = np.concatenate(
+        [
+            w
+            * _bm25_norm(
+                f.decode_all()[1].astype(np.float64),
+                f.decode_all()[2].astype(np.float64),
+                meta,
+            )
+            for f in postings[lead]
+        ]
+    )
+    if len(lead_scores) > k:
+        theta = float(np.partition(lead_scores, -k)[-k])
+    else:
+        theta = 0.0
+    if theta <= 0.0:
+        return score_query_blockmax(query, _eager5(postings), dfs, meta, k, mode)
+
+    # ---- survival sweep: point events for sparse terms (decoded, exact
+    # impacts), interval events for long lists' blocks (no decoding) ----
+    sparse = {t for t in present if dfs[t] <= SPARSE_DECODE_LIMIT}
+    frag_list: list[tuple[str, LazyPostings, np.ndarray]] = []  # long only
+    sparse_decoded: list[tuple[str, np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]] = []
+    ev_pos_parts, ev_val_parts = [], []
+    for t in present:
+        w_t = idf(t)
+        for f in postings[t]:
+            if t in sparse:
+                docs_d, tfs_d, dls_d = f.decode_all()
+                impact = w_t * _bm25_norm(
+                    tfs_d.astype(np.float64), dls_d.astype(np.float64), meta
+                )
+                sparse_decoded.append((t, docs_d, tfs_d, dls_d, w_t, impact))
+                ev_pos_parts.append(docs_d)
+                ev_pos_parts.append(docs_d + 1)
+                ev_val_parts.append(impact)
+                ev_val_parts.append(-impact)
+            else:
+                lo, hi = f.block_ranges()
+                ub = w_t * _bm25_norm(
+                    f.skip_max_tf.astype(np.float64),
+                    f.skip_min_dl.astype(np.float64),
+                    meta,
+                )
+                frag_list.append((t, f, ub))
+                ev_pos_parts.append(lo)
+                ev_pos_parts.append(hi + 1)
+                ev_val_parts.append(ub)
+                ev_val_parts.append(-ub)
+    ev_pos = np.concatenate(ev_pos_parts)
+    ev_val = np.concatenate(ev_val_parts)
+    order = np.argsort(ev_pos, kind="stable")
+    pos_sorted = ev_pos[order]
+    cum = np.cumsum(ev_val[order])
+    seg_pos = np.unique(pos_sorted)
+    seg_sum = cum[np.searchsorted(pos_sorted, seg_pos, side="right") - 1]
+
+    # ---- decode surviving long-list blocks + per-doc bound refinement ----
+    # `decoded` must keep the (term, fragment) iteration order of `present`
+    # so the exact-scoring accumulation order matches the eager path
+    decoded_by_key: dict[int, tuple] = {}
+    doc_parts, ub_parts = [], []
+    for t, docs_d, tfs_d, dls_d, w_t, impact in sparse_decoded:
+        doc_parts.append(docs_d)
+        ub_parts.append(impact)
+    for t, f, ub in frag_list:
+        lo, hi = f.block_ranges()
+        s_lo = np.searchsorted(seg_pos, lo, side="right") - 1
+        s_hi = np.searchsorted(seg_pos, hi, side="right") - 1
+        alive = _range_max(seg_sum, np.maximum(s_lo, 0), s_hi) >= theta
+        sel = np.flatnonzero(alive)
+        if len(sel) == 0:
+            continue
+        docs_d, tfs_d, dls_d = f.decode_blocks(sel)
+        decoded_by_key[id(f)] = (docs_d, tfs_d, dls_d)
+        counts = f.block_counts()[sel]
+        doc_parts.append(docs_d)
+        ub_parts.append(np.repeat(ub[sel], counts))
+    decoded: list[tuple[str, np.ndarray, np.ndarray, np.ndarray, float]] = []
+    for t in present:
+        w_t = idf(t)
+        for f in postings[t]:
+            if t in sparse:
+                docs_d, tfs_d, dls_d = f.decode_all()
+                decoded.append((t, docs_d, tfs_d, dls_d, w_t))
+            elif id(f) in decoded_by_key:
+                docs_d, tfs_d, dls_d = decoded_by_key[id(f)]
+                decoded.append((t, docs_d, tfs_d, dls_d, w_t))
+    if not doc_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(doc_parts)
+    ubs = np.concatenate(ub_parts)
+    uniq, inverse = np.unique(docs, return_inverse=True)
+    bound = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(bound, inverse, ubs)
+    keep_set = uniq[bound >= theta]
+    if len(keep_set) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    # ---- exact scoring over decoded blocks (deterministic term order) ----
+    doc_parts, contrib_parts = [], []
+    for t, docs_d, tfs_d, dls_d, w_t in decoded:
+        sel = np.searchsorted(keep_set, docs_d)
+        valid = sel < len(keep_set)
+        mask = np.zeros(len(docs_d), dtype=bool)
+        mask[valid] = keep_set[sel[valid]] == docs_d[valid]
+        if not mask.any():
+            continue
+        contrib = w_t * _bm25_norm(
+            tfs_d[mask].astype(np.float64), dls_d[mask].astype(np.float64), meta
+        )
+        doc_parts.append(docs_d[mask])
+        contrib_parts.append(contrib)
+    if not doc_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(doc_parts)
+    contribs = np.concatenate(contrib_parts)
+    uniq, inverse = np.unique(docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inverse, contribs)
+    order = np.lexsort((uniq, -scores))[:k]
+    return uniq[order].astype(np.int64), scores[order]
+
+
 def _bm25_norm(tf: np.ndarray, dl: np.ndarray, meta: IndexMeta) -> np.ndarray:
     """The tf-normalization factor, operation order matching golden.py."""
     return tf * (meta.k1 + 1.0) / (
@@ -158,7 +431,7 @@ def score_query_blockmax(
     # small posting sets score faster exhaustively (the θ/bound passes are
     # pure overhead until pruning has enough volume to bite); both paths
     # are exact, so this is a cost choice, not a semantics one
-    if mode == "or" and sum(dfs[t] for t in present) < 50_000:
+    if mode == "or" and sum(dfs[t] for t in present) < EXHAUSTIVE_CUTOFF:
         return score_query(query, postings, dfs, meta, k, mode)
 
     def idf(t: str) -> float:
@@ -351,10 +624,14 @@ def search_index(
     files = _postings_files(index_dir, meta.num_shards)
     inc, exc = parse_query(query)
     terms = sorted(set(inc) | set(exc))
-    postings = load_postings_with_skips(files, terms)
-    dfs = global_dfs(postings)
-    scorer = score_query_blockmax if blockmax else score_query
-    doc_ids, scores = scorer(query, postings, dfs, meta, k, mode)
+    postings = load_postings_lazy(files, terms, meta.block_size)
+    dfs = global_dfs_lazy(postings)
+    if blockmax:
+        doc_ids, scores = score_query_blockmax_lazy(
+            query, postings, dfs, meta, k, mode
+        )
+    else:
+        doc_ids, scores = score_query(query, _eager5(postings), dfs, meta, k, mode)
     return pa.table(
         {
             "rank": pa.array(np.arange(1, len(doc_ids) + 1), type=pa.int32()),
@@ -394,7 +671,7 @@ class BatchSearcher:
     def _postings_cached(self, terms: list[str]) -> dict[str, list]:
         misses = [t for t in terms if t not in self.cache]
         if misses:
-            loaded = load_postings_with_skips(self.files, misses)
+            loaded = load_postings_lazy(self.files, misses, self.meta.block_size)
             if len(self.cache) + len(misses) > self.max_cached_terms:
                 # evict everything NOT needed by this batch (wholesale
                 # clear would drop this batch's already-cached terms and
@@ -412,13 +689,13 @@ class BatchSearcher:
             {t for q in queries for side in parse_query(q) for t in side}
         )
         postings = self._postings_cached(all_terms)
-        dfs = global_dfs(postings)
+        dfs = global_dfs_lazy(postings)
         out_qid: list[int] = []
         out_rank: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
         for qid, q in zip(qids, queries):
-            doc_ids, scores = score_query_blockmax(
+            doc_ids, scores = score_query_blockmax_lazy(
                 q, postings, dfs, self.meta, self.k, self.mode
             )
             out_qid.extend([qid] * len(doc_ids))
@@ -450,29 +727,19 @@ class _ShardGroupSearcher:
 
     def __init__(self, index_dir: str, shard_ids: list[int]):
         self.meta = IndexMeta.load(index_dir)
-        self.postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        # resident ENCODED: ~3-4× smaller than decoded arrays (varint),
+        # and queries decode only the blocks their θ bound admits
+        self.postings: dict[str, list[LazyPostings]] = {}
         for s in shard_ids:
             t = pq.read_table(
                 os.path.join(_shard_dir(index_dir, s), "postings.parquet"),
-                columns=["term", "docs", "tfs", "dls", "skip_max_tf", "skip_min_dl"],
+                columns=_LAZY_COLS,
             )
-            for i in range(t.num_rows):
-                doc_ids, tfs, dls = decode_posting_column(
-                    t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
-                )
-                self.postings.setdefault(t["term"][i].as_py(), []).append(
-                    (
-                        doc_ids,
-                        tfs,
-                        dls,
-                        np.asarray(t["skip_max_tf"][i].as_py(), dtype=np.int64),
-                        np.asarray(t["skip_min_dl"][i].as_py(), dtype=np.int64),
-                    )
-                )
+            _lazy_rows(t, self.meta.block_size, self.postings)
 
     def local_dfs(self, terms: list[str]) -> dict[str, int]:
         return {
-            t: sum(len(f[0]) for f in self.postings.get(t, ())) for t in terms
+            t: sum(f.df for f in self.postings.get(t, ())) for t in terms
         }
 
     def search(
@@ -480,7 +747,9 @@ class _ShardGroupSearcher:
     ) -> tuple[np.ndarray, np.ndarray]:
         # dfs are GLOBAL (gathered by QueryEngine) so idf matches golden;
         # doc-sharding makes local scores complete → local top-k is exact.
-        return score_query_blockmax(query, self.postings, dfs, self.meta, k, mode)
+        return score_query_blockmax_lazy(
+            query, self.postings, dfs, self.meta, k, mode
+        )
 
 
 class QueryEngine:

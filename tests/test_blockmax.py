@@ -75,3 +75,60 @@ def test_blockmax_prunes(built):
     docs, scores = score_query_blockmax("the", postings, dfs, meta, k=3)
     want = golden.bm25("the", k=3)
     assert docs.tolist() == [d for d, _ in want]
+
+
+def test_lazy_blockmax_rank_identical(built, monkeypatch):
+    """True skip-pointer decoding (decode only surviving blocks) must be
+    bit-identical to golden across modes, with the pruned path FORCED
+    (cutoff pinned to 0 so the small corpus takes the lazy branch)."""
+    import lsearch_ray.index.search as S
+
+    index_dir, golden = built
+    meta = IndexMeta.load(index_dir)
+    files = _postings_files(index_dir, meta.num_shards)
+    monkeypatch.setattr(S, "EXHAUSTIVE_CUTOFF", 0)
+    monkeypatch.setattr(S, "SPARSE_DECODE_LIMIT", 40)
+    from lsearch_ray.analyzer import tokenize
+
+    for mode in ["or", "and"]:
+        for q in QUERIES:
+            terms = sorted(set(tokenize(q)))
+            postings = S.load_postings_lazy(files, terms, meta.block_size)
+            dfs = S.global_dfs_lazy(postings)
+            docs, scores = S.score_query_blockmax_lazy(
+                q, postings, dfs, meta, k=10, mode=mode
+            )
+            want = golden.bm25(q, k=10, mode=mode)
+            assert docs.tolist() == [d for d, _ in want], (q, mode)
+            assert scores.tolist() == [s for _, s in want], (q, mode)
+
+
+def test_lazy_blockmax_skips_decoding(built, monkeypatch):
+    """On a selective head-term query the lazy path must leave some blocks
+    of the head term's posting list undecoded."""
+    import lsearch_ray.index.search as S
+
+    index_dir, golden = built
+    meta = IndexMeta.load(index_dir)
+    files = _postings_files(index_dir, meta.num_shards)
+    monkeypatch.setattr(S, "EXHAUSTIVE_CUTOFF", 0)
+    monkeypatch.setattr(S, "SPARSE_DECODE_LIMIT", 40)
+    decoded_blocks = {"n": 0, "total": 0}
+    orig = S.LazyPostings.decode_blocks
+
+    def counting(self, sel):
+        decoded_blocks["n"] += len(sel)
+        decoded_blocks["total"] += self.n_blocks
+        return orig(self, sel)
+
+    monkeypatch.setattr(S.LazyPostings, "decode_blocks", counting)
+    # rare term + head term (word054: df≈1147 → ~24 blocks/shard at
+    # block_size 16): θ from the rare term prunes most head blocks
+    q = "word003 word054"
+    postings = S.load_postings_lazy(files, ["word003", "word054"], meta.block_size)
+    dfs = S.global_dfs_lazy(postings)
+    docs, scores = S.score_query_blockmax_lazy(q, postings, dfs, meta, k=3, mode="or")
+    want = golden.bm25(q, k=3)
+    assert docs.tolist() == [d for d, _ in want]
+    assert scores.tolist() == [s for _, s in want]
+    assert 0 < decoded_blocks["n"] < decoded_blocks["total"], decoded_blocks
