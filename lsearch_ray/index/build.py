@@ -135,9 +135,17 @@ class TriplesPartitionedWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         triples = term_counts_table(batch, self.text_col, self.id_col)
-        n_in = triples.num_rows
-        if n_in == 0:
-            return pa.table({"n_triples": pa.array([0], type=pa.int64())})
+        # per-shard doc stats over ALL batch docs — token-less docs produce
+        # no triples but must still count toward n_docs (BM25 idf/avgdl
+        # parity with golden.py on corpora containing empty docs)
+        all_ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        doc_shards = shard_of(all_ids, self.num_shards)
+        if self.keep is not None:
+            dmask = np.isin(doc_shards, self.keep)
+            all_ids = all_ids[dmask]
+            doc_shards = doc_shards[dmask]
+        ndocs_per_shard = np.bincount(doc_shards, minlength=self.num_shards)
+
         doc_ids = triples["doc_id"].to_numpy(zero_copy_only=False)
         shard = shard_of(doc_ids, self.num_shards)
         if self.keep is not None:
@@ -145,25 +153,46 @@ class TriplesPartitionedWriter:
             triples = triples.filter(pa.array(mask))
             shard = shard[mask]
             doc_ids = doc_ids[mask]
-            if triples.num_rows == 0:
-                return pa.table({"n_triples": pa.array([0], type=pa.int64())})
-        order = np.argsort(shard, kind="stable")
-        st = triples.take(pa.array(order))
-        sv = shard[order]
-        bounds = np.flatnonzero(np.diff(sv)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(sv)]))
+        dlsum_per_shard = np.zeros(self.num_shards, dtype=np.int64)
+        if triples.num_rows:
+            uq, ui = np.unique(doc_ids, return_index=True)
+            dls = triples["dl"].to_numpy(zero_copy_only=False)[ui].astype(np.int64)
+            np.add.at(dlsum_per_shard, shard_of(uq, self.num_shards), dls)
+        if len(all_ids) == 0:
+            return pa.table({"n_triples": pa.array([0], type=pa.int64())})
         # idempotent batch tag: doc-id range + row count identifies the
         # batch's lineage, so retries overwrite rather than duplicate
-        tag = f"{int(doc_ids.min()):016x}-{int(doc_ids.max()):016x}-{len(doc_ids)}"
-        for s, e in zip(starts, ends):
-            k = int(sv[s])
-            sdir = os.path.join(self.triples_dir, f"shard={k}")
+        tag = (
+            f"{int(all_ids.min()):016x}-{int(all_ids.max()):016x}-{len(all_ids)}"
+        )
+        for k in np.flatnonzero(ndocs_per_shard):
+            sdir = os.path.join(self.triples_dir, f"shard={int(k)}")
             os.makedirs(sdir, exist_ok=True)
-            path = os.path.join(sdir, f"part-{tag}.parquet")
+            stats = pa.table(
+                {
+                    "n_docs": pa.array([int(ndocs_per_shard[k])], type=pa.int64()),
+                    "dl_sum": pa.array([int(dlsum_per_shard[k])], type=pa.int64()),
+                }
+            )
+            path = os.path.join(sdir, f"docstats-{tag}.parquet")
             tmp = path + f".tmp.{os.getpid()}"
-            pq.write_table(st.slice(s, e - s), tmp)
+            pq.write_table(stats, tmp)
             os.replace(tmp, path)
+        if triples.num_rows:
+            order = np.argsort(shard, kind="stable")
+            st = triples.take(pa.array(order))
+            sv = shard[order]
+            bounds = np.flatnonzero(np.diff(sv)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sv)]))
+            for s, e in zip(starts, ends):
+                k = int(sv[s])
+                sdir = os.path.join(self.triples_dir, f"shard={k}")
+                os.makedirs(sdir, exist_ok=True)
+                path = os.path.join(sdir, f"part-{tag}.parquet")
+                tmp = path + f".tmp.{os.getpid()}"
+                pq.write_table(st.slice(s, e - s), tmp)
+                os.replace(tmp, path)
         return pa.table({"n_triples": pa.array([int(triples.num_rows)], type=pa.int64())})
 
 
@@ -180,13 +209,21 @@ def shard_complete(index_dir: str, shard: int) -> bool:
 
 
 def encode_shard_table(
-    group: pa.Table, index_dir: str, shard: int, block_size: int
+    group: pa.Table,
+    index_dir: str,
+    shard: int,
+    block_size: int,
+    doc_stats: tuple[int, int] | None = None,
 ) -> dict:
     """Sort one shard's triples, encode, write atomically, commit manifest.
 
     The manifest is written last and is the commit marker; retries rewrite
     the tmp file and re-rename, so a shard directory is always either
     uncommitted or complete.
+
+    ``doc_stats``: the shard's true (n_docs, dl_sum) from stage A's
+    docstats sidecars — counts token-less docs, which triples can't see.
+    Falls back to triple-derived counts when absent (direct callers).
     """
     t0 = time.monotonic()
     group = _sort_triples(group)
@@ -194,9 +231,12 @@ def encode_shard_table(
     tfs = group["tf"].to_numpy(zero_copy_only=False)
     dls = group["dl"].to_numpy(zero_copy_only=False)
     postings = encode_shard_postings(group["term"], doc_ids, tfs, dls, block_size)
-    uniq_docs, first_idx = np.unique(doc_ids, return_index=True)
-    n_docs = int(len(uniq_docs))
-    dl_sum = int(dls[first_idx].sum()) if len(first_idx) else 0
+    if doc_stats is not None:
+        n_docs, dl_sum = int(doc_stats[0]), int(doc_stats[1])
+    else:
+        uniq_docs, first_idx = np.unique(doc_ids, return_index=True)
+        n_docs = int(len(uniq_docs))
+        dl_sum = int(dls[first_idx].sum()) if len(first_idx) else 0
 
     sdir = _shard_dir(index_dir, shard)
     os.makedirs(sdir, exist_ok=True)
@@ -257,19 +297,32 @@ def _encode_shard_from_triples(
     pa.set_cpu_count(1)
     pa.set_io_thread_count(2)
     part = os.path.join(triples_dir, f"shard={shard}")
+    doc_stats = None
     if os.path.isdir(part):
-        files = sorted(
+        names = sorted(os.listdir(part))
+        files = [
             os.path.join(part, f)
-            for f in os.listdir(part)
-            if f.endswith(".parquet")
-        )
+            for f in names
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        stat_files = [
+            os.path.join(part, f)
+            for f in names
+            if f.startswith("docstats-") and f.endswith(".parquet")
+        ]
         tables = [
             pq.read_table(f, columns=["term", "doc_id", "tf", "dl"]) for f in files
         ]
         group = pa.concat_tables(tables) if tables else _empty_triples_table()
+        if stat_files:
+            st = pa.concat_tables(pq.read_table(f) for f in stat_files)
+            doc_stats = (
+                int(pa.compute.sum(st["n_docs"]).as_py() or 0),
+                int(pa.compute.sum(st["dl_sum"]).as_py() or 0),
+            )
     else:
         group = _empty_triples_table()
-    return encode_shard_table(group, index_dir, shard, block_size)
+    return encode_shard_table(group, index_dir, shard, block_size, doc_stats)
 
 
 def _empty_triples_table() -> pa.Table:

@@ -45,13 +45,15 @@ def test_docs_with_empty_text(tmp_path):
     texts = ["", "a b c", "", "a a"]
     d = str(tmp_path / "idx")
     meta = build_index(_docs(texts), d, num_shards=2)
-    # docs with zero tokens produce no postings → not counted in N
+    # token-less docs produce no postings but DO count toward n_docs/avgdl
+    # (stage-A docstats sidecars) — idf/avgdl match golden exactly
     golden = golden_index(range(4), texts)
     got = search_index(d, "a", k=10)
-    # golden counts empty docs in N; the index counts only docs with
-    # postings. Scores use the index's N — assert rank order + presence.
-    assert set(got["doc_id"].to_pylist()) == {1, 3}
-    assert meta.n_docs == 2
+    want = golden.bm25("a", k=10)
+    assert got["doc_id"].to_pylist() == [w[0] for w in want]
+    assert got["score"].to_pylist() == [w[1] for w in want]
+    assert meta.n_docs == 4
+    assert meta.avgdl == golden.avgdl
 
 
 def test_unicode_corpus_end_to_end(tmp_path):
