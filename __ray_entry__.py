@@ -558,7 +558,8 @@ _DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOKS}) GROUP BY doc_id"
 _BM25_BODY = f"""
 WITH tf AS ({_TF}),
 dl AS ({_DL}),
-stats AS (SELECT count(*) AS n_docs, sum(dl)/count(*) AS avgdl FROM dl),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+          sum(dl) / (SELECT count(*) FROM documents) AS avgdl FROM dl),
 qt AS (SELECT DISTINCT lower(u.t) AS term FROM UNNEST(string_split_regex(lower('{BM25_QUERY}'), '[^a-z0-9]+')) AS u(t) WHERE u.t <> ''),
 df AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt ON tf.term = qt.term GROUP BY tf.term),
 scores AS (
