@@ -92,6 +92,13 @@ def parse_tokens(argv: list[str]):
             elif name in _LOADER_FLAGS or name in _SCORER_FLAGS:
                 tokens.append((name, None))
                 expecting_target_for = name if name in _SCORER_FLAGS else None
+            elif name == "content-exec":
+                # the reference's extension point (search.rs:125-154: run a
+                # command per record, stdout becomes content) in batch
+                # shape: the next token names a python callable module:fn
+                # mapping an Arrow batch -> content array
+                tokens.append((name, None))
+                expecting_target_for = name
             else:
                 raise SystemExit(f"unknown flag {a}")
         elif a.startswith("-") and len(a) > 1:
@@ -110,13 +117,69 @@ def parse_tokens(argv: list[str]):
         else:
             # positional: attaches to the last scorer flag (cli.rs:251-253),
             # else it's a pattern
-            if expecting_target_for is not None and tokens and tokens[-1][1] is None and tokens[-1][0] in _SCORER_FLAGS:
+            if expecting_target_for is not None and tokens and tokens[-1][1] is None and (tokens[-1][0] in _SCORER_FLAGS or tokens[-1][0] == "content-exec"):
                 tokens[-1] = (tokens[-1][0], a)
                 expecting_target_for = None
             else:
                 patterns.append(a)
         i += 1
     return patterns, tokens, flags, k
+
+
+class _ExecLoader:
+    """Worker-side re-resolving wrapper for a ``module:function`` UDF.
+
+    A module-level function cloudpickles by REFERENCE, so map_batches
+    workers must import the user's module themselves; this wrapper carries
+    the spec plus the module's directory (workers don't inherit the
+    driver's sys.path/cwd) and resolves once per worker process.
+    """
+
+    def __init__(self, spec: str, search_path: str | None):
+        self.spec = spec
+        self.search_path = search_path
+        self._fn = None
+
+    def __call__(self, batch):
+        if self._fn is None:
+            import importlib
+            import sys as _sys
+
+            if self.search_path and self.search_path not in _sys.path:
+                _sys.path.insert(0, self.search_path)
+            mod_name, fn_name = self.spec.split(":", 1)
+            self._fn = getattr(importlib.import_module(mod_name), fn_name)
+        return self._fn(batch)
+
+
+def _load_callable(spec: str):
+    """Resolve a ``module:function`` spec to the user's content UDF.
+
+    The callable receives each Arrow batch (pa.Table) and returns the
+    content column (pa.Array / list of str) — the batch-shaped equivalent
+    of the reference's per-record exec loader (search.rs:125-154).
+    Validated eagerly on the driver; workers re-resolve via _ExecLoader.
+    """
+    import importlib
+    import os
+
+    if ":" not in spec:
+        raise SystemExit(
+            f"--content-exec expects module:function, got {spec!r}"
+        )
+    mod_name, fn_name = spec.split(":", 1)
+    try:
+        mod = importlib.import_module(mod_name)
+        fn = getattr(mod, fn_name)
+    except (ImportError, AttributeError) as e:
+        raise SystemExit(f"--content-exec cannot load {spec!r}: {e}")
+    if not callable(fn):
+        raise SystemExit(f"--content-exec target {spec!r} is not callable")
+    search_path = None
+    mod_file = getattr(mod, "__file__", None)
+    if mod_file:
+        search_path = os.path.dirname(os.path.abspath(mod_file))
+    return _ExecLoader(spec, search_path)
 
 
 def build_runs(tokens, flags) -> list[ContentRun]:
@@ -139,6 +202,10 @@ def build_runs(tokens, flags) -> list[ContentRun]:
         if name in _LOADER_FLAGS:
             flush()
             cur_loader = _LOADER_FLAGS[name]
+            cur_insensitive = explicit
+        elif name == "content-exec":
+            flush()
+            cur_loader = _load_callable(target or "")
             cur_insensitive = explicit
         elif name in _SCORER_FLAGS:
             kind = _SCORER_FLAGS[name]

@@ -136,3 +136,57 @@ def test_cli_strats(capsys):
     rc = main(["--strats", "--content-text", "--has", "x"])
     out = capsys.readouterr().out
     assert "load[text]" in out and "has(x)" in out
+
+
+def test_cli_content_exec_udf(tmp_path, capsys):
+    """--content-exec module:fn runs a user callable as the content loader
+    end-to-end (reference search.rs:125-154 semantics, batch-shaped)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        p = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "url": ["https://a/x.html", "https://b/y.rs"],
+                    "text": ["biology", "rust"],
+                }
+            ),
+            p,
+        )
+        # reversed text: 'biology' -> 'ygoloib'; has(ygo) matches doc 1 only
+        rc = main(
+            [p, "--content-exec", "helpers_exec:reversed_text", "--has", "ygo", "--score"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "https://a/x.html" in out
+        assert "https://b/y.rs" not in out
+    finally:
+        sys.path.remove(os.path.dirname(__file__))
+
+
+def test_cli_content_exec_strats(capsys):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        rc = main(
+            ["--strats", "--content-exec", "helpers_exec:reversed_text", "--has", "x"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "load[<callable>]" in out and "has(x)" in out
+    finally:
+        sys.path.remove(os.path.dirname(__file__))
+
+
+def test_cli_content_exec_bad_spec():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["--strats", "--content-exec", "nope_no_module:fn", "--has", "x"])

@@ -91,8 +91,78 @@ def test_decode_image_fake_and_stub():
     r = out.to_pylist()[0]
     assert r["height"] == 1 + 3 % 8 and r["width"] == 1 + 4 % 8
     assert len(r["pixels"]) == r["height"] * r["width"] * 3
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+    # unsupported format in real mode raises, naming the missing decoder
+    with pytest.raises(ValueError):
+        DecodeImage(image_col="image", fake=False)(
+            pa.table({"image": pa.array([b"\x89PNGfake"], type=pa.binary())})
+        )
+
+
+def _ppm_bytes(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _bmp24_bytes(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[10:14] = (54).to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = h.to_bytes(4, "little")
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (24).to_bytes(2, "little")
+    return bytes(header) + body.tobytes()
+
+
+def test_decode_image_real_ppm_bmp_through_ray():
+    """fake=False REALLY decodes: pure-numpy PPM(P6)/BMP24 paths, driven
+    through an actor-pool map_batches stage."""
+    rng = np.random.RandomState(5)
+    px1 = rng.randint(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    px2 = rng.randint(0, 256, size=(4, 2, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "img_id": pa.array([1, 2], type=pa.int64()),
+            "image": pa.array(
+                [_ppm_bytes(px1), _bmp24_bytes(px2)], type=pa.binary()
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"image_col": "image", "fake": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    by_id = {r["img_id"]: r for r in out}
+    assert (by_id[1]["height"], by_id[1]["width"]) == (3, 5)
+    assert by_id[1]["pixels"] == px1.tobytes()
+    assert (by_id[2]["height"], by_id[2]["width"]) == (4, 2)
+    assert by_id[2]["pixels"] == px2.tobytes()
+
+
+def test_decode_image_pil_path():
+    """PIL-backed decode for compressed formats — runs where PIL exists."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    px = np.random.RandomState(3).randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px).save(buf, format="PNG")
+    t = pa.table({"image": pa.array([buf.getvalue()], type=pa.binary())})
+    out = DecodeImage(image_col="image", fake=False)(t)
+    r = out.to_pylist()[0]
+    assert (r["height"], r["width"]) == (6, 4)
+    assert r["pixels"] == px.tobytes()
 
 
 def test_sample_frames_flatmap_shape():
