@@ -486,6 +486,28 @@ def _q_ivf_ann(sf_dir: str):
     )
 
 
+def _q_bm25_phrase(sf_dir: str):
+    """Exact-phrase BM25 top-10 through the REAL positional index path:
+    build_index(positions=True) → codec positions blobs → phrase_search
+    (adjacency on decoded position lists)."""
+    import shutil
+
+    from lsearch_ray.index.build import build_index
+    from lsearch_ray.index.search import phrase_search
+
+    index_dir = f"/tmp/lsr_phrase_idx_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    build_index(docs, index_dir, num_shards=4, positions=True)
+    out = phrase_search(index_dir, PHRASE_QUERY, k=10)
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "score": pc.round(out["score"], 4),
+        }
+    )
+
+
 def _q_web_flagship(sf_dir: str):
     """End-to-end north-star pipeline on the deterministic synthetic web
     corpus (input_hint schema): html → byte-identical extract → url dedup
@@ -535,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_ann": _q_lsh_ann,
+        "bm25_phrase_topk": _q_bm25_phrase,
         "web_flagship": _q_web_flagship,
         "join_revenue": _q_join_revenue,
         "distinct_segments": _q_distinct_segments,
@@ -555,12 +578,13 @@ _TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKS}) GROUP BY doc_id, term
 
 _DL = f"SELECT doc_id, count(*) AS dl FROM ({_TOKS}) GROUP BY doc_id"
 
-_BM25_BODY = f"""
+def _bm25_body(query: str) -> str:
+    return f"""
 WITH tf AS ({_TF}),
 dl AS ({_DL}),
 stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
           sum(dl) / (SELECT count(*) FROM documents) AS avgdl FROM dl),
-qt AS (SELECT DISTINCT lower(u.t) AS term FROM UNNEST(string_split_regex(lower('{BM25_QUERY}'), '[^a-z0-9]+')) AS u(t) WHERE u.t <> ''),
+qt AS (SELECT DISTINCT lower(u.t) AS term FROM UNNEST(string_split_regex(lower('{query}'), '[^a-z0-9]+')) AS u(t) WHERE u.t <> ''),
 df AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt ON tf.term = qt.term GROUP BY tf.term),
 scores AS (
   SELECT tf.doc_id,
@@ -573,6 +597,36 @@ scores AS (
   GROUP BY tf.doc_id
 )
 """
+
+
+_BM25_BODY = _bm25_body(BM25_QUERY)
+
+PHRASE_QUERY = "table hash"
+
+
+def _phrase_sql() -> str:
+    """Oracle for bm25_phrase_topk: docs containing the exact adjacent
+    token sequence, ranked by BM25 over the phrase terms (the engine side
+    runs the real positional index via index.search.phrase_search)."""
+    words = PHRASE_QUERY.split()
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.term = '{w}'"
+        for i, w in enumerate(words[1:], start=1)
+    )
+    return (
+        _bm25_body(PHRASE_QUERY)
+        + f""",
+tok AS ({_ORDERED_TOKS}),
+phrase_docs AS (
+  SELECT DISTINCT t0.doc_id FROM tok t0 {joins}
+  WHERE t0.term = '{words[0]}'
+)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scores s JOIN phrase_docs p ON s.doc_id = p.doc_id
+ORDER BY s.score DESC, s.doc_id LIMIT 10
+"""
+    )
 
 
 # ordered tokens with positions (UNNEST and generate_subscripts must sit
@@ -886,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_term_df": (
             f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
         ),
+        "bm25_phrase_topk": _phrase_sql(),
         "fingerprint": _fingerprint_sql(),
         "langid": _langid_sql(),
         "lsh_ann": _lsh_ann_sql(),

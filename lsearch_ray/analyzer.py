@@ -73,6 +73,14 @@ def term_counts(text: str) -> dict[str, int]:
     return counts
 
 
+def term_positions(text: str) -> dict[str, list[int]]:
+    """Pure-Python reference: term → ascending token positions."""
+    out: dict[str, list[int]] = {}
+    for i, tok in enumerate(tokenize(text)):
+        out.setdefault(tok, []).append(i)
+    return out
+
+
 # byte classes for the fast tokenizer: [a-z0-9] after ascii_lower; every
 # non-ASCII byte (>= 0x80, i.e. inside any multibyte UTF-8 sequence) is a
 # separator — identical splitting to the codepoint regex, since no
@@ -162,24 +170,30 @@ def flat_tokens_regex(
 
 
 def term_counts_table(
-    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positions: bool = False,
 ) -> pa.Table:
-    """Batch transform: documents -> (term, doc_id, tf, dl) triples.
+    """Batch transform: documents -> (term, doc_id, tf, dl[, pos]) triples.
 
     ``dl`` (document length in tokens) is attached to every triple of the
     document so posting lists can embed it — BM25 then needs no separate
-    doc-stats lookup at query time.
+    doc-stats lookup at query time. With ``positions=True`` each triple
+    also carries ``pos``: the ascending within-document token positions of
+    that term's occurrences (``len(pos) == tf``) — the payload phrase
+    queries need.
 
     Fully vectorized: Arrow tokenize + numpy lexsort/run-length counting.
     This is the hot stage of the index build (SURVEY.md §7 step 2).
     """
     n_rows = batch.num_rows
     if n_rows == 0:
-        return _empty_triples(batch.schema.field(id_col).type)
+        return _empty_triples(batch.schema.field(id_col).type, positions)
     parents, flat = flat_tokens_arrow(batch[text_col])
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
     if len(parents) == 0:
-        return _empty_triples(batch.schema.field(id_col).type)
+        return _empty_triples(batch.schema.field(id_col).type, positions)
     # dl per input row (token count), mapped back through parent indices.
     dl_per_row = np.bincount(parents, minlength=n_rows).astype(np.int32)
 
@@ -194,7 +208,13 @@ def term_counts_table(
     # Composite key: parent_row * |vocab| + term_code (fits int64 for any
     # realistic batch: rows < 2**31, vocab < 2**31).
     key = parents.astype(np.int64) * len(vocab) + term_codes
-    key.sort(kind="stable")
+    if positions:
+        # stable argsort keeps original (= position) order within each
+        # (doc, term) group, so the grouped values are ascending positions
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+    else:
+        key.sort(kind="stable")
     boundaries = np.flatnonzero(np.diff(key)) + 1
     starts = np.concatenate(([0], boundaries))
     ends = np.concatenate((boundaries, [len(key)]))
@@ -203,25 +223,36 @@ def term_counts_table(
     row_of = (uniq // len(vocab)).astype(np.int64)
     code_of = uniq % len(vocab)
 
-    return pa.table(
-        {
-            "term": vocab.take(pa.array(code_of)),
-            "doc_id": pa.array(doc_ids[row_of], type=pa.int64()),
-            "tf": pa.array(tf, type=pa.int32()),
-            "dl": pa.array(dl_per_row[row_of], type=pa.int32()),
-        }
-    )
+    cols = {
+        "term": vocab.take(pa.array(code_of)),
+        "doc_id": pa.array(doc_ids[row_of], type=pa.int64()),
+        "tf": pa.array(tf, type=pa.int32()),
+        "dl": pa.array(dl_per_row[row_of], type=pa.int32()),
+    }
+    if positions:
+        doc_starts = np.concatenate(
+            ([0], np.cumsum(np.bincount(parents, minlength=n_rows)))
+        )[:-1]
+        within_doc = np.arange(len(parents), dtype=np.int64) - doc_starts[parents]
+        pos_flat = within_doc[order].astype(np.int32)
+        offsets = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+        cols["pos"] = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(pos_flat, type=pa.int32()),
+        )
+    return pa.table(cols)
 
 
-def _empty_triples(id_type: pa.DataType) -> pa.Table:
-    return pa.table(
-        {
-            "term": pa.array([], type=pa.string()),
-            "doc_id": pa.array([], type=pa.int64()),
-            "tf": pa.array([], type=pa.int32()),
-            "dl": pa.array([], type=pa.int32()),
-        }
-    )
+def _empty_triples(id_type: pa.DataType, positions: bool = False) -> pa.Table:
+    cols = {
+        "term": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "tf": pa.array([], type=pa.int32()),
+        "dl": pa.array([], type=pa.int32()),
+    }
+    if positions:
+        cols["pos"] = pa.array([], type=pa.large_list(pa.int32()))
+    return pa.table(cols)
 
 
 def doc_lengths_table(

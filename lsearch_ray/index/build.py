@@ -122,11 +122,13 @@ class TriplesPartitionedWriter:
         text_col: str = "text",
         id_col: str = "doc_id",
         keep_shards: list[int] | None = None,
+        positions: bool = False,
     ):
         self.triples_dir = triples_dir
         self.num_shards = num_shards
         self.text_col = text_col
         self.id_col = id_col
+        self.positions = positions
         self.keep = (
             np.array(sorted(keep_shards), dtype=np.int32)
             if keep_shards is not None
@@ -134,7 +136,9 @@ class TriplesPartitionedWriter:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        triples = term_counts_table(batch, self.text_col, self.id_col)
+        triples = term_counts_table(
+            batch, self.text_col, self.id_col, positions=self.positions
+        )
         # per-shard doc stats over ALL batch docs — token-less docs produce
         # no triples but must still count toward n_docs (BM25 idf/avgdl
         # parity with golden.py on corpora containing empty docs)
@@ -238,7 +242,15 @@ def encode_shard_table(
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
     tfs = group["tf"].to_numpy(zero_copy_only=False)
     dls = group["dl"].to_numpy(zero_copy_only=False)
-    postings = encode_shard_postings(group["term"], doc_ids, tfs, dls, block_size)
+    positions = None
+    if "pos" in group.column_names:
+        pos_col = group["pos"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        positions = np.asarray(pos_col.flatten(), dtype=np.int64)
+    postings = encode_shard_postings(
+        group["term"], doc_ids, tfs, dls, block_size, positions=positions
+    )
     if doc_stats is not None:
         n_docs, dl_sum = int(doc_stats[0]), int(doc_stats[1])
     else:
@@ -287,14 +299,15 @@ def _sort_triples(group: pa.Table) -> pa.Table:
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((doc_ids, rank[codes]))
     idx = pa.array(order)
-    return pa.table(
-        {
-            "term": denc.take(idx),
-            "doc_id": group["doc_id"].take(idx),
-            "tf": group["tf"].take(idx),
-            "dl": group["dl"].take(idx),
-        }
-    )
+    cols = {
+        "term": denc.take(idx),
+        "doc_id": group["doc_id"].take(idx),
+        "tf": group["tf"].take(idx),
+        "dl": group["dl"].take(idx),
+    }
+    if "pos" in group.column_names:
+        cols["pos"] = group["pos"].take(idx)
+    return pa.table(cols)
 
 
 def _encode_shard_from_triples(
@@ -315,11 +328,14 @@ def _encode_shard_from_triples(
         # one dataset-API read over the file list: ~3-4× faster than a
         # per-file read_table loop (per-file open/footer overhead dominates
         # at hundreds of small parts per shard)
-        group = (
-            pq.read_table(files, columns=["term", "doc_id", "tf", "dl"])
-            if files
-            else _empty_triples_table()
-        )
+        if files:
+            avail = pq.ParquetFile(files[0]).schema_arrow.names
+            cols = ["term", "doc_id", "tf", "dl"] + (
+                ["pos"] if "pos" in avail else []
+            )
+            group = pq.read_table(files, columns=cols)
+        else:
+            group = _empty_triples_table()
     else:
         group = _empty_triples_table()
     stat_files = (
@@ -360,13 +376,16 @@ class IndexMeta:
     block_size: int
     k1: float = K1
     b: float = B
+    has_positions: bool = False
 
     @classmethod
     def load(cls, index_dir: str) -> "IndexMeta":
         with open(os.path.join(index_dir, "meta.json")) as f:
             d = json.load(f)
+        keys = ("num_shards", "n_docs", "avgdl", "block_size", "k1", "b")
         return cls(
-            **{k: d[k] for k in ("num_shards", "n_docs", "avgdl", "block_size", "k1", "b")}
+            **{k: d[k] for k in keys},
+            has_positions=bool(d.get("has_positions", False)),
         )
 
     def save(self, index_dir: str) -> None:
@@ -385,11 +404,15 @@ def build_index(
     resume: bool = True,
     keep_triples: bool = False,
     stage_a_batch_size: int | None = None,
+    positions: bool = False,
 ) -> IndexMeta:
     """Build (or resume building) the sharded inverted index.
 
     ``docs_ds``: a ``ray.data.Dataset`` with at least (id_col, text_col);
     doc ids must be unique (dedupe upstream — functions.dedup).
+    ``positions=True`` adds per-posting token positions to the codec
+    (phrase queries via index.search.phrase_search) at ~1.5-2× index
+    size; off by default.
     """
     import ray
 
@@ -410,7 +433,12 @@ def build_index(
                 os.remove(triples_marker)
             keep = missing if len(missing) < num_shards else None
             writer = TriplesPartitionedWriter(
-                triples_dir, num_shards, text_col, id_col, keep_shards=keep
+                triples_dir,
+                num_shards,
+                text_col,
+                id_col,
+                keep_shards=keep,
+                positions=positions,
             )
             t0 = time.monotonic()
             # stage_a_batch_size None = one call per input block (no
@@ -442,7 +470,7 @@ def build_index(
         ray.get([encode_task.remote(s) for s in missing])
         stage_walls["encode_shards_s"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    meta = finalize_index(index_dir, num_shards, block_size)
+    meta = finalize_index(index_dir, num_shards, block_size, positions=positions)
     stage_walls["finalize_s"] = round(time.monotonic() - t0, 3)
     _write_build_metrics(index_dir, num_shards, stage_walls, build_t0)
     if not keep_triples:
@@ -483,7 +511,9 @@ def _write_build_metrics(
         json.dump(metrics, f, indent=1)
 
 
-def finalize_index(index_dir: str, num_shards: int, block_size: int) -> IndexMeta:
+def finalize_index(
+    index_dir: str, num_shards: int, block_size: int, positions: bool = False
+) -> IndexMeta:
     """Aggregate shard manifests → meta.json + global termstats parquet."""
     n_docs, dl_sum = 0, 0
     for s in range(num_shards):
@@ -535,6 +565,7 @@ def finalize_index(index_dir: str, num_shards: int, block_size: int) -> IndexMet
         n_docs=n_docs,
         avgdl=(dl_sum / n_docs) if n_docs else 0.0,
         block_size=block_size,
+        has_positions=positions,
     )
     meta.save(index_dir)
     return meta

@@ -129,6 +129,7 @@ def encode_shard_postings(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode ALL posting lists of one shard in one vectorized pass.
 
@@ -136,10 +137,16 @@ def encode_shard_postings(
     ``terms`` is the per-row term (dictionary-encoded ok). Output: one row
     per term with columns ``term, df, docs, tfs, dls, skip_last,
     skip_doff, skip_toff, skip_loff, skip_max_tf, skip_min_dl``.
+
+    ``positions``: optional flat int array of within-doc token positions,
+    concatenated in triple-row order (``len == tfs.sum()``; posting i owns
+    ``tfs[i]`` ascending positions). Adds a ``poss`` blob per term
+    (delta-varint per posting — first position raw, then gaps) plus
+    ``skip_poff`` per-block byte offsets, enabling phrase queries.
     """
     n = len(doc_ids)
     if n == 0:
-        return _empty_postings_table()
+        return _empty_postings_table(positions is not None)
     t = terms
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
@@ -188,40 +195,74 @@ def encode_shard_postings(
     def lst(vals: np.ndarray, typ: pa.DataType) -> pa.Array:
         return _list_from_offsets(pa.array(vals, type=typ), blk_list_off)
 
-    return pa.table(
-        {
-            "term": uniq_terms,
-            "df": pa.array(df, type=pa.int32()),
-            "docs": docs_col,
-            "tfs": tfs_col,
-            "dls": dls_col,
-            "skip_last": lst(skip_last, pa.int64()),
-            "skip_doff": lst(skip_doff, pa.int64()),
-            "skip_toff": lst(skip_toff, pa.int64()),
-            "skip_loff": lst(skip_loff, pa.int64()),
-            "skip_max_tf": lst(skip_max_tf, pa.int64()),
-            "skip_min_dl": lst(skip_min_dl, pa.int64()),
-        }
-    )
+    cols = {
+        "term": uniq_terms,
+        "df": pa.array(df, type=pa.int32()),
+        "docs": docs_col,
+        "tfs": tfs_col,
+        "dls": dls_col,
+        "skip_last": lst(skip_last, pa.int64()),
+        "skip_doff": lst(skip_doff, pa.int64()),
+        "skip_toff": lst(skip_toff, pa.int64()),
+        "skip_loff": lst(skip_loff, pa.int64()),
+        "skip_max_tf": lst(skip_max_tf, pa.int64()),
+        "skip_min_dl": lst(skip_min_dl, pa.int64()),
+    }
+    if positions is not None:
+        # value index of each posting's first position (row → value space)
+        voff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        if len(positions) != voff[-1]:
+            raise ValueError(
+                f"positions length {len(positions)} != sum(tf) {voff[-1]}"
+            )
+        pos_deltas = _grouped_delta(
+            np.ascontiguousarray(positions, dtype=np.uint64), voff[:-1]
+        )
+        p_data, p_len = varint_encode(pos_deltas)
+        p_off = np.concatenate(([0], np.cumsum(p_len)))
+        term_val_bounds = voff[np.concatenate((starts, [n]))]
+        cols["poss"] = _binary_from_offsets(p_data, p_off[term_val_bounds])
+        skip_poff = (
+            p_off[voff[blk_start]] - p_off[voff[starts[term_of_block]]]
+        ).astype(np.int64)
+        cols["skip_poff"] = lst(skip_poff, pa.int64())
+    return pa.table(cols)
 
 
-def _empty_postings_table() -> pa.Table:
+def _empty_postings_table(positions: bool = False) -> pa.Table:
     i64list = pa.large_list(pa.int64())
-    return pa.table(
-        {
-            "term": pa.array([], type=pa.large_string()),
-            "df": pa.array([], type=pa.int32()),
-            "docs": pa.array([], type=pa.large_binary()),
-            "tfs": pa.array([], type=pa.large_binary()),
-            "dls": pa.array([], type=pa.large_binary()),
-            "skip_last": pa.array([], type=i64list),
-            "skip_doff": pa.array([], type=i64list),
-            "skip_toff": pa.array([], type=i64list),
-            "skip_loff": pa.array([], type=i64list),
-            "skip_max_tf": pa.array([], type=i64list),
-            "skip_min_dl": pa.array([], type=i64list),
-        }
+    cols = {
+        "term": pa.array([], type=pa.large_string()),
+        "df": pa.array([], type=pa.int32()),
+        "docs": pa.array([], type=pa.large_binary()),
+        "tfs": pa.array([], type=pa.large_binary()),
+        "dls": pa.array([], type=pa.large_binary()),
+        "skip_last": pa.array([], type=i64list),
+        "skip_doff": pa.array([], type=i64list),
+        "skip_toff": pa.array([], type=i64list),
+        "skip_loff": pa.array([], type=i64list),
+        "skip_max_tf": pa.array([], type=i64list),
+        "skip_min_dl": pa.array([], type=i64list),
+    }
+    if positions:
+        cols["poss"] = pa.array([], type=pa.large_binary())
+        cols["skip_poff"] = pa.array([], type=i64list)
+    return pa.table(cols)
+
+
+def decode_positions_column(
+    pos_blob: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one term's positions blob.
+
+    Returns ``(offsets, flat)``: posting i's ascending positions are
+    ``flat[offsets[i]:offsets[i+1]]`` (``offsets`` = cumulative tf)."""
+    deltas = varint_decode(np.frombuffer(pos_blob, dtype=np.uint8))
+    offsets = np.concatenate(
+        ([0], np.cumsum(np.asarray(tfs, dtype=np.int64)))
     )
+    flat = _grouped_undelta(deltas, offsets[:-1]).astype(np.int64)
+    return offsets, flat
 
 
 def decode_posting_column(

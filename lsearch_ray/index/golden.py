@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from lsearch_ray.analyzer import term_counts, tokenize
+from lsearch_ray.analyzer import term_counts, term_positions, tokenize
 
 K1 = 1.2
 B = 0.75
@@ -36,6 +36,7 @@ class GoldenIndex:
     total_dl: int = 0
     postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> {doc: tf}
     dl: dict[int, int] = field(default_factory=dict)
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
 
     @property
     def avgdl(self) -> float:
@@ -49,6 +50,8 @@ class GoldenIndex:
         self.total_dl += length
         for term, tf in counts.items():
             self.postings.setdefault(term, {})[doc_id] = tf
+        for term, plist in term_positions(text).items():
+            self.positions.setdefault(term, {})[doc_id] = plist
 
     def idf(self, term: str) -> float:
         df = len(self.postings.get(term, {}))
@@ -87,6 +90,50 @@ class GoldenIndex:
                 hits[doc_id] = hits.get(doc_id, 0) + 1
         if mode == "and":
             scores = {d: s for d, s in scores.items() if hits[d] == len(terms)}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+
+    def phrase_docs(self, phrase_terms: list[str]) -> set[int]:
+        """Docs containing the exact token sequence (adjacent positions)."""
+        if not phrase_terms:
+            return set()
+        first = self.positions.get(phrase_terms[0], {})
+        out: set[int] = set()
+        for doc_id, pos0 in first.items():
+            cand = set(pos0)
+            for off, term in enumerate(phrase_terms[1:], start=1):
+                nxt = self.positions.get(term, {}).get(doc_id)
+                if not nxt:
+                    cand = set()
+                    break
+                cand &= {p - off for p in nxt}
+                if not cand:
+                    break
+            if cand:
+                out.add(doc_id)
+        return out
+
+    def phrase_bm25(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k docs CONTAINING the exact phrase, ranked by BM25 over the
+        phrase's (deduped, sorted) terms — the same scoring/determinism
+        contract as ``bm25``, restricted to phrase matches."""
+        phrase_terms = tokenize(phrase)
+        matched = self.phrase_docs(phrase_terms)
+        if not matched:
+            return []
+        scores: dict[int, float] = {}
+        for term in sorted(set(phrase_terms)):
+            plist = self.postings.get(term, {})
+            w = self.idf(term)
+            for doc_id in sorted(matched):
+                tf = plist.get(doc_id)
+                if not tf:
+                    continue
+                norm = tf * (K1 + 1.0) / (
+                    tf + K1 * (1.0 - B + B * self.dl[doc_id] / self.avgdl)
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * norm
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

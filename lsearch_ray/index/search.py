@@ -383,6 +383,154 @@ def score_query_blockmax_lazy(
     return uniq[order].astype(np.int64), scores[order]
 
 
+class TermPositions:
+    """One term's merged positional postings across shards: doc-sorted
+    arrays with a CSR position layout (posting i's ascending positions are
+    ``pos_flat[pos_offsets[i]:pos_offsets[i+1]]``)."""
+
+    __slots__ = ("docs", "tfs", "dls", "pos_offsets", "pos_flat")
+
+    def __init__(self, frags: list[tuple]):
+        docs = np.concatenate([f[0] for f in frags])
+        tfs = np.concatenate([f[1] for f in frags])
+        dls = np.concatenate([f[2] for f in frags])
+        flats = np.concatenate([f[4] for f in frags])
+        # per-frag offsets → combined posting order, then doc-sort with a
+        # CSR gather (docs are disjoint across shards: doc-sharded index)
+        counts = tfs.astype(np.int64)
+        order = np.argsort(docs, kind="stable")
+        self.docs = docs[order]
+        self.tfs = tfs[order]
+        self.dls = dls[order]
+        src_off = np.concatenate(([0], np.cumsum(counts)))
+        sel_counts = counts[order]
+        out_off = np.concatenate(([0], np.cumsum(sel_counts)))
+        gather = np.arange(out_off[-1], dtype=np.int64) + np.repeat(
+            src_off[:-1][order] - out_off[:-1], sel_counts
+        )
+        self.pos_flat = flats[gather]
+        self.pos_offsets = out_off
+
+    def positions_of(self, idx: int) -> np.ndarray:
+        return self.pos_flat[self.pos_offsets[idx] : self.pos_offsets[idx + 1]]
+
+
+def load_postings_with_positions(
+    files: list[str], terms: list[str]
+) -> dict[str, TermPositions]:
+    """Pushdown-read the terms' postings INCLUDING the positions blob;
+    returns one merged :class:`TermPositions` per present term."""
+    frags: dict[str, list[tuple]] = {}
+    if not terms:
+        return {}
+    tset = pa.array(sorted(set(terms)))
+    cols = ["term", "docs", "tfs", "dls", "poss"]
+    for f in files:
+        avail = pq.ParquetFile(f).schema_arrow.names
+        if "poss" not in avail:
+            continue  # empty shard encoded without the positions column
+        t = pq.read_table(f, columns=cols, filters=pc.field("term").isin(tset))
+        for i in range(t.num_rows):
+            term = t["term"][i].as_py()
+            doc_ids, tfs, dls = decode_posting_column(
+                t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+            )
+            from lsearch_ray.index.codec import decode_positions_column
+
+            po, pf = decode_positions_column(t["poss"][i].as_py(), tfs)
+            frags.setdefault(term, []).append((doc_ids, tfs, dls, po, pf))
+    return {t: TermPositions(fr) for t, fr in frags.items()}
+
+
+def phrase_search(
+    index_dir: str, phrase: str, k: int = 10
+) -> pa.Table:
+    """Top-k docs CONTAINING the exact phrase (adjacent analyzer tokens),
+    ranked by BM25 over the phrase's terms — rank- and score-identical to
+    ``golden.GoldenIndex.phrase_bm25``. Requires a positional index
+    (``build_index(..., positions=True)``).
+
+    Plan: pushdown-load the phrase terms' positional postings, intersect
+    doc sets rarest-first (vectorized searchsorted), verify adjacency on
+    the survivors' position lists (chained sorted-intersects), then score
+    the matched docs with the standard deterministic accumulation.
+    """
+    meta = IndexMeta.load(index_dir)
+    if not meta.has_positions:
+        raise ValueError(
+            "phrase_search needs a positional index: build_index(..., positions=True)"
+        )
+    phrase_terms = tokenize(phrase)
+    if not phrase_terms:
+        return _empty_phrase_result()
+    files = _postings_files(index_dir, meta.num_shards)
+    uniq_terms = sorted(set(phrase_terms))
+    tp = load_postings_with_positions(files, uniq_terms)
+    if any(t not in tp for t in uniq_terms):
+        return _empty_phrase_result()
+    # AND-intersect doc sets, rarest term first
+    by_df = sorted(uniq_terms, key=lambda t: len(tp[t].docs))
+    cand = tp[by_df[0]].docs
+    for t in by_df[1:]:
+        docs_t = tp[t].docs
+        sel = np.searchsorted(docs_t, cand)
+        valid = sel < len(docs_t)
+        m = np.zeros(len(cand), dtype=bool)
+        m[valid] = docs_t[sel[valid]] == cand[valid]
+        cand = cand[m]
+        if len(cand) == 0:
+            return _empty_phrase_result()
+    # adjacency verification per surviving doc
+    matched: list[int] = []
+    idx_of = {
+        t: np.searchsorted(tp[t].docs, cand) for t in set(phrase_terms)
+    }
+    for ci, doc in enumerate(cand):
+        live = tp[phrase_terms[0]].positions_of(int(idx_of[phrase_terms[0]][ci]))
+        for off in range(1, len(phrase_terms)):
+            t = phrase_terms[off]
+            nxt = tp[t].positions_of(int(idx_of[t][ci]))
+            live = np.intersect1d(live + off, nxt, assume_unique=True) - off
+            if len(live) == 0:
+                break
+        if len(live):
+            matched.append(int(doc))
+    if not matched:
+        return _empty_phrase_result()
+    matched_arr = np.asarray(matched, dtype=np.int64)
+    # deterministic scoring over matched docs (standard contract)
+    dfs = {t: int(len(tp[t].docs)) for t in uniq_terms}
+    scores = np.zeros(len(matched_arr), dtype=np.float64)
+    for t in uniq_terms:
+        df = dfs[t]
+        w = math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
+        sel = np.searchsorted(tp[t].docs, matched_arr)
+        tf = tp[t].tfs[sel].astype(np.float64)
+        dl = tp[t].dls[sel].astype(np.float64)
+        scores += w * _bm25_norm(tf, dl, meta)
+    order = np.lexsort((matched_arr, -scores))[:k]
+    docs_out = matched_arr[order]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(docs_out) + 1, dtype=np.int32), type=pa.int32()
+            ),
+            "doc_id": pa.array(docs_out, type=pa.int64()),
+            "score": pa.array(scores[order], type=pa.float64()),
+        }
+    )
+
+
+def _empty_phrase_result() -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array([], type=pa.int32()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+
+
 def _bm25_norm(tf: np.ndarray, dl: np.ndarray, meta: IndexMeta) -> np.ndarray:
     """The tf-normalization factor, operation order matching golden.py."""
     return tf * (meta.k1 + 1.0) / (

@@ -1,0 +1,160 @@
+"""Positional index + phrase queries: rank/score-identical to golden."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsearch_ray.analyzer import term_counts_table, term_positions
+from lsearch_ray.corpus import assign_doc_ids, make_corpus
+from lsearch_ray.index.build import IndexMeta, build_index
+from lsearch_ray.index.codec import (
+    decode_positions_column,
+    decode_posting_column,
+    encode_shard_postings,
+)
+from lsearch_ray.index.golden import golden_index
+from lsearch_ray.index.search import phrase_search, search_index
+
+
+def test_term_counts_positions_match_pure_python():
+    texts = ["the cat sat on the mat", "a b a b a", "", "one-token"]
+    t = pa.table(
+        {"doc_id": pa.array(range(4), type=pa.int64()), "text": texts}
+    )
+    out = term_counts_table(t, positions=True)
+    got: dict[tuple[int, str], list[int]] = {}
+    for i in range(out.num_rows):
+        got[(out["doc_id"][i].as_py(), out["term"][i].as_py())] = out["pos"][
+            i
+        ].as_py()
+    for d, text in enumerate(texts):
+        for term, want in term_positions(text).items():
+            assert got[(d, term)] == want, (d, term)
+    # positions invariant under batch splitting
+    split = pa.concat_tables(
+        [
+            term_counts_table(t.slice(0, 2), positions=True),
+            term_counts_table(t.slice(2), positions=True),
+        ]
+    )
+    assert split.sort_by([("doc_id", "ascending"), ("term", "ascending")]).equals(
+        out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+    )
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.RandomState(1)
+    rows = []
+    for term, n in [("a", 300), ("bb", 2), ("c", 128)]:
+        docs = np.unique(rng.randint(0, 10**6, size=n * 2))[:n]
+        for d in docs:
+            tf = int(rng.randint(1, 6))
+            pos = np.sort(rng.choice(500, size=tf, replace=False))
+            rows.append((term, int(d), tf, int(rng.randint(1, 300)), pos))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    t = encode_shard_postings(
+        pa.array([r[0] for r in rows]),
+        np.array([r[1] for r in rows]),
+        np.array([r[2] for r in rows]),
+        np.array([r[3] for r in rows]),
+        block_size=64,
+        positions=np.concatenate([r[4] for r in rows]),
+    )
+    for i in range(t.num_rows):
+        term = t["term"][i].as_py()
+        _, tf, _ = decode_posting_column(
+            t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+        )
+        offs, flat = decode_positions_column(t["poss"][i].as_py(), tf)
+        want_rows = [r for r in rows if r[0] == term]
+        for j, wr in enumerate(want_rows):
+            assert np.array_equal(flat[offs[j] : offs[j + 1]], wr[4]), (term, j)
+
+
+@pytest.fixture(scope="module")
+def positional_index(tmp_path_factory):
+    corpus = assign_doc_ids(make_corpus(800, seed=21))
+    first = np.sort(np.unique(corpus["doc_id"].to_numpy(), return_index=True)[1])
+    corpus = corpus.take(pa.array(first))
+    index_dir = str(tmp_path_factory.mktemp("ph") / "index")
+    build_index(
+        rd.from_arrow(corpus.select(["doc_id", "text"])),
+        index_dir,
+        num_shards=3,
+        block_size=16,
+        positions=True,
+    )
+    golden = golden_index(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist())
+    texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
+    return index_dir, golden, texts
+
+
+def test_phrase_search_rank_identical(positional_index):
+    index_dir, golden, texts = positional_index
+    # real bigrams from the corpus + absent/degenerate phrases
+    from lsearch_ray.analyzer import tokenize
+
+    phrases = set()
+    for text in list(texts.values())[:40]:
+        toks = tokenize(text)
+        if len(toks) >= 2:
+            phrases.add(f"{toks[0]} {toks[1]}")
+            phrases.add(f"{toks[len(toks)//2]} {toks[len(toks)//2+1]}")
+        if len(toks) >= 3:
+            phrases.add(" ".join(toks[:3]))
+    phrases |= {"zzz qqq", "the", "word003 word004 word005 word006"}
+    checked_nonempty = 0
+    for p in sorted(phrases):
+        got = phrase_search(index_dir, p, k=10)
+        want = golden.phrase_bm25(p, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], p
+        assert got["score"].to_pylist() == [s for _, s in want], p
+        checked_nonempty += bool(want)
+    assert checked_nonempty >= 10  # the corpus really exercises matches
+
+
+def test_phrase_order_matters(positional_index):
+    index_dir, golden, texts = positional_index
+    from lsearch_ray.analyzer import tokenize
+
+    # find a doc with two adjacent distinct tokens; reversed order must not
+    # match that adjacency (unless the text also contains the reverse)
+    for text in texts.values():
+        toks = tokenize(text)
+        for i in range(len(toks) - 1):
+            a, b = toks[i], toks[i + 1]
+            if a != b:
+                fwd = phrase_search(index_dir, f"{a} {b}", k=100)
+                rev = phrase_search(index_dir, f"{b} {a}", k=100)
+                want_f = {d for d, _ in golden.phrase_bm25(f"{a} {b}", k=100)}
+                want_r = {d for d, _ in golden.phrase_bm25(f"{b} {a}", k=100)}
+                assert set(fwd["doc_id"].to_pylist()) == want_f
+                assert set(rev["doc_id"].to_pylist()) == want_r
+                return
+    pytest.skip("no adjacent distinct pair found")
+
+
+def test_phrase_requires_positional_index(tmp_path):
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": ["alpha beta", "beta alpha"],
+        }
+    )
+    d = str(tmp_path / "np_idx")
+    build_index(rd.from_arrow(t), d, num_shards=1)
+    with pytest.raises(ValueError):
+        phrase_search(d, "alpha beta")
+
+
+def test_positional_build_keeps_bm25_rank_identity(positional_index):
+    """positions=True must not change non-phrase scoring."""
+    index_dir, golden, _ = positional_index
+    for q in ["the data", "word003", "biology music theory"]:
+        got = search_index(index_dir, q, k=10)
+        want = golden.bm25(q, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q
+        assert got["score"].to_pylist() == [s for _, s in want], q
