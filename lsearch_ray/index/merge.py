@@ -37,7 +37,10 @@ def decode_all_postings(table: pa.Table) -> pa.Table:
     """Postings table (one row per term) → flat triples table.
 
     Vectorized: one varint pass per blob column over the concatenated
-    bytes, delta-undone with per-term resets.
+    bytes, delta-undone with per-term resets. A positional postings table
+    (``poss`` column) round-trips its per-posting position lists into a
+    ``pos`` list column, so merged/compacted positional shards re-encode
+    through the same path as the build.
     """
     n_terms = table.num_rows
     if n_terms == 0:
@@ -63,14 +66,21 @@ def decode_all_postings(table: pa.Table) -> pa.Table:
     terms_flat = pa.DictionaryArray.from_arrays(
         pa.array(codes, type=pa.int32()), term_col
     )
-    return pa.table(
-        {
-            "term": terms_flat,
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "tf": pa.array(tfs, type=pa.int32()),
-            "dl": pa.array(dls, type=pa.int32()),
-        }
-    )
+    cols = {
+        "term": terms_flat,
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "tf": pa.array(tfs, type=pa.int32()),
+        "dl": pa.array(dls, type=pa.int32()),
+    }
+    if "poss" in table.column_names:
+        voff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        pos_deltas = varint_decode(blob_concat(table["poss"]))
+        pos_flat = _grouped_undelta(pos_deltas, voff[:-1]).astype(np.int32)
+        cols["pos"] = pa.LargeListArray.from_arrays(
+            pa.array(voff, type=pa.int64()),
+            pa.array(pos_flat, type=pa.int32()),
+        )
+    return pa.table(cols)
 
 
 def merge_indexes(

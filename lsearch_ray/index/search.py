@@ -218,6 +218,7 @@ def score_query_blockmax_lazy(
     meta: IndexMeta,
     k: int = 10,
     mode: str = "or",
+    banned: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max BM25 top-k with TRUE skip-pointer decoding — decodes only
     posting blocks whose interval upper bound can reach the θ threshold;
@@ -249,9 +250,24 @@ def score_query_blockmax_lazy(
     terms, excluded = parse_query(query)
     present = [t for t in terms if postings.get(t)]
     if excluded or mode != "or" or not present:
-        return score_query_blockmax(query, _eager5(postings), dfs, meta, k, mode)
+        return score_query_blockmax(
+            query, _eager5(postings), dfs, meta, k, mode, banned
+        )
     if sum(dfs[t] for t in present) < EXHAUSTIVE_CUTOFF:
-        return score_query(query, _eager5(postings), dfs, meta, k, mode)
+        return score_query(query, _eager5(postings), dfs, meta, k, mode, banned)
+    banned = (
+        np.asarray(banned, dtype=np.int64)
+        if banned is not None and len(banned)
+        else None
+    )
+
+    def _mask_banned(docs: np.ndarray) -> np.ndarray:
+        """True where docs are LIVE (banned is sorted)."""
+        sel = np.searchsorted(banned, docs)
+        valid = sel < len(banned)
+        hit = np.zeros(len(docs), dtype=bool)
+        hit[valid] = banned[sel[valid]] == docs[valid]
+        return ~hit
 
     def idf(t: str) -> float:
         df = dfs[t]
@@ -259,23 +275,29 @@ def score_query_blockmax_lazy(
 
     lead = max(present, key=idf)
     w = idf(lead)
-    lead_scores = np.concatenate(
-        [
+    lead_parts = []
+    for f in postings[lead]:
+        docs_l, tfs_l, dls_l = f.decode_all()
+        if banned is not None:
+            live = _mask_banned(docs_l)
+            tfs_l, dls_l = tfs_l[live], dls_l[live]
+        lead_parts.append(
             w
             * _bm25_norm(
-                f.decode_all()[1].astype(np.float64),
-                f.decode_all()[2].astype(np.float64),
-                meta,
+                tfs_l.astype(np.float64), dls_l.astype(np.float64), meta
             )
-            for f in postings[lead]
-        ]
+        )
+    lead_scores = (
+        np.concatenate(lead_parts) if lead_parts else np.empty(0, np.float64)
     )
     if len(lead_scores) > k:
         theta = float(np.partition(lead_scores, -k)[-k])
     else:
         theta = 0.0
     if theta <= 0.0:
-        return score_query_blockmax(query, _eager5(postings), dfs, meta, k, mode)
+        return score_query_blockmax(
+            query, _eager5(postings), dfs, meta, k, mode, banned
+        )
 
     # ---- survival sweep: point events for sparse terms (decoded, exact
     # impacts), interval events for long lists' blocks (no decoding) ----
@@ -355,6 +377,8 @@ def score_query_blockmax_lazy(
     bound = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(bound, inverse, ubs)
     keep_set = uniq[bound >= theta]
+    if banned is not None and len(keep_set):
+        keep_set = keep_set[_mask_banned(keep_set)]
     if len(keep_set) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
@@ -498,6 +522,13 @@ def phrase_search(
     if not matched:
         return _empty_phrase_result()
     matched_arr = np.asarray(matched, dtype=np.int64)
+    from lsearch_ray.index.tombstones import load_tombstones
+
+    banned = load_tombstones(index_dir)
+    if len(banned):
+        matched_arr = matched_arr[~np.isin(matched_arr, banned)]
+        if len(matched_arr) == 0:
+            return _empty_phrase_result()
     # deterministic scoring over matched docs (standard contract)
     dfs = {t: int(len(tp[t].docs)) for t in uniq_terms}
     scores = np.zeros(len(matched_arr), dtype=np.float64)
@@ -545,6 +576,7 @@ def score_query_blockmax(
     meta: IndexMeta,
     k: int = 10,
     mode: str = "or",
+    banned: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max-pruned BM25 top-k — rank-identical to :func:`score_query`.
 
@@ -569,10 +601,10 @@ def score_query_blockmax(
     the union.
     """
     terms, excluded = parse_query(query)
-    if excluded:
-        # masking banned docs breaks block-skip alignment; negation
-        # queries take the exhaustive (still exact) path
-        return score_query(query, postings, dfs, meta, k, mode)
+    if excluded or (banned is not None and len(banned) > 0):
+        # masking banned docs breaks block-skip alignment; negation and
+        # tombstoned queries take the exhaustive (still exact) path
+        return score_query(query, postings, dfs, meta, k, mode, banned)
     present = [t for t in terms if postings.get(t)]
     if not present:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -682,16 +714,23 @@ def meta_block(meta: IndexMeta) -> int:
 
 
 def _filter_excluded(
-    postings: dict[str, list], inc: list[str], exc: list[str]
+    postings: dict[str, list],
+    inc: list[str],
+    exc: list[str],
+    extra_banned: np.ndarray | None = None,
 ) -> dict[str, list]:
-    """Drop postings of banned docs (docs containing any excluded term).
+    """Drop postings of banned docs (docs containing any excluded term,
+    plus ``extra_banned`` ids — tombstoned docs).
 
     Returns 3-tuple fragments only: masking invalidates block-skip
     alignment, so negation queries score exhaustively (still exact).
     """
-    if not exc:
+    has_extra = extra_banned is not None and len(extra_banned) > 0
+    if not exc and not has_extra:
         return postings
     ban_parts = [f[0] for t in exc for f in postings.get(t, ())]
+    if has_extra:
+        ban_parts.append(np.asarray(extra_banned, dtype=np.int64))
     if not ban_parts:
         return {t: postings[t] for t in inc if postings.get(t)}
     banned = np.unique(np.concatenate(ban_parts))
@@ -720,10 +759,13 @@ def score_query(
     meta: IndexMeta,
     k: int = 10,
     mode: str = "or",
+    banned: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exhaustive vectorized BM25; returns (top_doc_ids, top_scores)."""
+    """Exhaustive vectorized BM25; returns (top_doc_ids, top_scores).
+
+    ``banned``: sorted tombstoned doc ids, masked out before scoring."""
     terms, excluded = parse_query(query)
-    postings = _filter_excluded(postings, terms, excluded)
+    postings = _filter_excluded(postings, terms, excluded, banned)
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
     n_terms_matched = 0
@@ -774,12 +816,17 @@ def search_index(
     terms = sorted(set(inc) | set(exc))
     postings = load_postings_lazy(files, terms, meta.block_size)
     dfs = global_dfs_lazy(postings)
+    from lsearch_ray.index.tombstones import load_tombstones
+
+    banned = load_tombstones(index_dir)
     if blockmax:
         doc_ids, scores = score_query_blockmax_lazy(
-            query, postings, dfs, meta, k, mode
+            query, postings, dfs, meta, k, mode, banned
         )
     else:
-        doc_ids, scores = score_query(query, _eager5(postings), dfs, meta, k, mode)
+        doc_ids, scores = score_query(
+            query, _eager5(postings), dfs, meta, k, mode, banned
+        )
     return pa.table(
         {
             "rank": pa.array(np.arange(1, len(doc_ids) + 1), type=pa.int32()),
@@ -809,6 +856,9 @@ class BatchSearcher:
     ):
         self.meta = IndexMeta.load(index_dir)
         self.files = _postings_files(index_dir, self.meta.num_shards)
+        from lsearch_ray.index.tombstones import load_tombstones
+
+        self.banned = load_tombstones(index_dir)
         self.k = k
         self.mode = mode
         # per-actor posting cache: term -> fragments ([] = known-absent).
@@ -844,7 +894,7 @@ class BatchSearcher:
         out_score: list[np.ndarray] = []
         for qid, q in zip(qids, queries):
             doc_ids, scores = score_query_blockmax_lazy(
-                q, postings, dfs, self.meta, self.k, self.mode
+                q, postings, dfs, self.meta, self.k, self.mode, self.banned
             )
             out_qid.extend([qid] * len(doc_ids))
             out_rank.append(np.arange(1, len(doc_ids) + 1))
@@ -875,6 +925,9 @@ class _ShardGroupSearcher:
 
     def __init__(self, index_dir: str, shard_ids: list[int]):
         self.meta = IndexMeta.load(index_dir)
+        from lsearch_ray.index.tombstones import load_tombstones
+
+        self.banned = load_tombstones(index_dir, shard_ids)
         # resident ENCODED: ~3-4× smaller than decoded arrays (varint),
         # and queries decode only the blocks their θ bound admits
         self.postings: dict[str, list[LazyPostings]] = {}
@@ -896,7 +949,7 @@ class _ShardGroupSearcher:
         # dfs are GLOBAL (gathered by QueryEngine) so idf matches golden;
         # doc-sharding makes local scores complete → local top-k is exact.
         return score_query_blockmax_lazy(
-            query, self.postings, dfs, self.meta, k, mode
+            query, self.postings, dfs, self.meta, k, mode, self.banned
         )
 
 

@@ -1,0 +1,119 @@
+"""Deletion support: per-shard tombstones + compaction.
+
+Lucene-style semantics: ``delete_docs`` records doc ids in per-shard
+tombstone files (doc-sharding routes each id to the one shard that could
+hold it); every query path masks tombstoned docs IMMEDIATELY (they can
+never appear in results), while corpus statistics (n_docs, avgdl, df)
+keep counting them until ``compact_index`` rewrites the affected shards
+— at which point the index is byte-identical to a fresh build over the
+live corpus (tested; caveat: a deleted doc that tokenized to zero tokens
+has no postings to drop, so compaction cannot subtract it from n_docs —
+same caveat as any postings-derived count).
+
+Crash safety: tombstone writes and shard rewrites are tmp+rename atomic;
+a crash mid-compaction leaves tombstones in place, and re-running
+compaction is idempotent (filtering already-filtered postings is a
+no-op). Tombstone files are removed only after every shard commits.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lsearch_ray.index.build import (
+    IndexMeta,
+    _shard_dir,
+    encode_shard_table,
+    finalize_index,
+    shard_of,
+)
+
+
+def _tombstone_path(index_dir: str, shard: int) -> str:
+    return os.path.join(_shard_dir(index_dir, shard), "tombstones.parquet")
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone the given doc ids. Returns the total tombstone count
+    across shards after the merge. Idempotent (ids are deduped)."""
+    meta = IndexMeta.load(index_dir)
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) == 0:
+        return sum(
+            len(load_tombstones_for_shard(index_dir, s))
+            for s in range(meta.num_shards)
+        )
+    shards = shard_of(ids, meta.num_shards)
+    total = 0
+    for s in range(meta.num_shards):
+        mine = ids[shards == s]
+        existing = load_tombstones_for_shard(index_dir, s)
+        if len(mine) == 0:
+            total += len(existing)
+            continue
+        merged = np.union1d(existing, mine)
+        path = _tombstone_path(index_dir, s)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(merged, type=pa.int64())}), tmp
+        )
+        os.replace(tmp, path)
+        total += len(merged)
+    return total
+
+
+def load_tombstones_for_shard(index_dir: str, shard: int) -> np.ndarray:
+    path = _tombstone_path(index_dir, shard)
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    return pq.read_table(path)["doc_id"].to_numpy(zero_copy_only=False)
+
+
+def load_tombstones(index_dir: str, shards=None) -> np.ndarray:
+    """Sorted union of tombstoned ids (all shards, or the given ones)."""
+    meta = IndexMeta.load(index_dir)
+    shards = range(meta.num_shards) if shards is None else shards
+    parts = [load_tombstones_for_shard(index_dir, s) for s in shards]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def compact_index(index_dir: str) -> IndexMeta:
+    """Rewrite shards dropping tombstoned postings; recompute stats.
+
+    After compaction the index is byte-identical to a fresh build over
+    the live corpus (same sort→encode reduce as the build and merge)."""
+    from lsearch_ray.index.merge import decode_all_postings
+
+    meta = IndexMeta.load(index_dir)
+    for s in range(meta.num_shards):
+        banned = load_tombstones_for_shard(index_dir, s)
+        if len(banned) == 0:
+            continue
+        pa.set_cpu_count(1)
+        cols = ["term", "df", "docs", "tfs", "dls"]
+        path = os.path.join(_shard_dir(index_dir, s), "postings.parquet")
+        avail = pq.ParquetFile(path).schema_arrow.names
+        if "poss" in avail:
+            cols.append("poss")
+        triples = decode_all_postings(pq.read_table(path, columns=cols))
+        keep = ~np.isin(
+            triples["doc_id"].to_numpy(zero_copy_only=False), banned
+        )
+        encode_shard_table(
+            triples.filter(pa.array(keep)), index_dir, s, meta.block_size
+        )
+    # all shards committed → drop tombstones, refresh meta/termstats
+    for s in range(meta.num_shards):
+        path = _tombstone_path(index_dir, s)
+        if os.path.exists(path):
+            os.remove(path)
+    return finalize_index(
+        index_dir, meta.num_shards, meta.block_size, positions=meta.has_positions
+    )
