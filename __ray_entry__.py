@@ -308,6 +308,28 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding event-time windows (2h size, 1h slide): each event lands
+    in two windows via a vectorized flat-map, then one groupby."""
+    from lsearch_ray.functions import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    agg = sliding_window_agg(
+        ev, key_cols=["event_type"], size_s=7200.0, slide_s=3600.0
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": b["window_start"],
+                "n": b["n"],
+                "sum_value": pc.round(b["sum_value"], 3),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["event_type", "window_start"])
+
+
 def _q_quality(sf_dir: str):
     from lsearch_ray.functions import quality_stats
 
@@ -547,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -949,6 +972,19 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            # 2h windows sliding by 1h: every event belongs to exactly two
+            # hour-aligned windows; starts computed in integer epoch-us,
+            # matching the engine's arithmetic bit-for-bit
+            "SELECT event_type, window_start, count(*) AS n, "
+            "round(sum(value), 3) AS sum_value FROM ("
+            "  SELECT event_type, value, unnest(["
+            "    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),"
+            "    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 "
+            "                   - 3600000000)"
+            "  ]) AS window_start FROM events"
+            ") GROUP BY 1, 2"
         ),
         "join_revenue": (
             "SELECT o.o_orderpriority, "

@@ -38,6 +38,10 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
 )
 from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
 from lsearch_ray.functions.skew import salted_groupby_sum  # noqa: F401
+from lsearch_ray.functions.windows import (  # noqa: F401
+    sliding_window_agg,
+    tumbling_window_agg,
+)
 from lsearch_ray.functions.textstats import (  # noqa: F401
     LangId,
     bpe_ish_token_count,

@@ -1,0 +1,105 @@
+"""Event-time window aggregates — a custom operator Ray Data lacks.
+
+Three window shapes over a timestamp column:
+
+- tumbling: one window per event (``floor(ts / size)``) — expressible as
+  a plain ``map_batches`` truncation + groupby (see the ``events_hourly``
+  pipeline); :func:`tumbling_window_agg` packages it.
+- sliding: each event belongs to ``ceil(size / slide)`` windows — a
+  vectorized flat-map replicates each row once per covering window
+  start, then a single groupby aggregates. The replication factor is the
+  size/slide ratio (bounded, known up front), so the shuffle volume is
+  ``ratio × events`` — no per-row Python, no window state.
+- session: gap-based per-key sessions (functions/joins.sessionize).
+
+Window starts are computed in integer microseconds (epoch-aligned
+``(us // slide) * slide - i*slide``), matching SQL ``make_timestamp``
+arithmetic exactly — no float time math anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _window_rows(
+    b: pa.Table,
+    ts_col: str,
+    size_us: int,
+    slide_us: int,
+    carry_cols: list[str],
+) -> pa.Table:
+    ts = b[ts_col]
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    # normalize to µs regardless of source resolution (parquet is us,
+    # from_items/pandas often ns)
+    us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    n_windows = -(-size_us // slide_us)  # ceil
+    parts = []
+    for i in range(n_windows):
+        start = (us // slide_us) * slide_us - i * slide_us
+        keep = us < start + size_us  # starts ≤ ts by construction
+        idx = np.flatnonzero(keep)
+        cols = {
+            "window_start": pa.array(start[idx], type=pa.int64()).cast(
+                pa.timestamp("us")
+            )
+        }
+        take = pa.array(idx, type=pa.int64())
+        for c in carry_cols:
+            cols[c] = b[c].take(take)
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
+
+
+def sliding_window_agg(
+    events_ds,
+    *,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    size_s: float = 7200.0,
+    slide_s: float = 3600.0,
+):
+    """Count + sum(value) per (keys, window_start) over sliding windows.
+
+    Returns a Dataset with columns (*key_cols, window_start, n,
+    sum_value).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    key_cols = key_cols or []
+    size_us = int(round(size_s * 1e6))
+    slide_us = int(round(slide_s * 1e6))
+    carry = [*key_cols, value_col]
+    expanded = events_ds.map_batches(
+        lambda b: _window_rows(b, ts_col, size_us, slide_us, carry),
+        batch_format="pyarrow",
+    )
+    return (
+        expanded.groupby([*key_cols, "window_start"])
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+    )
+
+
+def tumbling_window_agg(
+    events_ds,
+    *,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    size_s: float = 3600.0,
+):
+    """Tumbling windows = sliding with slide == size (one window/event)."""
+    return sliding_window_agg(
+        events_ds,
+        ts_col=ts_col,
+        key_cols=key_cols,
+        value_col=value_col,
+        size_s=size_s,
+        slide_s=size_s,
+    )

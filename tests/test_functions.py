@@ -82,3 +82,35 @@ def test_ivf_materialized_layout(tmp_path):
     # partial probe still surfaces the identical self-match
     part_probe = ivf_search(idx, q, k=5, nprobe=1, round_to=None)
     assert part_probe["vec_id"].to_pylist()[0] == 42
+
+
+def test_sliding_window_agg():
+    """2h/1h sliding: each event lands in exactly two hour-aligned
+    windows; per-window counts/sums match a hand computation."""
+    import datetime as dt
+
+    from lsearch_ray.functions import sliding_window_agg, tumbling_window_agg
+
+    base = dt.datetime(2024, 1, 1, 10, 30)
+    rows = [
+        {"k": "a", "ts": base, "value": 1.0},                      # 10:30
+        {"k": "a", "ts": base + dt.timedelta(minutes=45), "value": 2.0},  # 11:15
+        {"k": "b", "ts": base + dt.timedelta(hours=2), "value": 4.0},     # 12:30
+    ]
+    ds = rd.from_items(rows)
+    out = {
+        (r["k"], r["window_start"].hour): (r["n"], r["sum_value"])
+        for r in sliding_window_agg(
+            ds, key_cols=["k"], size_s=7200, slide_s=3600
+        ).take_all()
+    }
+    # 10:30 event covers windows starting 09:00 and 10:00; 11:15 covers
+    # 10:00 and 11:00; 12:30 covers 11:00 and 12:00
+    assert out[("a", 9)] == (1, 1.0)
+    assert out[("a", 10)] == (2, 3.0)
+    assert out[("a", 11)] == (1, 2.0)
+    assert out[("b", 11)] == (1, 4.0)
+    assert out[("b", 12)] == (1, 4.0)
+    # tumbling = slide == size: one window per event
+    tumb = tumbling_window_agg(ds, key_cols=["k"], size_s=3600).take_all()
+    assert sum(r["n"] for r in tumb) == 3
