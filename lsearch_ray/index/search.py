@@ -174,11 +174,18 @@ def global_dfs_lazy(postings: dict[str, list[LazyPostings]]) -> dict[str, int]:
     return {t: sum(f.df for f in frags) for t, frags in postings.items()}
 
 
-def _eager5(postings: dict[str, list[LazyPostings]]) -> dict[str, list[tuple]]:
-    """Full-decode view in the 5-tuple shape the eager scorers consume."""
+def _eager5(
+    postings: dict[str, list[LazyPostings]], only: set[str] | None = None
+) -> dict[str, list[tuple]]:
+    """Full-decode view in the 5-tuple shape the eager scorers consume.
+
+    ``only`` restricts conversion to the given terms — callers holding a
+    large term cache (BatchSearcher) must not pay a full-cache rebuild
+    per query (measured: the dominant cost of a 500-query batch)."""
     return {
         t: [f.decode_all() + (f.skip_max_tf, f.skip_min_dl) for f in frags]
         for t, frags in postings.items()
+        if only is None or t in only
     }
 
 
@@ -249,12 +256,15 @@ def score_query_blockmax_lazy(
     need the full lists anyway)."""
     terms, excluded = parse_query(query)
     present = [t for t in terms if postings.get(t)]
+    needed = set(terms) | set(excluded)
     if excluded or mode != "or" or not present:
         return score_query_blockmax(
-            query, _eager5(postings), dfs, meta, k, mode, banned
+            query, _eager5(postings, needed), dfs, meta, k, mode, banned
         )
     if sum(dfs[t] for t in present) < EXHAUSTIVE_CUTOFF:
-        return score_query(query, _eager5(postings), dfs, meta, k, mode, banned)
+        return score_query(
+            query, _eager5(postings, needed), dfs, meta, k, mode, banned
+        )
     banned = (
         np.asarray(banned, dtype=np.int64)
         if banned is not None and len(banned)
@@ -296,7 +306,7 @@ def score_query_blockmax_lazy(
         theta = 0.0
     if theta <= 0.0:
         return score_query_blockmax(
-            query, _eager5(postings), dfs, meta, k, mode, banned
+            query, _eager5(postings, needed), dfs, meta, k, mode, banned
         )
 
     # ---- survival sweep: point events for sparse terms (decoded, exact
