@@ -855,6 +855,17 @@ class BatchSearcher:
     Per batch, one pushdown read fetches the UNION of the batch's terms
     across shards — IO amortizes over the batch. Index metadata loads once
     per actor in ``__init__``.
+
+    Throughput design: with ``cache_contribs=True`` (default) each term's
+    per-posting BM25 contribution ``idf·norm(tf, dl)`` is computed ONCE
+    per actor and reused across queries — an OR/AND query is then just a
+    scatter-add of cached float arrays + top-k (the norm chain and block
+    decoding amortize away; score bit-identity with score_query holds
+    because the cached values use the exact same expression and the
+    accumulation keeps sorted-term order). Queries with negation, and any
+    query on a tombstoned index, take the general path. Memory: ~16 bytes
+    × df per cached term (the in-memory-serving tradeoff; bounded by
+    ``max_cached_terms``).
     """
 
     def __init__(
@@ -863,6 +874,7 @@ class BatchSearcher:
         k: int = 10,
         mode: str = "or",
         max_cached_terms: int = 50_000,
+        cache_contribs: bool = True,
     ):
         self.meta = IndexMeta.load(index_dir)
         self.files = _postings_files(index_dir, self.meta.num_shards)
@@ -875,6 +887,8 @@ class BatchSearcher:
         # Zipf-distributed query terms hit this hard; bounded by term count.
         self.cache: dict[str, list] = {}
         self.max_cached_terms = max_cached_terms
+        self.cache_contribs = cache_contribs
+        self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def _postings_cached(self, terms: list[str]) -> dict[str, list]:
         misses = [t for t in terms if t not in self.cache]
@@ -886,9 +900,71 @@ class BatchSearcher:
                 # KeyError below)
                 keep = set(terms)
                 self.cache = {t: v for t, v in self.cache.items() if t in keep}
+                self._contrib = {
+                    t: v for t, v in self._contrib.items() if t in keep
+                }
             for t in misses:
                 self.cache[t] = loaded.get(t, [])
         return {t: self.cache[t] for t in terms if self.cache[t]}
+
+    def _contribs_for(
+        self, term: str, postings: dict[str, list], dfs: dict[str, int]
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        hit = self._contrib.get(term)
+        if hit is not None:
+            return hit
+        frags = postings.get(term)
+        if not frags:
+            return None
+        df = dfs[term]
+        w = math.log(1.0 + (self.meta.n_docs - df + 0.5) / (df + 0.5))
+        doc_parts, contrib_parts = [], []
+        for f in frags:
+            docs_f, tfs_f, dls_f = f.decode_all()
+            doc_parts.append(docs_f)
+            # same expression/operation order as score_query — cached
+            # values are bit-identical to a fresh computation
+            contrib_parts.append(
+                w
+                * _bm25_norm(
+                    tfs_f.astype(np.float64), dls_f.astype(np.float64), self.meta
+                )
+            )
+        out = (np.concatenate(doc_parts), np.concatenate(contrib_parts))
+        self._contrib[term] = out
+        return out
+
+    def _score_cached(
+        self, query: str, postings: dict[str, list], dfs: dict[str, int]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """score_query semantics over per-term cached contribution arrays
+        (OR/AND, no negation, no tombstones)."""
+        terms, _ = parse_query(query)
+        doc_parts, contrib_parts = [], []
+        n_present = 0
+        for term in terms:  # parse_query returns sorted unique terms
+            c = self._contribs_for(term, postings, dfs)
+            if c is None:
+                continue
+            n_present += 1
+            doc_parts.append(c[0])
+            contrib_parts.append(c[1])
+        if not doc_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs = np.concatenate(doc_parts)
+        contribs = np.concatenate(contrib_parts)
+        uniq, inverse = np.unique(docs, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inverse, contribs)
+        if self.mode == "and" and terms:
+            hits = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(hits, inverse, 1)
+            keep = hits == len(terms)
+            uniq, scores = uniq[keep], scores[keep]
+        if len(uniq) == 0:
+            return uniq.astype(np.int64), scores
+        order = np.lexsort((uniq, -scores))[: self.k]
+        return uniq[order].astype(np.int64), scores[order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = batch["query"].to_pylist()
@@ -902,10 +978,14 @@ class BatchSearcher:
         out_rank: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
+        use_cached = self.cache_contribs and len(self.banned) == 0
         for qid, q in zip(qids, queries):
-            doc_ids, scores = score_query_blockmax_lazy(
-                q, postings, dfs, self.meta, self.k, self.mode, self.banned
-            )
+            if use_cached and not parse_query(q)[1]:  # no negation clauses
+                doc_ids, scores = self._score_cached(q, postings, dfs)
+            else:
+                doc_ids, scores = score_query_blockmax_lazy(
+                    q, postings, dfs, self.meta, self.k, self.mode, self.banned
+                )
             out_qid.extend([qid] * len(doc_ids))
             out_rank.append(np.arange(1, len(doc_ids) + 1))
             out_doc.append(doc_ids)
