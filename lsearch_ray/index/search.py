@@ -1010,8 +1010,15 @@ class BatchSearcher:
 
 
 class _ShardGroupSearcher:
-    """Holds a group of shards fully decoded in memory; answers per-group
-    top-k. Wrapped as a Ray actor by :class:`QueryEngine`."""
+    """Holds a group of shards in memory (encoded); answers per-group
+    top-k. Wrapped as a Ray actor by :class:`QueryEngine`.
+
+    Global dfs load ONCE per actor from the index's termstats table (the
+    finalize-time per-shard df aggregate — exactly the sums a per-query
+    gather would produce), so idf matches golden without a df round-trip
+    per query; plain OR/AND queries score through a per-term contribution
+    cache (the BatchSearcher trick — resident postings amortize the norm
+    chain), everything else through the lazy block-max path."""
 
     def __init__(self, index_dir: str, shard_ids: list[int]):
         self.meta = IndexMeta.load(index_dir)
@@ -1027,17 +1034,74 @@ class _ShardGroupSearcher:
                 columns=_LAZY_COLS,
             )
             _lazy_rows(t, self.meta.block_size, self.postings)
+        ts = pq.read_table(os.path.join(index_dir, "termstats"))
+        self.global_dfs_all: dict[str, int] = dict(
+            zip(ts["term"].to_pylist(), ts["df"].to_pylist())
+        )
+        self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def local_dfs(self, terms: list[str]) -> dict[str, int]:
         return {
             t: sum(f.df for f in self.postings.get(t, ())) for t in terms
         }
 
+    def _contribs_for(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        hit = self._contrib.get(term)
+        if hit is not None:
+            return hit
+        frags = self.postings.get(term)
+        if not frags:
+            return None
+        df = self.global_dfs_all[term]
+        w = math.log(1.0 + (self.meta.n_docs - df + 0.5) / (df + 0.5))
+        doc_parts, contrib_parts = [], []
+        for f in frags:
+            docs_f, tfs_f, dls_f = f.decode_all()
+            doc_parts.append(docs_f)
+            contrib_parts.append(
+                w
+                * _bm25_norm(
+                    tfs_f.astype(np.float64), dls_f.astype(np.float64), self.meta
+                )
+            )
+        out = (np.concatenate(doc_parts), np.concatenate(contrib_parts))
+        self._contrib[term] = out
+        return out
+
     def search(
-        self, query: str, dfs: dict[str, int], k: int, mode: str
+        self, query: str, k: int, mode: str
     ) -> tuple[np.ndarray, np.ndarray]:
-        # dfs are GLOBAL (gathered by QueryEngine) so idf matches golden;
-        # doc-sharding makes local scores complete → local top-k is exact.
+        # dfs are GLOBAL (termstats) so idf matches golden; doc-sharding
+        # makes local scores complete → local top-k is exact.
+        terms, excluded = parse_query(query)
+        if not excluded and len(self.banned) == 0:
+            doc_parts, contrib_parts = [], []
+            for term in terms:  # sorted unique
+                c = self._contribs_for(term)
+                if c is None:
+                    continue
+                doc_parts.append(c[0])
+                contrib_parts.append(c[1])
+            if not doc_parts:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            docs = np.concatenate(doc_parts)
+            contribs = np.concatenate(contrib_parts)
+            uniq, inverse = np.unique(docs, return_inverse=True)
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, inverse, contribs)
+            if mode == "and" and terms:
+                hits = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(hits, inverse, 1)
+                keep = hits == len(terms)
+                uniq, scores = uniq[keep], scores[keep]
+            if len(uniq) == 0:
+                return uniq.astype(np.int64), scores
+            order = np.lexsort((uniq, -scores))[:k]
+            return uniq[order].astype(np.int64), scores[order]
+        dfs = {
+            t: self.global_dfs_all.get(t, 0)
+            for t in set(terms) | set(excluded)
+        }
         return score_query_blockmax_lazy(
             query, self.postings, dfs, self.meta, k, mode, self.banned
         )
@@ -1046,11 +1110,12 @@ class _ShardGroupSearcher:
 class QueryEngine:
     """Scatter-gather BM25 serving over a pool of shard-holding actors.
 
-    Two-phase per query: (1) gather per-group local dfs → global df for
-    exact idf; (2) scatter score requests, merge per-group exact top-k by
-    (score desc, doc_id asc). Uses raw ``@ray.remote`` actors — the
-    long-lived shared in-memory index is the one stage Dataset transforms
-    can't express (SURVEY.md §4).
+    One scatter round per query: every actor holds the index's GLOBAL
+    (term, df) table (termstats) so idf needs no gather phase; actors
+    return exact per-group top-k (doc-sharding makes local scores
+    complete), merged by (score desc, doc_id asc). Uses raw
+    ``@ray.remote`` actors — the long-lived shared in-memory index is the
+    one stage Dataset transforms can't express (SURVEY.md §4).
     """
 
     def __init__(self, index_dir: str, num_actors: int = 4):
@@ -1068,15 +1133,10 @@ class QueryEngine:
     def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:
         import ray
 
-        inc, exc = parse_query(query)
-        terms = sorted(set(inc) | set(exc))
-        df_parts = ray.get([a.local_dfs.remote(terms) for a in self.actors])
-        dfs: dict[str, int] = {t: 0 for t in terms}
-        for part in df_parts:
-            for t, c in part.items():
-                dfs[t] += c
+        # single scatter round: actors hold the GLOBAL termstats dfs, so
+        # no per-query df gather is needed
         results = ray.get(
-            [a.search.remote(query, dfs, k, mode) for a in self.actors]
+            [a.search.remote(query, k, mode) for a in self.actors]
         )
         docs, scores = self._merge(results, k)
         return pa.table(
@@ -1103,23 +1163,13 @@ class QueryEngine:
     def search_many(
         self, queries: list[str], k: int = 10, mode: str = "or"
     ) -> pa.Table:
-        """Batch serving: one df-gather round for the union of all terms,
-        then every (query, actor) scatter call in flight at once; per-query
-        merge. Returns (query_id, rank, doc_id, score)."""
+        """Batch serving: every (query, actor) scatter call in flight at
+        once (actors hold global termstats dfs — no gather round);
+        per-query merge. Returns (query_id, rank, doc_id, score)."""
         import ray
 
-        all_terms = sorted(
-            {t for q in queries for side in parse_query(q) for t in side}
-        )
-        df_parts = ray.get(
-            [a.local_dfs.remote(all_terms) for a in self.actors]
-        )
-        dfs: dict[str, int] = {t: 0 for t in all_terms}
-        for part in df_parts:
-            for t, c in part.items():
-                dfs[t] += c
         futures = [
-            [a.search.remote(q, dfs, k, mode) for a in self.actors]
+            [a.search.remote(q, k, mode) for a in self.actors]
             for q in queries
         ]
         out_qid: list[int] = []
