@@ -498,11 +498,36 @@ def phrase_search(
     if not phrase_terms:
         return _empty_phrase_result()
     files = _postings_files(index_dir, meta.num_shards)
+    tp = load_postings_with_positions(files, sorted(set(phrase_terms)))
+    from lsearch_ray.index.tombstones import load_tombstones
+
+    banned = load_tombstones(index_dir)
+    docs_out, scores_out = _phrase_topk(phrase_terms, tp, meta, k, banned)
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(docs_out) + 1, dtype=np.int32), type=pa.int32()
+            ),
+            "doc_id": pa.array(docs_out, type=pa.int64()),
+            "score": pa.array(scores_out, type=pa.float64()),
+        }
+    )
+
+
+def _phrase_topk(
+    phrase_terms: list[str],
+    tp: dict[str, "TermPositions"],
+    meta: IndexMeta,
+    k: int,
+    banned: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared phrase evaluation core: AND-intersect (rarest first),
+    adjacency verify on position lists, deterministic BM25 over matches.
+    Returns (doc_ids, scores) sorted (score desc, doc asc), top-k."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     uniq_terms = sorted(set(phrase_terms))
-    tp = load_postings_with_positions(files, uniq_terms)
-    if any(t not in tp for t in uniq_terms):
-        return _empty_phrase_result()
-    # AND-intersect doc sets, rarest term first
+    if not uniq_terms or any(t not in tp for t in uniq_terms):
+        return empty
     by_df = sorted(uniq_terms, key=lambda t: len(tp[t].docs))
     cand = tp[by_df[0]].docs
     for t in by_df[1:]:
@@ -513,8 +538,7 @@ def phrase_search(
         m[valid] = docs_t[sel[valid]] == cand[valid]
         cand = cand[m]
         if len(cand) == 0:
-            return _empty_phrase_result()
-    # adjacency verification per surviving doc
+            return empty
     matched: list[int] = []
     idx_of = {
         t: np.searchsorted(tp[t].docs, cand) for t in set(phrase_terms)
@@ -530,36 +554,22 @@ def phrase_search(
         if len(live):
             matched.append(int(doc))
     if not matched:
-        return _empty_phrase_result()
+        return empty
     matched_arr = np.asarray(matched, dtype=np.int64)
-    from lsearch_ray.index.tombstones import load_tombstones
-
-    banned = load_tombstones(index_dir)
     if len(banned):
         matched_arr = matched_arr[~np.isin(matched_arr, banned)]
         if len(matched_arr) == 0:
-            return _empty_phrase_result()
-    # deterministic scoring over matched docs (standard contract)
-    dfs = {t: int(len(tp[t].docs)) for t in uniq_terms}
+            return empty
     scores = np.zeros(len(matched_arr), dtype=np.float64)
     for t in uniq_terms:
-        df = dfs[t]
+        df = int(len(tp[t].docs))
         w = math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
         sel = np.searchsorted(tp[t].docs, matched_arr)
         tf = tp[t].tfs[sel].astype(np.float64)
         dl = tp[t].dls[sel].astype(np.float64)
         scores += w * _bm25_norm(tf, dl, meta)
     order = np.lexsort((matched_arr, -scores))[:k]
-    docs_out = matched_arr[order]
-    return pa.table(
-        {
-            "rank": pa.array(
-                np.arange(1, len(docs_out) + 1, dtype=np.int32), type=pa.int32()
-            ),
-            "doc_id": pa.array(docs_out, type=pa.int64()),
-            "score": pa.array(scores[order], type=pa.float64()),
-        }
-    )
+    return matched_arr[order], scores[order]
 
 
 def _empty_phrase_result() -> pa.Table:
@@ -989,6 +999,80 @@ class BatchSearcher:
             out_qid.extend([qid] * len(doc_ids))
             out_rank.append(np.arange(1, len(doc_ids) + 1))
             out_doc.append(doc_ids)
+            out_score.append(scores)
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(
+                    np.concatenate(out_rank) if out_rank else np.empty(0, np.int64),
+                    type=pa.int32(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+                "score": pa.array(
+                    np.concatenate(out_score) if out_score else np.empty(0),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+
+class BatchPhraseSearcher:
+    """``map_batches`` actor for streaming PHRASE queries through a
+    positional index — the distributed counterpart of :func:`phrase_search`
+    (which is driver-side, for tests/one-shots).
+
+    Input batch: (query_id:int64, phrase:string). Output: (query_id,
+    rank, doc_id, score) top-k rows per phrase. Positional postings for
+    the batch's term union load once per batch (pushdown) and cache per
+    actor; tombstoned docs are masked.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, max_cached_terms: int = 50_000):
+        self.meta = IndexMeta.load(index_dir)
+        if not self.meta.has_positions:
+            raise ValueError(
+                "BatchPhraseSearcher needs a positional index: "
+                "build_index(..., positions=True)"
+            )
+        self.index_dir = index_dir
+        self.files = _postings_files(index_dir, self.meta.num_shards)
+        from lsearch_ray.index.tombstones import load_tombstones
+
+        self.banned = load_tombstones(index_dir)
+        self.k = k
+        self.cache: dict[str, TermPositions | None] = {}
+        self.max_cached_terms = max_cached_terms
+
+    def _positions_cached(self, terms: list[str]) -> dict[str, TermPositions]:
+        misses = [t for t in terms if t not in self.cache]
+        if misses:
+            loaded = load_postings_with_positions(self.files, misses)
+            if len(self.cache) + len(misses) > self.max_cached_terms:
+                keep = set(terms)
+                self.cache = {t: v for t, v in self.cache.items() if t in keep}
+            for t in misses:
+                self.cache[t] = loaded.get(t)
+        return {t: self.cache[t] for t in terms if self.cache[t] is not None}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        phrases = batch["phrase"].to_pylist()
+        qids = batch["query_id"].to_pylist()
+        all_terms = sorted({t for p in phrases for t in tokenize(p)})
+        tp = self._positions_cached(all_terms)
+        out_qid: list[int] = []
+        out_rank: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+        for qid, p in zip(qids, phrases):
+            docs, scores = _phrase_topk(
+                tokenize(p), tp, self.meta, self.k, self.banned
+            )
+            out_qid.extend([qid] * len(docs))
+            out_rank.append(np.arange(1, len(docs) + 1))
+            out_doc.append(docs)
             out_score.append(scores)
         return pa.table(
             {

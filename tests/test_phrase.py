@@ -158,3 +158,57 @@ def test_positional_build_keeps_bm25_rank_identity(positional_index):
         want = golden.bm25(q, k=10)
         assert got["doc_id"].to_pylist() == [d for d, _ in want], q
         assert got["score"].to_pylist() == [s for _, s in want], q
+
+
+def test_batch_phrase_searcher_streams(positional_index):
+    """BatchPhraseSearcher through a real Ray actor-pool pipeline matches
+    the driver-side phrase_search per query."""
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.index.search import BatchPhraseSearcher
+
+    index_dir, golden, texts = positional_index
+    phrases = []
+    for text in list(texts.values())[:12]:
+        toks = tokenize(text)
+        if len(toks) >= 2:
+            phrases.append(f"{toks[0]} {toks[1]}")
+    phrases.append("zzz qqq")
+    qt = pa.table(
+        {
+            "query_id": pa.array(range(len(phrases)), type=pa.int64()),
+            "phrase": phrases,
+        }
+    )
+    out = (
+        rd.from_arrow(qt)
+        .repartition(2)
+        .map_batches(
+            BatchPhraseSearcher,
+            fn_constructor_kwargs={"index_dir": index_dir, "k": 10},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    for qid, p in enumerate(phrases):
+        got = out[out["query_id"] == qid].sort_values("rank")
+        want = golden.phrase_bm25(p, k=10)
+        assert got["doc_id"].tolist() == [d for d, _ in want], p
+        assert got["score"].tolist() == [s for _, s in want], p
+
+
+def test_batch_phrase_searcher_requires_positions(tmp_path):
+    from lsearch_ray.index.search import BatchPhraseSearcher
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": ["alpha beta"],
+        }
+    )
+    d = str(tmp_path / "np2")
+    from lsearch_ray.index.build import build_index as bi
+
+    bi(rd.from_arrow(t), d, num_shards=1)
+    with pytest.raises(ValueError):
+        BatchPhraseSearcher(d)
