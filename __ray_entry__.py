@@ -330,6 +330,31 @@ def _q_events_sliding(sf_dir: str):
     ).sort(["event_type", "window_start"])
 
 
+def _q_sample_events(sf_dir: str):
+    """Deterministic 10% sample keyed on hash(event_id) — same rows on
+    any cluster size / batch split, reproducible in SQL."""
+    from lsearch_ray.functions import hash_sample
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return hash_sample(ev, "event_id", num=1, denom=10).sort("event_id")
+
+
+def _q_distinct_users_kmv(sf_dir: str):
+    """KMV distinct-count sketch over user_id (deterministic: FNV hashes
+    → same kth-minimum → same estimate on any partitioning)."""
+    from lsearch_ray.functions import kmv_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    s = kmv_distinct(ev, "user_id", k=64)
+    return pa.table(
+        {
+            "estimate_e3": pa.array([s["estimate_e3"]], type=pa.int64()),
+            "kth_hash": pa.array([s["kth_hash"]], type=pa.int64()),
+            "k": pa.array([s["k"]], type=pa.int64()),
+        }
+    )
+
+
 def _q_quality(sf_dir: str):
     from lsearch_ray.functions import quality_stats
 
@@ -570,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
+        "sample_events": _q_sample_events,
+        "distinct_users_kmv": _q_distinct_users_kmv,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -677,6 +704,17 @@ def _fnv63_of(expr: str) -> str:
         f"list_reduce(list_prepend({_FNV_BASIS}, "
         f"list_transform(range(1, length({expr}) + 1), "
         f"i -> CAST(ord(substr({expr}, i, 1)) AS HUGEINT))), {_FNV_STEP}) "
+        "% CAST(9223372036854775808 AS HUGEINT)"
+    )
+
+
+def _mixed_hash63_of(expr: str) -> str:
+    """functions.sampling._key_hash63 twin: FNV-1a63 of the string form,
+    finished with an odd-constant multiply mod 2^64, re-masked to 63
+    bits (the mix restores uniformity for short keys)."""
+    return (
+        f"(({_fnv63_of(expr)}) * 11400714819323198485) "
+        "% CAST(18446744073709551616 AS HUGEINT) "
         "% CAST(9223372036854775808 AS HUGEINT)"
     )
 
@@ -964,6 +1002,30 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
         ),
         "bm25_phrase_topk": _phrase_sql(),
+        "sample_events": (
+            # deterministic hash-mod sample: identical FNV+mix arithmetic
+            # to functions.sampling.hash_sample
+            "SELECT event_id, user_id, value FROM ("
+            f"  SELECT event_id, user_id, value, "
+            f"  {_mixed_hash63_of('CAST(event_id AS VARCHAR)')} AS h FROM events"
+            ") WHERE h % 10 < 1"
+        ),
+        "distinct_users_kmv": (
+            # KMV sketch twin: same hashes → same kth minimum → same
+            # fixed-point estimate; left-to-right float order matches
+            # (k-1)*2^63/kth then *1000 half-away
+            f"WITH hs AS (SELECT DISTINCT {_mixed_hash63_of('CAST(user_id AS VARCHAR)')} AS hv FROM events) "
+            "SELECT CASE WHEN (SELECT count(*) FROM hs) < 64 "
+            "  THEN (SELECT count(*) FROM hs) * 1000 "
+            "  ELSE CAST(floor(63 * 9223372036854775808.0 / "
+            "       (SELECT hv FROM hs ORDER BY hv LIMIT 1 OFFSET 63) "
+            "       * 1000.0 + 0.5) AS BIGINT) END AS estimate_e3, "
+            "CAST(CASE WHEN (SELECT count(*) FROM hs) < 64 "
+            "  THEN coalesce((SELECT max(hv) FROM hs), 0) "
+            "  ELSE (SELECT hv FROM hs ORDER BY hv LIMIT 1 OFFSET 63) "
+            "  END AS BIGINT) AS kth_hash, "
+            "CAST(64 AS BIGINT) AS k"
+        ),
         "fingerprint": _fingerprint_sql(),
         "langid": _langid_sql(),
         "lsh_ann": _lsh_ann_sql(),

@@ -37,6 +37,7 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
     ngram_jaccard_dedup,
 )
 from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
+from lsearch_ray.functions.sampling import hash_sample, kmv_distinct  # noqa: F401
 from lsearch_ray.functions.skew import salted_groupby_sum  # noqa: F401
 from lsearch_ray.functions.windows import (  # noqa: F401
     sliding_window_agg,

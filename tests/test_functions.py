@@ -114,3 +114,41 @@ def test_sliding_window_agg():
     # tumbling = slide == size: one window per event
     tumb = tumbling_window_agg(ds, key_cols=["k"], size_s=3600).take_all()
     assert sum(r["n"] for r in tumb) == 3
+
+
+def test_hash_sample_deterministic_across_splits():
+    from lsearch_ray.functions import hash_sample
+
+    t = pa.table(
+        {
+            "id": pa.array(range(1000), type=pa.int64()),
+            "v": pa.array(np.arange(1000.0)),
+        }
+    )
+    one = sorted(
+        r["id"] for r in hash_sample(rd.from_arrow(t), "id", num=1, denom=4).take_all()
+    )
+    many = sorted(
+        r["id"]
+        for r in hash_sample(
+            rd.from_arrow(t).repartition(7), "id", num=1, denom=4
+        ).take_all()
+    )
+    assert one == many
+    assert 150 < len(one) < 350  # ~25%
+
+
+def test_kmv_distinct_split_invariant_and_accurate():
+    from lsearch_ray.functions import kmv_distinct
+
+    n = 5000
+    t = pa.table({"u": pa.array(np.arange(n) % 1200, type=pa.int64())})
+    a = kmv_distinct(rd.from_arrow(t), "u", k=256)
+    b = kmv_distinct(rd.from_arrow(t).repartition(11), "u", k=256)
+    assert a == b  # bit-identical on any partitioning
+    est = a["estimate_e3"] / 1000.0
+    assert abs(est - 1200) / 1200 < 0.15  # k=256 → ~6% expected error
+    # under-k regime is exact
+    small = pa.table({"u": pa.array(np.arange(100), type=pa.int64())})
+    s = kmv_distinct(rd.from_arrow(small), "u", k=256)
+    assert s["estimate_e3"] == 100_000
