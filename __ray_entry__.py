@@ -330,6 +330,43 @@ def _q_events_sliding(sf_dir: str):
     ).sort(["event_type", "window_start"])
 
 
+def _q_asof_clicks_views(sf_dir: str):
+    """As-of join: each click gets the user's most recent prior (or
+    simultaneous) view — hash-partition co-group + per-partition
+    vectorized merge_asof (functions.joins.asof_join)."""
+    from lsearch_ray.functions.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def side(kind: str):
+        return ev.map_batches(
+            lambda b, k=kind: b.filter(
+                pc.equal(b["event_type"], k)
+            ).select(["event_id", "user_id", "ts"]),
+            batch_format="pyarrow",
+        )
+
+    out = asof_join(
+        side("click"),
+        side("view"),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["event_id"],
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "last_view_id": pc.fill_null(
+                    b["event_id_right"].cast(pa.int64(), safe=False), -1
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_id")
+
+
 def _q_sample_events(sf_dir: str):
     """Deterministic 10% sample keyed on hash(event_id) — same rows on
     any cluster size / batch split, reproducible in SQL."""
@@ -595,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
+        "asof_clicks_views": _q_asof_clicks_views,
         "sample_events": _q_sample_events,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "quality_stats": _q_quality,
@@ -1002,6 +1040,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
         ),
         "bm25_phrase_topk": _phrase_sql(),
+        "asof_clicks_views": (
+            "SELECT c.event_id, c.user_id, "
+            "coalesce(v.event_id, -1) AS last_view_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON c.user_id = v.user_id AND v.ts <= c.ts"
+        ),
         "sample_events": (
             # deterministic hash-mod sample: identical FNV+mix arithmetic
             # to functions.sampling.hash_sample

@@ -83,6 +83,90 @@ def hash_join(
     )
 
 
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    num_partitions: int = 64,
+):
+    """As-of join: each left row gets the RIGHT row with the greatest
+    ``ts`` ≤ its own ``ts`` for the same key (backward direction, exact
+    matches included) — the time-series join Ray Data lacks.
+
+    Distributed plan: both sides are tagged and hash-partitioned on the
+    key (a union + one groupby shuffle — each reduce task sees one whole
+    partition of BOTH sides), then a vectorized ``pandas.merge_asof``
+    runs per partition. No driver materialization; partition memory =
+    (left+right)/num_partitions, same reducer shape as any groupby.
+    Precondition: right (key, ts) pairs unique (dedupe upstream
+    otherwise — ties would make the winner engine-defined)."""
+    from lsearch_ray.functions.dedup import _col_hash64
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    right_cols = right_cols or [
+        c for c in right_schema.names if c not in (key_col, ts_col)
+    ]
+    left_value_cols = [
+        c for c in left_schema.names if c not in (key_col, ts_col)
+    ]
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    out_right = [f"{c}{suffix}" for c in right_cols]
+    mult = np.uint64(0x100000001B3)
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            with np.errstate(over="ignore"):
+                part = (
+                    (_col_hash64(b[key_col]) * mult)
+                    % np.uint64(num_partitions)
+                ).astype(np.int64)
+            cols = {
+                "__part": pa.array(part),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                key_col: b[key_col],
+                ts_col: b[ts_col],
+            }
+            for c in left_value_cols:
+                cols[c] = (
+                    b[c] if side == 0 else pa.nulls(n, type=left_types[c])
+                )
+            for c, oc in zip(right_cols, out_right):
+                cols[oc] = (
+                    b[c] if side == 1 else pa.nulls(n, type=right_types[c])
+                )
+            return pa.table(cols)
+
+        return f
+
+    both = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = (
+            g[g["__side"] == 0][[key_col, ts_col, *left_value_cols]]
+            .sort_values(ts_col, kind="mergesort")
+        )
+        rhs = (
+            g[g["__side"] == 1][[key_col, ts_col, *out_right]]
+            .sort_values(ts_col, kind="mergesort")
+        )
+        return pd.merge_asof(
+            lhs, rhs, on=ts_col, by=key_col, direction="backward"
+        )
+
+    return both.groupby("__part").map_groups(
+        join_partition, batch_format="pandas"
+    )
+
+
 def sessionize(
     events_ds,
     *,

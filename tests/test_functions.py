@@ -152,3 +152,55 @@ def test_kmv_distinct_split_invariant_and_accurate():
     small = pa.table({"u": pa.array(np.arange(100), type=pa.int64())})
     s = kmv_distinct(rd.from_arrow(small), "u", k=256)
     assert s["estimate_e3"] == 100_000
+
+
+def test_asof_join_matches_pandas_reference():
+    """asof_join (hash-partition co-group + per-partition merge_asof)
+    equals a single global pandas merge_asof."""
+    import pandas as pd
+
+    from lsearch_ray.functions.joins import asof_join
+
+    rng = np.random.RandomState(4)
+    left = pa.table(
+        {
+            "lid": pa.array(range(200), type=pa.int64()),
+            "user_id": pa.array(rng.randint(0, 12, 200), type=pa.int64()),
+            "ts": pa.array(
+                np.sort(rng.randint(0, 10**9, 200)).astype("datetime64[us]")
+            ),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(range(1000, 1150), type=pa.int64()),
+            "user_id": pa.array(rng.randint(0, 12, 150), type=pa.int64()),
+            "ts": pa.array(
+                np.sort(rng.randint(0, 10**9, 150)).astype("datetime64[us]")
+            ),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            key_col="user_id",
+            ts_col="ts",
+            right_cols=["rid"],
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.to_pandas().sort_values("ts"),
+        right.to_pandas().sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert got["lid"].astype("int64").tolist() == want["lid"].tolist()
+    g = got["rid_right"].fillna(-1).astype("int64").tolist()
+    w = want["rid"].fillna(-1).astype("int64").tolist()
+    assert g == w
