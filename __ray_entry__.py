@@ -574,12 +574,16 @@ def _q_bm25_phrase(sf_dir: str):
     """Exact-phrase BM25 top-10 through the REAL positional index path:
     build_index(positions=True) → codec positions blobs → phrase_search
     (adjacency on decoded position lists)."""
+    import hashlib
     import shutil
 
     from lsearch_ray.index.build import build_index
     from lsearch_ray.index.search import phrase_search
 
-    index_dir = f"/tmp/lsr_phrase_idx_{abs(hash(sf_dir)) % 10**8}"
+    # stable content-derived name: hash() is salted per process, which
+    # would leak a fresh /tmp dir per run instead of reusing+cleaning one
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/lsr_phrase_idx_{tag}"
     shutil.rmtree(index_dir, ignore_errors=True)
     docs = _docs(sf_dir, ["doc_id", "text"])
     build_index(docs, index_dir, num_shards=4, positions=True)

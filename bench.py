@@ -321,15 +321,18 @@ def measure_memory_ceiling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
 def run_scaling() -> dict:
     """Index build at num_cpus=8 vs 32, fresh processes, same input.
 
-    Best-of-3 per level with cooldowns and alternating order: single-run
-    wall times on this box vary ±2-4× with background host load, and the
-    criterion is about the pipeline's scalability, not the noisiest
-    sample. The scaling corpus defaults to 2M docs (larger than the
-    default bench corpus) so per-level work dominates fixed startup
-    costs. A pure-CPU spin test measured in the same session provides the
-    host's parallel ceiling; `value_vs_ceiling` is the build's efficiency
-    relative to that ceiling (1.0 = the build scales as well as ANY
-    parallel job can on this box).
+    Protocol: 2 alternating-order rounds; each level runs in a fresh
+    process that does an untimed warm-up build then takes the best of
+    LSR_BENCH_REPS (default 4) timed in-session builds, with cooldowns
+    between levels. Single-run wall times on this box vary ±2-4× with
+    background host load on minute scales, so dense in-session sampling
+    beats more cold sessions. The scaling corpus defaults to 2M docs
+    (larger than the default bench corpus) so per-level work dominates
+    fixed startup costs. A pure-CPU spin test and a memory-streaming test
+    measured in the same session provide the host's parallel ceilings;
+    `value_vs_ceiling` is the build's efficiency relative to the CPU
+    ceiling (1.0 = the build scales as well as ANY compute-bound parallel
+    job can on this box).
     """
     global BENCH_DOCS, CORPUS_DIR
     if "LSR_BENCH_DOCS" not in os.environ:

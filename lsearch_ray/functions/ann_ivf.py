@@ -110,6 +110,12 @@ def build_ivf_index(
     assigned = emb_ds.map_batches(
         AssignClusters(centroids, emb_col), batch_format="pyarrow"
     )
+    # clear any previous layout: write_parquet APPENDS uuid-named files,
+    # so a rebuild over a stale dir would leave duplicate/deleted vectors
+    # for ivf_search to read
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
     os.makedirs(index_dir, exist_ok=True)
     assigned.write_parquet(index_dir, partition_cols=["cluster"])
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)

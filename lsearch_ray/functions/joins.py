@@ -149,21 +149,40 @@ def asof_join(
         right_ds.map_batches(tag(1), batch_format="pyarrow")
     )
 
-    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+    int_right = {
+        oc
+        for c, oc in zip(right_cols, out_right)
+        if pa.types.is_integer(right_types[c])
+    }
+
+    def join_partition(g: pa.Table) -> pa.Table:
+        # stay Arrow until each side is split out: converting the padded
+        # UNION to pandas would promote int64-with-null columns to
+        # float64 and corrupt values above 2^53
+        side = g["__side"].to_numpy(zero_copy_only=False)
         lhs = (
-            g[g["__side"] == 0][[key_col, ts_col, *left_value_cols]]
+            g.filter(pa.array(side == 0))
+            .select([key_col, ts_col, *left_value_cols])
+            .to_pandas()
             .sort_values(ts_col, kind="mergesort")
         )
         rhs = (
-            g[g["__side"] == 1][[key_col, ts_col, *out_right]]
+            g.filter(pa.array(side == 1))
+            .select([key_col, ts_col, *out_right])
+            .to_pandas()
             .sort_values(ts_col, kind="mergesort")
         )
-        return pd.merge_asof(
+        merged = pd.merge_asof(
             lhs, rhs, on=ts_col, by=key_col, direction="backward"
         )
+        # unmatched lefts made integer right-cols float64 — restore
+        # nullable Int64 so the Arrow round-trip keeps int64 + null
+        for oc in int_right:
+            merged[oc] = merged[oc].astype("Int64")
+        return merged
 
     return both.groupby("__part").map_groups(
-        join_partition, batch_format="pandas"
+        join_partition, batch_format="pyarrow"
     )
 
 

@@ -92,10 +92,16 @@ class DecodeImage:
         self.fake = fake
 
     def _decode_real(self, raw: bytes) -> tuple[int, int, bytes]:
-        if raw[:2] == b"P6":
-            return _decode_ppm_p6(raw)
-        if raw[:2] == b"BM":
-            return _decode_bmp24(raw)
+        # native fast paths first, but fall through to PIL for variants
+        # they reject (RLE/8/32-bpp BMP, maxval≠255 PPM, ...)
+        try:
+            if raw[:2] == b"P6":
+                return _decode_ppm_p6(raw)
+            if raw[:2] == b"BM":
+                return _decode_bmp24(raw)
+        except ValueError:
+            if _PILImage is None:
+                raise
         if _PILImage is not None:
             import io
 

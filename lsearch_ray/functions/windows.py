@@ -30,14 +30,17 @@ def _window_rows(
     slide_us: int,
     carry_cols: list[str],
 ) -> pa.Table:
+    import pyarrow.compute as pc
+
     ts = b[ts_col]
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
     # normalize to µs regardless of source resolution (parquet is us,
-    # from_items/pandas often ns)
-    us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
-        zero_copy_only=False
-    )
+    # from_items/pandas often ns); safe=False permits sub-µs truncation —
+    # the default safe cast RAISES on any nonzero nanosecond remainder
+    us = pc.cast(ts, pa.timestamp("us"), safe=False).cast(
+        pa.int64()
+    ).to_numpy(zero_copy_only=False)
     n_windows = -(-size_us // slide_us)  # ceil
     parts = []
     for i in range(n_windows):

@@ -772,6 +772,78 @@ def _filter_excluded(
     return out
 
 
+def _accumulate_topk(
+    doc_parts: list[np.ndarray],
+    contrib_parts: list[np.ndarray],
+    n_terms: int,
+    k: int,
+    mode: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The bit-identity-critical scoring tail shared by score_query and
+    the contribution-cache paths: concat per-term (docs, contribs) parts
+    in sorted-term order, scatter-add per doc, AND-filter on hit count,
+    (score desc, doc asc) top-k."""
+    if not doc_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(doc_parts)
+    contribs = np.concatenate(contrib_parts)
+    uniq, inverse = np.unique(docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(scores, inverse, contribs)  # in concatenation (= term) order
+    if mode == "and" and n_terms:
+        hits = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(hits, inverse, 1)
+        keep = hits == n_terms
+        uniq, scores = uniq[keep], scores[keep]
+    if len(uniq) == 0:
+        return uniq.astype(np.int64), scores
+    order = np.lexsort((uniq, -scores))[:k]
+    return uniq[order].astype(np.int64), scores[order]
+
+
+def _build_term_contribs(
+    frags: list, df: int, meta: IndexMeta
+) -> tuple[np.ndarray, np.ndarray]:
+    """One term's concatenated (docs, idf·norm contributions) over its
+    LazyPostings fragments — the cacheable per-term scoring state (same
+    expression and operation order as score_query, so cached values are
+    bit-identical to a fresh computation)."""
+    w = math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
+    doc_parts, contrib_parts = [], []
+    for f in frags:
+        docs_f, tfs_f, dls_f = f.decode_all()
+        doc_parts.append(docs_f)
+        contrib_parts.append(
+            w * _bm25_norm(tfs_f.astype(np.float64), dls_f.astype(np.float64), meta)
+        )
+    return np.concatenate(doc_parts), np.concatenate(contrib_parts)
+
+
+def _score_from_contrib_cache(
+    terms: list[str],
+    cache: dict,
+    postings: dict[str, list],
+    dfs: dict[str, int],
+    meta: IndexMeta,
+    k: int,
+    mode: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score a no-negation query from per-term cached contributions,
+    filling cache misses from ``postings``/``dfs``."""
+    doc_parts, contrib_parts = [], []
+    for term in terms:  # sorted unique (parse_query contract)
+        c = cache.get(term)
+        if c is None:
+            frags = postings.get(term)
+            if not frags:
+                continue
+            c = _build_term_contribs(frags, dfs[term], meta)
+            cache[term] = c
+        doc_parts.append(c[0])
+        contrib_parts.append(c[1])
+    return _accumulate_topk(doc_parts, contrib_parts, len(terms), k, mode)
+
+
 def score_query(
     query: str,
     postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]],
@@ -808,22 +880,7 @@ def score_query(
             )
             doc_parts.append(doc_ids)
             contrib_parts.append(idf * norm)
-    if not doc_parts:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    docs = np.concatenate(doc_parts)
-    contribs = np.concatenate(contrib_parts)
-    uniq, inverse = np.unique(docs, return_inverse=True)
-    scores = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(scores, inverse, contribs)  # in concatenation (= term) order
-    if mode == "and" and terms:
-        hits = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(hits, inverse, 1)
-        keep = hits == len(terms)
-        uniq, scores = uniq[keep], scores[keep]
-    if len(uniq) == 0:
-        return uniq.astype(np.int64), scores
-    order = np.lexsort((uniq, -scores))[:k]
-    return uniq[order].astype(np.int64), scores[order]
+    return _accumulate_topk(doc_parts, contrib_parts, len(terms), k, mode)
 
 
 def search_index(
@@ -917,64 +974,15 @@ class BatchSearcher:
                 self.cache[t] = loaded.get(t, [])
         return {t: self.cache[t] for t in terms if self.cache[t]}
 
-    def _contribs_for(
-        self, term: str, postings: dict[str, list], dfs: dict[str, int]
-    ) -> tuple[np.ndarray, np.ndarray] | None:
-        hit = self._contrib.get(term)
-        if hit is not None:
-            return hit
-        frags = postings.get(term)
-        if not frags:
-            return None
-        df = dfs[term]
-        w = math.log(1.0 + (self.meta.n_docs - df + 0.5) / (df + 0.5))
-        doc_parts, contrib_parts = [], []
-        for f in frags:
-            docs_f, tfs_f, dls_f = f.decode_all()
-            doc_parts.append(docs_f)
-            # same expression/operation order as score_query — cached
-            # values are bit-identical to a fresh computation
-            contrib_parts.append(
-                w
-                * _bm25_norm(
-                    tfs_f.astype(np.float64), dls_f.astype(np.float64), self.meta
-                )
-            )
-        out = (np.concatenate(doc_parts), np.concatenate(contrib_parts))
-        self._contrib[term] = out
-        return out
-
     def _score_cached(
         self, query: str, postings: dict[str, list], dfs: dict[str, int]
     ) -> tuple[np.ndarray, np.ndarray]:
-        """score_query semantics over per-term cached contribution arrays
-        (OR/AND, no negation, no tombstones)."""
+        """score_query semantics via the shared per-term contribution
+        cache (OR/AND, no negation, no tombstones)."""
         terms, _ = parse_query(query)
-        doc_parts, contrib_parts = [], []
-        n_present = 0
-        for term in terms:  # parse_query returns sorted unique terms
-            c = self._contribs_for(term, postings, dfs)
-            if c is None:
-                continue
-            n_present += 1
-            doc_parts.append(c[0])
-            contrib_parts.append(c[1])
-        if not doc_parts:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        docs = np.concatenate(doc_parts)
-        contribs = np.concatenate(contrib_parts)
-        uniq, inverse = np.unique(docs, return_inverse=True)
-        scores = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(scores, inverse, contribs)
-        if self.mode == "and" and terms:
-            hits = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(hits, inverse, 1)
-            keep = hits == len(terms)
-            uniq, scores = uniq[keep], scores[keep]
-        if len(uniq) == 0:
-            return uniq.astype(np.int64), scores
-        order = np.lexsort((uniq, -scores))[: self.k]
-        return uniq[order].astype(np.int64), scores[order]
+        return _score_from_contrib_cache(
+            terms, self._contrib, postings, dfs, self.meta, self.k, self.mode
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = batch["query"].to_pylist()
@@ -1129,29 +1137,6 @@ class _ShardGroupSearcher:
             t: sum(f.df for f in self.postings.get(t, ())) for t in terms
         }
 
-    def _contribs_for(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
-        hit = self._contrib.get(term)
-        if hit is not None:
-            return hit
-        frags = self.postings.get(term)
-        if not frags:
-            return None
-        df = self.global_dfs_all[term]
-        w = math.log(1.0 + (self.meta.n_docs - df + 0.5) / (df + 0.5))
-        doc_parts, contrib_parts = [], []
-        for f in frags:
-            docs_f, tfs_f, dls_f = f.decode_all()
-            doc_parts.append(docs_f)
-            contrib_parts.append(
-                w
-                * _bm25_norm(
-                    tfs_f.astype(np.float64), dls_f.astype(np.float64), self.meta
-                )
-            )
-        out = (np.concatenate(doc_parts), np.concatenate(contrib_parts))
-        self._contrib[term] = out
-        return out
-
     def search(
         self, query: str, k: int, mode: str
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -1159,29 +1144,15 @@ class _ShardGroupSearcher:
         # makes local scores complete → local top-k is exact.
         terms, excluded = parse_query(query)
         if not excluded and len(self.banned) == 0:
-            doc_parts, contrib_parts = [], []
-            for term in terms:  # sorted unique
-                c = self._contribs_for(term)
-                if c is None:
-                    continue
-                doc_parts.append(c[0])
-                contrib_parts.append(c[1])
-            if not doc_parts:
-                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-            docs = np.concatenate(doc_parts)
-            contribs = np.concatenate(contrib_parts)
-            uniq, inverse = np.unique(docs, return_inverse=True)
-            scores = np.zeros(len(uniq), dtype=np.float64)
-            np.add.at(scores, inverse, contribs)
-            if mode == "and" and terms:
-                hits = np.zeros(len(uniq), dtype=np.int64)
-                np.add.at(hits, inverse, 1)
-                keep = hits == len(terms)
-                uniq, scores = uniq[keep], scores[keep]
-            if len(uniq) == 0:
-                return uniq.astype(np.int64), scores
-            order = np.lexsort((uniq, -scores))[:k]
-            return uniq[order].astype(np.int64), scores[order]
+            return _score_from_contrib_cache(
+                terms,
+                self._contrib,
+                self.postings,
+                self.global_dfs_all,
+                self.meta,
+                k,
+                mode,
+            )
         dfs = {
             t: self.global_dfs_all.get(t, 0)
             for t in set(terms) | set(excluded)

@@ -6,9 +6,12 @@ hold it); every query path masks tombstoned docs IMMEDIATELY (they can
 never appear in results), while corpus statistics (n_docs, avgdl, df)
 keep counting them until ``compact_index`` rewrites the affected shards
 — at which point the index is byte-identical to a fresh build over the
-live corpus (tested; caveat: a deleted doc that tokenized to zero tokens
-has no postings to drop, so compaction cannot subtract it from n_docs —
-same caveat as any postings-derived count).
+live corpus (tested, including corpora with token-less docs: compaction
+adjusts the manifest counts from the OLD manifest minus the shard's
+tombstones rather than recounting from postings, so live token-less docs
+stay counted). Caveat: deleting an id that was never indexed makes
+n_docs undercount by one after compaction — deletion of nonexistent ids
+is out of contract.
 
 Crash safety: tombstone writes and shard rewrites are tmp+rename atomic;
 a crash mid-compaction leaves tombstones in place, and re-running
@@ -89,6 +92,8 @@ def compact_index(index_dir: str) -> IndexMeta:
 
     After compaction the index is byte-identical to a fresh build over
     the live corpus (same sort→encode reduce as the build and merge)."""
+    import json
+
     from lsearch_ray.index.merge import decode_all_postings
 
     meta = IndexMeta.load(index_dir)
@@ -96,18 +101,36 @@ def compact_index(index_dir: str) -> IndexMeta:
         banned = load_tombstones_for_shard(index_dir, s)
         if len(banned) == 0:
             continue
-        pa.set_cpu_count(1)
         cols = ["term", "df", "docs", "tfs", "dls"]
         path = os.path.join(_shard_dir(index_dir, s), "postings.parquet")
         avail = pq.ParquetFile(path).schema_arrow.names
         if "poss" in avail:
             cols.append("poss")
         triples = decode_all_postings(pq.read_table(path, columns=cols))
-        keep = ~np.isin(
-            triples["doc_id"].to_numpy(zero_copy_only=False), banned
+        doc_ids = triples["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(doc_ids, banned)
+        # adjust stats from the OLD manifest, not from surviving postings:
+        # the manifest counts token-less docs (stage-A docstats) which
+        # postings can never see — recounting would silently drop them
+        with open(os.path.join(_shard_dir(index_dir, s), "manifest.json")) as f:
+            old = json.load(f)
+        dls = triples["dl"].to_numpy(zero_copy_only=False)
+        dropped = ~keep
+        if dropped.any():
+            uq, ui = np.unique(doc_ids[dropped], return_index=True)
+            deleted_dl = int(dls[dropped][ui].sum())
+        else:
+            deleted_dl = 0
+        doc_stats = (
+            int(old["n_docs"]) - int(len(banned)),
+            int(old["dl_sum"]) - deleted_dl,
         )
         encode_shard_table(
-            triples.filter(pa.array(keep)), index_dir, s, meta.block_size
+            triples.filter(pa.array(keep)),
+            index_dir,
+            s,
+            meta.block_size,
+            doc_stats,
         )
     # all shards committed → drop tombstones, refresh meta/termstats
     for s in range(meta.num_shards):

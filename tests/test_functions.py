@@ -204,3 +204,35 @@ def test_asof_join_matches_pandas_reference():
     g = got["rid_right"].fillna(-1).astype("int64").tolist()
     w = want["rid"].fillna(-1).astype("int64").tolist()
     assert g == w
+
+
+def test_sliding_window_ns_timestamps():
+    """Nanosecond timestamps with sub-µs remainders must truncate, not
+    raise (the default safe cast errors on nonzero ns bits)."""
+    from lsearch_ray.functions import tumbling_window_agg
+
+    ts = pa.array(
+        np.array([1_500, 3_600_000_000_000 + 7], dtype="datetime64[ns]")
+    )
+    t = pa.table({"k": ["a", "a"], "ts": ts, "value": [1.0, 2.0]})
+    out = tumbling_window_agg(rd.from_arrow(t), key_cols=["k"], size_s=3600).take_all()
+    assert sum(r["n"] for r in out) == 2
+
+
+def test_build_ivf_index_rebuild_clears_stale(tmp_path):
+    from lsearch_ray.functions import build_ivf_index, ivf_search
+
+    rng = np.random.RandomState(2)
+    def tbl(n):
+        m = rng.randn(n, 8).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(m.tolist(), type=pa.list_(pa.float32())),
+        })
+    idx = str(tmp_path / "ivf2")
+    build_ivf_index(rd.from_arrow(tbl(100)), idx, n_clusters=4, seed=3)
+    # rebuild over a SMALLER corpus: stale rows must not survive
+    build_ivf_index(rd.from_arrow(tbl(40)), idx, n_clusters=4, seed=3)
+    got = ivf_search(idx, rng.randn(8), k=100, nprobe=4)
+    assert got.num_rows <= 40
+    assert max(got["vec_id"].to_pylist()) < 40

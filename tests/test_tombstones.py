@@ -207,3 +207,30 @@ def test_deleted_docs_vanish_in_forced_lazy_path(built, monkeypatch):
             fp = os.path.join(index_dir, f"shard={s:05d}", "tombstones.parquet")
             if os.path.exists(fp):
                 os.remove(fp)
+
+
+def test_compaction_preserves_tokenless_doc_stats(tmp_path):
+    """Live token-less docs must stay in n_docs/avgdl through compaction
+    (the manifest adjustment path, not a postings recount)."""
+    texts = ["", "alpha beta gamma", "", "alpha alpha", "delta beta"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    d = str(tmp_path / "tl")
+    build_index(rd.from_arrow(t), d, num_shards=2)
+    delete_docs(d, [3])  # delete a doc WITH postings
+    meta = compact_index(d)
+    # fresh build over live corpus (keeps both empty docs)
+    live = t.filter(pa.array([i != 3 for i in range(5)]))
+    d2 = str(tmp_path / "tl_fresh")
+    build_index(rd.from_arrow(live), d2, num_shards=2)
+    fresh = IndexMeta.load(d2)
+    assert meta.n_docs == fresh.n_docs == 4
+    assert meta.avgdl == fresh.avgdl
+    # and deleting an EMPTY doc adjusts counts too
+    delete_docs(d, [0])
+    meta2 = compact_index(d)
+    assert meta2.n_docs == 3
