@@ -330,6 +330,46 @@ def _q_events_sliding(sf_dir: str):
     ).sort(["event_type", "window_start"])
 
 
+_PRICE_BANDS = [
+    ("low", 0.0, 60_000.0),
+    ("mid", 40_000.0, 160_000.0),  # overlaps low AND high on purpose
+    ("high", 120_000.0, 10**9),
+]
+
+
+def _q_range_join_orders(sf_dir: str):
+    """Interval join of orders against OVERLAPPING price bands (broadcast
+    small side, vectorized membership — one row per matching band)."""
+    from ray.data.aggregate import Count, Sum
+
+    from lsearch_ray.functions.joins import range_join
+
+    bands = pa.table(
+        {
+            "band": [b[0] for b in _PRICE_BANDS],
+            "lo": [b[1] for b in _PRICE_BANDS],
+            "hi": [b[2] for b in _PRICE_BANDS],
+        }
+    )
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    joined = range_join(o, bands, value_col="o_totalprice")
+    agg = joined.groupby("band").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="total")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "band": b["band"],
+                "n": b["n"],
+                "total_cents": pc.round(
+                    pc.multiply(b["total"], pa.scalar(100.0)), 0
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_asof_clicks_views(sf_dir: str):
     """As-of join: each click gets the user's most recent prior (or
     simultaneous) view — hash-partition co-group + per-partition
@@ -636,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
+        "range_join_orders": _q_range_join_orders,
         "asof_clicks_views": _q_asof_clicks_views,
         "sample_events": _q_sample_events,
         "distinct_users_kmv": _q_distinct_users_kmv,
@@ -1044,6 +1085,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT term, count(*) AS df FROM ({_TF}) GROUP BY term"
         ),
         "bm25_phrase_topk": _phrase_sql(),
+        "range_join_orders": (
+            "WITH bands(band, lo, hi) AS (VALUES "
+            + ", ".join(
+                f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in _PRICE_BANDS
+            )
+            + ") SELECT b.band, count(*) AS n, "
+            "CAST(round(sum(o.o_totalprice) * 100.0, 0) AS BIGINT) AS total_cents "
+            "FROM orders o JOIN bands b "
+            "ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
+            "GROUP BY b.band"
+        ),
         "asof_clicks_views": (
             "SELECT c.event_id, c.user_id, "
             "coalesce(v.event_id, -1) AS last_view_id "

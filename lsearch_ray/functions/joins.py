@@ -83,6 +83,72 @@ def hash_join(
     )
 
 
+def range_join(
+    left_ds,
+    intervals: pa.Table,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+):
+    """Interval join: each left row matches every interval with
+    ``lo <= value < hi`` (intervals may OVERLAP — one left row can emit
+    several output rows). The interval table is broadcast (small side
+    ships with the task spec); per batch, one vectorized pass per
+    interval builds the match set — no shuffle, no per-row Python.
+
+    ``how="left"`` keeps non-matching rows with null interval columns.
+    """
+    import pyarrow.compute as pc
+
+    n_iv = intervals.num_rows
+    lo = intervals[lo_col].to_numpy(zero_copy_only=False)
+    hi = intervals[hi_col].to_numpy(zero_copy_only=False)
+    iv_cols = intervals.column_names
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        v = b[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False)
+        row_parts, iv_parts = [], []
+        for i in range(n_iv):
+            idx = np.flatnonzero((vals >= lo[i]) & (vals < hi[i]))
+            if len(idx):
+                row_parts.append(idx)
+                iv_parts.append(np.full(len(idx), i, dtype=np.int64))
+        if row_parts:
+            rows = np.concatenate(row_parts)
+            ivs = np.concatenate(iv_parts)
+            order = np.lexsort((ivs, rows))  # stable (row, interval) order
+            rows, ivs = rows[order], ivs[order]
+        else:
+            rows = np.empty(0, dtype=np.int64)
+            ivs = np.empty(0, dtype=np.int64)
+        if how == "left":
+            matched = np.zeros(len(vals), dtype=bool)
+            matched[rows] = True
+            miss = np.flatnonzero(~matched)
+            rows = np.concatenate([rows, miss])
+            ivs = np.concatenate([ivs, np.full(len(miss), -1, dtype=np.int64)])
+            order = np.lexsort((ivs, rows))
+            rows, ivs = rows[order], ivs[order]
+        out = {c: b[c].take(pa.array(rows)) for c in b.column_names}
+        iv_idx = pa.array(
+            np.where(ivs >= 0, ivs, 0), type=pa.int64()
+        )
+        null_mask = pa.array(ivs < 0)
+        for c in iv_cols:
+            col = intervals[c].take(iv_idx)
+            if how == "left":
+                col = pc.if_else(null_mask, pa.nulls(len(ivs), type=col.type), col)
+            out[c] = col
+        return pa.table(out)
+
+    return left_ds.map_batches(join_batch, batch_format="pyarrow")
+
+
 def asof_join(
     left_ds,
     right_ds,

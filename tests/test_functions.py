@@ -236,3 +236,21 @@ def test_build_ivf_index_rebuild_clears_stale(tmp_path):
     got = ivf_search(idx, rng.randn(8), k=100, nprobe=4)
     assert got.num_rows <= 40
     assert max(got["vec_id"].to_pylist()) < 40
+
+
+def test_range_join_overlapping_and_left():
+    from lsearch_ray.functions.joins import range_join
+
+    iv = pa.table(
+        {"band": ["a", "b"], "lo": [0.0, 5.0], "hi": [10.0, 15.0]}
+    )
+    t = pa.table(
+        {"id": pa.array([1, 2, 3], type=pa.int64()), "v": [7.0, 12.0, 99.0]}
+    )
+    inner = range_join(rd.from_arrow(t), iv, value_col="v").take_all()
+    got = sorted((r["id"], r["band"]) for r in inner)
+    # v=7 overlaps both bands; v=12 only b; v=99 none
+    assert got == [(1, "a"), (1, "b"), (2, "b")]
+    left = range_join(rd.from_arrow(t), iv, value_col="v", how="left").take_all()
+    got_l = sorted((r["id"], r["band"]) for r in left)
+    assert (3, None) in got_l and len(got_l) == 4
