@@ -376,6 +376,8 @@ def _q_asof_clicks_views(sf_dir: str):
     vectorized merge_asof (functions.joins.asof_join)."""
     from lsearch_ray.functions.joins import asof_join
 
+    from ray.data.aggregate import Min
+
     ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
     def side(kind: str):
@@ -386,9 +388,16 @@ def _q_asof_clicks_views(sf_dir: str):
             batch_format="pyarrow",
         )
 
+    # enforce asof_join's unique-(key, ts) precondition on the right side
+    # (min event_id wins a tie — mirrored in the oracle SQL)
+    views = (
+        side("view")
+        .groupby(["user_id", "ts"])
+        .aggregate(Min("event_id", alias_name="event_id"))
+    )
     out = asof_join(
         side("click"),
-        side("view"),
+        views,
         key_col="user_id",
         ts_col="ts",
         right_cols=["event_id"],
@@ -1100,7 +1109,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.user_id, "
             "coalesce(v.event_id, -1) AS last_view_id "
             "FROM (SELECT * FROM events WHERE event_type = 'click') c "
-            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ASOF LEFT JOIN ("
+            "  SELECT user_id, ts, min(event_id) AS event_id FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id, ts) v "
             "ON c.user_id = v.user_id AND v.ts <= c.ts"
         ),
         "sample_events": (

@@ -110,20 +110,24 @@ def build_ivf_index(
     assigned = emb_ds.map_batches(
         AssignClusters(centroids, emb_col), batch_format="pyarrow"
     )
-    # clear any previous layout: write_parquet APPENDS uuid-named files,
-    # so a rebuild over a stale dir would leave duplicate/deleted vectors
-    # for ivf_search to read
+    # build into a scratch dir, then swap: write_parquet APPENDS
+    # uuid-named files (a rebuild over a stale dir would leave duplicate/
+    # deleted vectors), and destroy-then-build would lose the old index
+    # if the new write fails mid-stream
     import shutil
 
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
-    assigned.write_parquet(index_dir, partition_cols=["cluster"])
-    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    tmp_dir = f"{index_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    assigned.write_parquet(tmp_dir, partition_cols=["cluster"])
+    np.save(os.path.join(tmp_dir, "centroids.npy"), centroids)
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
         json.dump(
             {"n_clusters": int(len(centroids)), "emb_col": emb_col, "dim": int(centroids.shape[1])},
             f,
         )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
     return centroids
 
 

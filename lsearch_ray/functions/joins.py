@@ -106,6 +106,12 @@ def range_join(
     lo = intervals[lo_col].to_numpy(zero_copy_only=False)
     hi = intervals[hi_col].to_numpy(zero_copy_only=False)
     iv_cols = intervals.column_names
+    clash = set(iv_cols) & set(left_ds.schema().names)
+    if clash:
+        raise ValueError(
+            f"range_join: interval columns {sorted(clash)} collide with "
+            "left-table columns — rename one side"
+        )
 
     def join_batch(b: pa.Table) -> pa.Table:
         v = b[value_col]
@@ -135,6 +141,12 @@ def range_join(
             order = np.lexsort((ivs, rows))
             rows, ivs = rows[order], ivs[order]
         out = {c: b[c].take(pa.array(rows)) for c in b.column_names}
+        if n_iv == 0:
+            # no intervals at all: left keeps every row with all-null
+            # interval columns; inner is empty (rows already empty)
+            for c in iv_cols:
+                out[c] = pa.nulls(len(rows), type=intervals.schema.field(c).type)
+            return pa.table(out)
         iv_idx = pa.array(
             np.where(ivs >= 0, ivs, 0), type=pa.int64()
         )
@@ -215,37 +227,52 @@ def asof_join(
         right_ds.map_batches(tag(1), batch_format="pyarrow")
     )
 
-    int_right = {
-        oc
-        for c, oc in zip(right_cols, out_right)
-        if pa.types.is_integer(right_types[c])
-    }
-
     def join_partition(g: pa.Table) -> pa.Table:
-        # stay Arrow until each side is split out: converting the padded
-        # UNION to pandas would promote int64-with-null columns to
-        # float64 and corrupt values above 2^53
+        # merge_asof sees ONLY (key, ts, positional index): value columns
+        # never pass through pandas, so int64 payloads above 2^53 cannot
+        # be corrupted by float64 promotion (NaN-filled unmatched rows
+        # only ever touch the small positional-index column)
         side = g["__side"].to_numpy(zero_copy_only=False)
-        lhs = (
-            g.filter(pa.array(side == 0))
-            .select([key_col, ts_col, *left_value_cols])
-            .to_pandas()
-            .sort_values(ts_col, kind="mergesort")
+        left_tbl = g.filter(pa.array(side == 0)).select(
+            [key_col, ts_col, *left_value_cols]
         )
-        rhs = (
-            g.filter(pa.array(side == 1))
-            .select([key_col, ts_col, *out_right])
-            .to_pandas()
-            .sort_values(ts_col, kind="mergesort")
+        right_tbl = g.filter(pa.array(side == 1)).select(
+            [key_col, ts_col, *out_right]
         )
+        lhs = pd.DataFrame(
+            {
+                key_col: left_tbl[key_col].to_numpy(zero_copy_only=False),
+                ts_col: left_tbl[ts_col].to_pandas(),
+                "__lidx": np.arange(left_tbl.num_rows, dtype=np.int64),
+            }
+        ).sort_values(ts_col, kind="mergesort")
+        rhs = pd.DataFrame(
+            {
+                key_col: right_tbl[key_col].to_numpy(zero_copy_only=False),
+                ts_col: right_tbl[ts_col].to_pandas(),
+                "__ridx": np.arange(right_tbl.num_rows, dtype=np.int64),
+            }
+        ).sort_values(ts_col, kind="mergesort")
         merged = pd.merge_asof(
-            lhs, rhs, on=ts_col, by=key_col, direction="backward"
+            lhs, rhs[[key_col, ts_col, "__ridx"]], on=ts_col, by=key_col,
+            direction="backward",
         )
-        # unmatched lefts made integer right-cols float64 — restore
-        # nullable Int64 so the Arrow round-trip keeps int64 + null
-        for oc in int_right:
-            merged[oc] = merged[oc].astype("Int64")
-        return merged
+        lidx = merged["__lidx"].to_numpy().astype(np.int64)
+        ridx = merged["__ridx"].to_numpy()  # float64 with NaN for misses
+        miss = np.isnan(ridx)
+        ridx_i = np.where(miss, 0, ridx).astype(np.int64)
+        out = {
+            c: left_tbl[c].take(pa.array(lidx)) for c in left_tbl.column_names
+        }
+        null_mask = pa.array(miss)
+        import pyarrow.compute as pc
+
+        for oc in out_right:
+            col = right_tbl[oc].take(pa.array(ridx_i))
+            out[oc] = pc.if_else(
+                null_mask, pa.nulls(len(ridx_i), type=col.type), col
+            )
+        return pa.table(out)
 
     return both.groupby("__part").map_groups(
         join_partition, batch_format="pyarrow"

@@ -226,6 +226,7 @@ def encode_shard_table(
     shard: int,
     block_size: int,
     doc_stats: tuple[int, int] | None = None,
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Sort one shard's triples, encode, write atomically, commit manifest.
 
@@ -271,6 +272,7 @@ def encode_shard_table(
         "n_postings": int(len(doc_ids)),
         "block_size": block_size,
         "wall_s": round(time.monotonic() - t0, 4),
+        **(extra_manifest or {}),
     }
     mtmp = _manifest_path(index_dir, shard) + f".tmp.{os.getpid()}"
     with open(mtmp, "w") as f:

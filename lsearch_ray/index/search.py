@@ -860,12 +860,10 @@ def score_query(
     postings = _filter_excluded(postings, terms, excluded, banned)
     doc_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
-    n_terms_matched = 0
     for term in terms:
         frags = postings.get(term)
         if not frags:
             continue
-        n_terms_matched += 1
         df = dfs[term]
         # math.log, not np.log: they can differ by 1 ulp, and the contract
         # is exact float64 equality with golden.py

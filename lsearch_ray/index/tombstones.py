@@ -13,10 +13,13 @@ stay counted). Caveat: deleting an id that was never indexed makes
 n_docs undercount by one after compaction — deletion of nonexistent ids
 is out of contract.
 
-Crash safety: tombstone writes and shard rewrites are tmp+rename atomic;
-a crash mid-compaction leaves tombstones in place, and re-running
-compaction is idempotent (filtering already-filtered postings is a
-no-op). Tombstone files are removed only after every shard commits.
+Crash safety: tombstone writes and shard rewrites are tmp+rename atomic.
+Compaction commits per shard: each shard records the digest of the
+tombstone set it applied in its manifest, and its tombstone file is
+removed right after the shard commits — a re-run after a crash skips
+already-compacted shards (digest match) instead of double-subtracting
+the manifest doc counts, so compaction is idempotent at every
+interruption point.
 """
 
 from __future__ import annotations
@@ -92,6 +95,7 @@ def compact_index(index_dir: str) -> IndexMeta:
 
     After compaction the index is byte-identical to a fresh build over
     the live corpus (same sort→encode reduce as the build and merge)."""
+    import hashlib
     import json
 
     from lsearch_ray.index.merge import decode_all_postings
@@ -100,6 +104,16 @@ def compact_index(index_dir: str) -> IndexMeta:
     for s in range(meta.num_shards):
         banned = load_tombstones_for_shard(index_dir, s)
         if len(banned) == 0:
+            continue
+        digest = hashlib.sha256(banned.tobytes()).hexdigest()
+        manifest_path = os.path.join(_shard_dir(index_dir, s), "manifest.json")
+        with open(manifest_path) as f:
+            old = json.load(f)
+        if old.get("compacted_digest") == digest:
+            # shard already applied this tombstone set (crash landed
+            # between the manifest commit and the tombstone removal) —
+            # do NOT subtract again
+            os.remove(_tombstone_path(index_dir, s))
             continue
         cols = ["term", "df", "docs", "tfs", "dls"]
         path = os.path.join(_shard_dir(index_dir, s), "postings.parquet")
@@ -112,8 +126,6 @@ def compact_index(index_dir: str) -> IndexMeta:
         # adjust stats from the OLD manifest, not from surviving postings:
         # the manifest counts token-less docs (stage-A docstats) which
         # postings can never see — recounting would silently drop them
-        with open(os.path.join(_shard_dir(index_dir, s), "manifest.json")) as f:
-            old = json.load(f)
         dls = triples["dl"].to_numpy(zero_copy_only=False)
         dropped = ~keep
         if dropped.any():
@@ -131,12 +143,12 @@ def compact_index(index_dir: str) -> IndexMeta:
             s,
             meta.block_size,
             doc_stats,
+            extra_manifest={"compacted_digest": digest},
         )
-    # all shards committed → drop tombstones, refresh meta/termstats
-    for s in range(meta.num_shards):
-        path = _tombstone_path(index_dir, s)
-        if os.path.exists(path):
-            os.remove(path)
+        # per-shard commit point: the manifest (with digest) is durable,
+        # so dropping this shard's tombstones now is safe and makes any
+        # re-run skip the shard
+        os.remove(_tombstone_path(index_dir, s))
     return finalize_index(
         index_dir, meta.num_shards, meta.block_size, positions=meta.has_positions
     )

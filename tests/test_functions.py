@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from lsearch_ray.functions import cosine_topk, exact_dedup, exact_dedup_by_content
@@ -254,3 +255,59 @@ def test_range_join_overlapping_and_left():
     left = range_join(rd.from_arrow(t), iv, value_col="v", how="left").take_all()
     got_l = sorted((r["id"], r["band"]) for r in left)
     assert (3, None) in got_l and len(got_l) == 4
+
+
+def test_range_join_empty_intervals_and_collision():
+    from lsearch_ray.functions.joins import range_join
+
+    t = pa.table({"id": pa.array([1], type=pa.int64()), "v": [5.0]})
+    empty_iv = pa.table({"band": pa.array([], pa.string()),
+                         "lo": pa.array([], pa.float64()),
+                         "hi": pa.array([], pa.float64())})
+    inner = range_join(rd.from_arrow(t), empty_iv, value_col="v").take_all()
+    assert inner == []
+    left = range_join(
+        rd.from_arrow(t), empty_iv, value_col="v", how="left"
+    ).take_all()
+    assert len(left) == 1 and left[0]["band"] is None
+    with pytest.raises(ValueError):
+        range_join(
+            rd.from_arrow(t),
+            pa.table({"v": [0.0], "lo": [0.0], "hi": [1.0]}),
+            value_col="v",
+        )
+
+
+def test_asof_join_preserves_big_int64():
+    """Right ids above 2^53 must survive exactly even when some left rows
+    are unmatched (the float64-promotion trap)."""
+    from lsearch_ray.functions.joins import asof_join
+
+    big = 9_007_199_254_740_993  # 2^53 + 1, not float64-representable
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2], type=pa.int64()),
+            "user_id": pa.array([7, 7], type=pa.int64()),
+            "ts": pa.array(np.array([100, 5], dtype="datetime64[us]")),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([big], type=pa.int64()),
+            "user_id": pa.array([7], type=pa.int64()),
+            "ts": pa.array(np.array([50], dtype="datetime64[us]")),
+        }
+    )
+    out = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            key_col="user_id",
+            ts_col="ts",
+            right_cols=["rid"],
+            num_partitions=2,
+        ).take_all()
+    }
+    assert out[1] == big  # exact, not rounded
+    assert out[2] is None  # ts=5 has no prior right row

@@ -234,3 +234,34 @@ def test_compaction_preserves_tokenless_doc_stats(tmp_path):
     delete_docs(d, [0])
     meta2 = compact_index(d)
     assert meta2.n_docs == 3
+
+
+def test_compaction_rerun_does_not_double_subtract(tmp_path):
+    """Simulate a crash between a shard's manifest commit and its
+    tombstone removal: re-running compaction must skip the shard (digest
+    match) instead of subtracting the counts again."""
+    import shutil
+
+    corpus = _corpus(n=200, seed=41)
+    d = str(tmp_path / "idem")
+    build_index(
+        rd.from_arrow(corpus.select(["doc_id", "text"])), d, num_shards=2
+    )
+    victims = corpus["doc_id"].to_pylist()[:10]
+    delete_docs(d, victims)
+    # snapshot tombstone files, compact, then restore them (= the crash
+    # window where the manifest committed but the tombstone file survived)
+    saved = {}
+    for s in range(2):
+        p = os.path.join(d, f"shard={s:05d}", "tombstones.parquet")
+        if os.path.exists(p):
+            saved[s] = p + ".bak"
+            shutil.copy(p, saved[s])
+    meta1 = compact_index(d)
+    for s, bak in saved.items():
+        shutil.move(bak, os.path.join(d, f"shard={s:05d}", "tombstones.parquet"))
+    meta2 = compact_index(d)
+    expected = corpus.num_rows - 10
+    assert meta2.n_docs == meta1.n_docs == expected
+    assert meta2.avgdl == meta1.avgdl
+    assert len(load_tombstones(d)) == 0
