@@ -1,0 +1,158 @@
+"""Property-based fuzzing (hypothesis) of the codec and scorer paths.
+
+These pin the invariants the engine's correctness rests on:
+- varint/delta codec round-trips arbitrary posting shapes exactly;
+- LazyPostings block decoding equals full decoding on any block subset;
+- the lazy block-max scorer is bit-identical to the exhaustive scorer on
+  random corpora/queries with the pruning forced on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from lsearch_ray.index.codec import (
+    LazyPostings,
+    decode_posting_column,
+    encode_shard_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 62)), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    v = np.array(values, dtype=np.uint64)
+    data, lengths = varint_encode(v)
+    assert int(lengths.sum()) == len(data)
+    out = varint_decode(data)
+    assert np.array_equal(out, v)
+
+
+@st.composite
+def posting_lists(draw):
+    n_terms = draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    for t in range(n_terms):
+        term = f"t{t:02d}"
+        n = draw(st.integers(min_value=1, max_value=120))
+        seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+        rng = np.random.RandomState(seed)
+        docs = np.unique(rng.randint(0, 1 << 40, size=n).astype(np.int64))
+        for d in docs:
+            rows.append(
+                (term, int(d), int(rng.randint(1, 50)), int(rng.randint(1, 400)))
+            )
+    return rows
+
+
+@given(posting_lists(), st.integers(min_value=2, max_value=64))
+@settings(max_examples=60, deadline=None)
+def test_codec_roundtrip_and_lazy_blocks(rows, block_size):
+    rows.sort(key=lambda r: (r[0], r[1]))
+    t = encode_shard_postings(
+        pa.array([r[0] for r in rows]),
+        np.array([r[1] for r in rows], dtype=np.int64),
+        np.array([r[2] for r in rows], dtype=np.int64),
+        np.array([r[3] for r in rows], dtype=np.int64),
+        block_size=block_size,
+    )
+    for i in range(t.num_rows):
+        term = t["term"][i].as_py()
+        want = [(r[1], r[2], r[3]) for r in rows if r[0] == term]
+        d, tf, dl = decode_posting_column(
+            t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+        )
+        assert list(zip(d.tolist(), tf.tolist(), dl.tolist())) == want
+        lp = LazyPostings(
+            t["docs"][i].as_py(),
+            t["tfs"][i].as_py(),
+            t["dls"][i].as_py(),
+            np.array(t["skip_last"][i].as_py()),
+            np.array(t["skip_doff"][i].as_py()),
+            np.array(t["skip_toff"][i].as_py()),
+            np.array(t["skip_loff"][i].as_py()),
+            np.array(t["skip_max_tf"][i].as_py()),
+            np.array(t["skip_min_dl"][i].as_py()),
+            int(t["df"][i].as_py()),
+            block_size,
+        )
+        nb = lp.n_blocks
+        # odd blocks only — a non-contiguous subset
+        sel = np.arange(nb)[1::2]
+        if len(sel):
+            counts = lp.block_counts()
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            idx = np.concatenate(
+                [np.arange(starts[b], starts[b + 1]) for b in sel]
+            )
+            d2, tf2, dl2 = lp.decode_blocks(sel)
+            assert np.array_equal(d2, d[idx])
+            assert np.array_equal(tf2, tf[idx])
+            assert np.array_equal(dl2, dl[idx])
+        # block-max metadata really bounds the block
+        for b in range(nb):
+            s, e = b * block_size, min((b + 1) * block_size, len(tf))
+            assert t["skip_max_tf"][i][b].as_py() == int(tf[s:e].max())
+            assert t["skip_min_dl"][i][b].as_py() == int(dl[s:e].min())
+            assert t["skip_last"][i][b].as_py() == int(d[e - 1])
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=15, deadline=None)
+def test_lazy_scorer_bit_identical_random_corpora(seed):
+    """Random tiny corpora + random queries: pruned lazy path ==
+    exhaustive path, bit for bit."""
+    import lsearch_ray.index.search as S
+    from lsearch_ray.index.build import IndexMeta
+    from lsearch_ray.index.codec import encode_shard_postings as enc
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    n_docs = int(rng.randint(5, 60))
+    rows = []
+    dls = {}
+    for d in range(n_docs):
+        toks = rng.choice(vocab, size=rng.randint(1, 30))
+        dls[d] = len(toks)
+        terms, counts = np.unique(toks, return_counts=True)
+        for t_, c in zip(terms, counts):
+            rows.append((str(t_), d, int(c), len(toks)))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    tbl = enc(
+        pa.array([r[0] for r in rows]),
+        np.array([r[1] for r in rows], dtype=np.int64),
+        np.array([r[2] for r in rows], dtype=np.int64),
+        np.array([r[3] for r in rows], dtype=np.int64),
+        block_size=4,
+    )
+    meta = IndexMeta(
+        num_shards=1,
+        n_docs=n_docs,
+        avgdl=sum(dls.values()) / n_docs,
+        block_size=4,
+    )
+    lazy = {}
+    S._lazy_rows(tbl, 4, lazy)
+    dfs = S.global_dfs_lazy(lazy)
+    eager = S._eager5(lazy)
+    old_cut, old_sparse = S.EXHAUSTIVE_CUTOFF, S.SPARSE_DECODE_LIMIT
+    S.EXHAUSTIVE_CUTOFF, S.SPARSE_DECODE_LIMIT = 0, 3
+    try:
+        for _ in range(4):
+            q = " ".join(rng.choice(vocab, size=rng.randint(1, 4), replace=False))
+            k = int(rng.randint(1, 8))
+            a = S.score_query(q, eager, dfs, meta, k, "or")
+            b = S.score_query_blockmax_lazy(q, lazy, dfs, meta, k, "or")
+            assert a[0].tolist() == b[0].tolist(), (seed, q)
+            assert a[1].tolist() == b[1].tolist(), (seed, q)
+    finally:
+        S.EXHAUSTIVE_CUTOFF, S.SPARSE_DECODE_LIMIT = old_cut, old_sparse
