@@ -65,6 +65,45 @@ def parse_query(query: str) -> tuple[list[str], list[str]]:
     return sorted(set(inc)), sorted(set(exc))
 
 
+_PHRASE_RE = re.compile(r'(-?)"([^"]*)"')
+
+
+def parse_query_full(
+    query: str,
+) -> tuple[list[str], list[str], list[list[str]], list[list[str]]]:
+    """Extended query grammar: ``parse_query`` plus quoted phrases.
+
+    ``'"exact phrase" loose -banned -"bad phrase"'`` →
+    (include terms, exclude terms, phrases, negated phrases).
+
+    Phrase words COUNT as include terms (they contribute BM25 like any
+    term); the phrase itself additionally restricts results to docs
+    containing the exact adjacent sequence. A quoted single word is just
+    a term. Unquoted text behaves exactly as :func:`parse_query`.
+    """
+    phrases: list[list[str]] = []
+    neg_phrases: list[list[str]] = []
+
+    def strip(m: re.Match) -> str:
+        toks = tokenize(m.group(2))
+        if not toks:
+            return " "
+        if m.group(1) == "-":
+            if len(toks) == 1:
+                return f" -{toks[0]} "
+            neg_phrases.append(toks)
+            return " "
+        if len(toks) == 1:
+            return f" {toks[0]} "
+        phrases.append(toks)
+        # phrase words also score as ordinary terms
+        return " " + " ".join(toks) + " "
+
+    rest = _PHRASE_RE.sub(strip, query)
+    inc, exc = parse_query(rest)
+    return inc, exc, phrases, neg_phrases
+
+
 def term_counts(text: str) -> dict[str, int]:
     """Pure-Python reference term-frequency map for one document."""
     counts: dict[str, int] = {}

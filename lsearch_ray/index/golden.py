@@ -114,6 +114,32 @@ class GoldenIndex:
                 out.add(doc_id)
         return out
 
+    def bm25_full(
+        self, query: str, k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """Extended grammar: ``bm25`` semantics plus quoted phrases —
+        phrases restrict results to docs containing the exact sequence
+        (their words still score as ordinary terms); ``-"..."`` drops any
+        doc containing the negated phrase."""
+        from lsearch_ray.analyzer import parse_query_full
+
+        inc, exc, phrases, neg_phrases = parse_query_full(query)
+        base_query = " ".join(inc + [f"-{t}" for t in exc])
+        ranked = self.bm25(base_query, k=10**9, mode=mode)
+        allowed: set[int] | None = None
+        for p in phrases:
+            docs = self.phrase_docs(p)
+            allowed = docs if allowed is None else (allowed & docs)
+        banned: set[int] = set()
+        for p in neg_phrases:
+            banned |= self.phrase_docs(p)
+        out = [
+            (d, s)
+            for d, s in ranked
+            if (allowed is None or d in allowed) and d not in banned
+        ]
+        return out[:k]
+
     def phrase_bm25(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
         """Top-k docs CONTAINING the exact phrase, ranked by BM25 over the
         phrase's (deduped, sorted) terms — the same scoring/determinism

@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from lsearch_ray.analyzer import parse_query, tokenize
+from lsearch_ray.analyzer import parse_query, parse_query_full, tokenize
 from lsearch_ray.index.build import IndexMeta, _shard_dir
 from lsearch_ray.index.codec import LazyPostings, decode_posting_column
 
@@ -347,6 +347,19 @@ def score_query_blockmax_lazy(
     cum = np.cumsum(ev_val[order])
     seg_pos = np.unique(pos_sorted)
     seg_sum = cum[np.searchsorted(pos_sorted, seg_pos, side="right") - 1]
+    # float slack: the prefix sum over +ub/-ub events cancels, so a
+    # segment that mathematically equals a doc's bound can land one ulp
+    # BELOW it — and θ comparisons are exact (a kth-ranked doc whose
+    # score ties θ would be pruned). Bound the cancellation error
+    # (n_events × eps × max |prefix|) plus a relative term; loosening
+    # the tests only decodes/scores extra candidates, never changes
+    # the exact final ranking.
+    slack = (
+        np.finfo(np.float64).eps * len(ev_val) * float(np.max(np.abs(cum)))
+        if len(ev_val)
+        else 0.0
+    ) + 1e-12 * theta
+    thr = theta - slack
 
     # ---- decode surviving long-list blocks + per-doc bound refinement ----
     # `decoded` must keep the (term, fragment) iteration order of `present`
@@ -360,7 +373,7 @@ def score_query_blockmax_lazy(
         lo, hi = f.block_ranges()
         s_lo = np.searchsorted(seg_pos, lo, side="right") - 1
         s_hi = np.searchsorted(seg_pos, hi, side="right") - 1
-        alive = _range_max(seg_sum, np.maximum(s_lo, 0), s_hi) >= theta
+        alive = _range_max(seg_sum, np.maximum(s_lo, 0), s_hi) >= thr
         sel = np.flatnonzero(alive)
         if len(sel) == 0:
             continue
@@ -386,7 +399,7 @@ def score_query_blockmax_lazy(
     uniq, inverse = np.unique(docs, return_inverse=True)
     bound = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(bound, inverse, ubs)
-    keep_set = uniq[bound >= theta]
+    keep_set = uniq[bound >= thr]
     if banned is not None and len(keep_set):
         keep_set = keep_set[_mask_banned(keep_set)]
     if len(keep_set) == 0:
@@ -514,17 +527,13 @@ def phrase_search(
     )
 
 
-def _phrase_topk(
-    phrase_terms: list[str],
-    tp: dict[str, "TermPositions"],
-    meta: IndexMeta,
-    k: int,
-    banned: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Shared phrase evaluation core: AND-intersect (rarest first),
-    adjacency verify on position lists, deterministic BM25 over matches.
-    Returns (doc_ids, scores) sorted (score desc, doc asc), top-k."""
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+def _phrase_match_docs(
+    phrase_terms: list[str], tp: dict[str, "TermPositions"]
+) -> np.ndarray:
+    """Sorted doc ids containing the exact adjacent token sequence:
+    AND-intersect doc sets rarest-first, then verify adjacency with
+    chained sorted-intersects on the position lists."""
+    empty = np.empty(0, dtype=np.int64)
     uniq_terms = sorted(set(phrase_terms))
     if not uniq_terms or any(t not in tp for t in uniq_terms):
         return empty
@@ -553,9 +562,58 @@ def _phrase_topk(
                 break
         if len(live):
             matched.append(int(doc))
-    if not matched:
+    return np.asarray(sorted(matched), dtype=np.int64)
+
+
+def _phrase_filter_sets(
+    phrases: list[list[str]],
+    neg_phrases: list[list[str]],
+    pos_cache: dict,
+    files: list[str],
+) -> tuple[np.ndarray | None, np.ndarray]:
+    """(allowed, banned) doc-id sets for the extended query grammar.
+
+    ``allowed`` is the intersection of the positive phrases' match sets
+    (None when no positive phrases); ``banned`` is the union of the
+    negated phrases'. ``pos_cache`` memoizes TermPositions per term
+    across calls (per actor / per process)."""
+    need = sorted(
+        {t for p in phrases for t in p} | {t for p in neg_phrases for t in p}
+    )
+    misses = [t for t in need if t not in pos_cache]
+    if misses:
+        loaded = load_postings_with_positions(files, misses)
+        for t in misses:
+            pos_cache[t] = loaded.get(t)
+    tp = {t: pos_cache[t] for t in need if pos_cache[t] is not None}
+    allowed: np.ndarray | None = None
+    for p in phrases:
+        m = _phrase_match_docs(p, tp)
+        allowed = m if allowed is None else np.intersect1d(allowed, m, assume_unique=True)
+    banned_parts = [_phrase_match_docs(p, tp) for p in neg_phrases]
+    banned = (
+        np.unique(np.concatenate(banned_parts))
+        if banned_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    return allowed, banned
+
+
+def _phrase_topk(
+    phrase_terms: list[str],
+    tp: dict[str, "TermPositions"],
+    meta: IndexMeta,
+    k: int,
+    banned: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared phrase evaluation core: AND-intersect (rarest first),
+    adjacency verify on position lists, deterministic BM25 over matches.
+    Returns (doc_ids, scores) sorted (score desc, doc asc), top-k."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    uniq_terms = sorted(set(phrase_terms))
+    matched_arr = _phrase_match_docs(phrase_terms, tp)
+    if len(matched_arr) == 0:
         return empty
-    matched_arr = np.asarray(matched, dtype=np.int64)
     if len(banned):
         matched_arr = matched_arr[~np.isin(matched_arr, banned)]
         if len(matched_arr) == 0:
@@ -887,14 +945,35 @@ def search_index(
     """One-shot search (driver-side). Returns (rank, doc_id, score)."""
     meta = IndexMeta.load(index_dir)
     files = _postings_files(index_dir, meta.num_shards)
-    inc, exc = parse_query(query)
+    inc, exc, phrases, neg_phrases = parse_query_full(query)
     terms = sorted(set(inc) | set(exc))
     postings = load_postings_lazy(files, terms, meta.block_size)
     dfs = global_dfs_lazy(postings)
     from lsearch_ray.index.tombstones import load_tombstones
 
     banned = load_tombstones(index_dir)
-    if blockmax:
+    if phrases or neg_phrases:
+        # extended grammar: phrase words already scored as terms (the
+        # parser expanded them into ``inc``); the phrases additionally
+        # restrict the result set. Scores are per-doc sums independent of
+        # which docs survive, so rank the base query fully, then filter.
+        if not meta.has_positions:
+            raise ValueError(
+                "quoted phrases need a positional index: "
+                "build_index(..., positions=True)"
+            )
+        base = " ".join(inc + [f"-{t}" for t in exc])
+        doc_ids, scores = score_query(
+            base, _eager5(postings), dfs, meta, 10**9, mode, banned
+        )
+        allowed, ph_banned = _phrase_filter_sets(phrases, neg_phrases, {}, files)
+        keep = np.ones(len(doc_ids), dtype=bool)
+        if allowed is not None:
+            keep &= np.isin(doc_ids, allowed)
+        if len(ph_banned):
+            keep &= ~np.isin(doc_ids, ph_banned)
+        doc_ids, scores = doc_ids[keep][:k], scores[keep][:k]
+    elif blockmax:
         doc_ids, scores = score_query_blockmax_lazy(
             query, postings, dfs, meta, k, mode, banned
         )
@@ -954,6 +1033,7 @@ class BatchSearcher:
         self.max_cached_terms = max_cached_terms
         self.cache_contribs = cache_contribs
         self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_cache: dict = {}
 
     def _postings_cached(self, terms: list[str]) -> dict[str, list]:
         misses = [t for t in terms if t not in self.cache]
@@ -982,6 +1062,36 @@ class BatchSearcher:
             terms, self._contrib, postings, dfs, self.meta, self.k, self.mode
         )
 
+    def _search_extended(
+        self, query: str, postings: dict[str, list], dfs: dict[str, int]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Quoted-phrase grammar: rank the base query fully, filter to the
+        phrase match sets (scores are restriction-independent)."""
+        inc, exc, phrases, neg_phrases = parse_query_full(query)
+        base = " ".join(inc + [f"-{t}" for t in exc])
+        if not (phrases or neg_phrases):
+            return score_query_blockmax_lazy(
+                base, postings, dfs, self.meta, self.k, self.mode, self.banned
+            )
+        if not self.meta.has_positions:
+            raise ValueError(
+                "quoted phrases need a positional index: "
+                "build_index(..., positions=True)"
+            )
+        doc_ids, scores = score_query(
+            base, _eager5(postings, set(inc) | set(exc)), dfs, self.meta,
+            10**9, self.mode, self.banned,
+        )
+        allowed, ph_banned = _phrase_filter_sets(
+            phrases, neg_phrases, self._pos_cache, self.files
+        )
+        keep = np.ones(len(doc_ids), dtype=bool)
+        if allowed is not None:
+            keep &= np.isin(doc_ids, allowed)
+        if len(ph_banned):
+            keep &= ~np.isin(doc_ids, ph_banned)
+        return doc_ids[keep][: self.k], scores[keep][: self.k]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = batch["query"].to_pylist()
         qids = batch["query_id"].to_pylist()
@@ -996,7 +1106,9 @@ class BatchSearcher:
         out_score: list[np.ndarray] = []
         use_cached = self.cache_contribs and len(self.banned) == 0
         for qid, q in zip(qids, queries):
-            if use_cached and not parse_query(q)[1]:  # no negation clauses
+            if '"' in q:
+                doc_ids, scores = self._search_extended(q, postings, dfs)
+            elif use_cached and not parse_query(q)[1]:  # no negation
                 doc_ids, scores = self._score_cached(q, postings, dfs)
             else:
                 doc_ids, scores = score_query_blockmax_lazy(

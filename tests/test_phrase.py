@@ -212,3 +212,71 @@ def test_batch_phrase_searcher_requires_positions(tmp_path):
     bi(rd.from_arrow(t), d, num_shards=1)
     with pytest.raises(ValueError):
         BatchPhraseSearcher(d)
+
+
+def test_parse_query_full_grammar():
+    from lsearch_ray.analyzer import parse_query, parse_query_full
+
+    inc, exc, ph, nph = parse_query_full('"the data" engine -spark -"bad seq"')
+    assert inc == sorted({"the", "data", "engine"})
+    assert exc == ["spark"]
+    assert ph == [["the", "data"]]
+    assert nph == [["bad", "seq"]]
+    # single-word quotes degrade to plain terms; unquoted text unchanged
+    assert parse_query_full('"solo" x')[:2] == parse_query("solo x")
+    assert parse_query_full("plain -neg query")[:2] == parse_query(
+        "plain -neg query"
+    )
+
+
+def test_extended_query_grammar_matches_golden(positional_index):
+    """Mixed quoted-phrase queries through search_index AND BatchSearcher
+    match golden.bm25_full exactly."""
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.index.search import BatchSearcher
+
+    index_dir, golden, texts = positional_index
+    some = [t for t in texts.values() if len(tokenize(t)) >= 4][:6]
+    queries = []
+    for text in some:
+        toks = tokenize(text)
+        queries.append(f'"{toks[0]} {toks[1]}" {toks[3]}')
+        queries.append(f'{toks[2]} -"{toks[0]} {toks[1]}"')
+    queries.append('"zzz impossible" word003')
+    checked = 0
+    for q in queries:
+        want = golden.bm25_full(q, k=10)
+        got = search_index(index_dir, q, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q
+        assert got["score"].to_pylist() == [s for _, s in want], q
+        checked += bool(want)
+    assert checked >= 6
+    # streaming path
+    qt = pa.table(
+        {
+            "query_id": pa.array(range(len(queries)), type=pa.int64()),
+            "query": queries,
+        }
+    )
+    out = BatchSearcher(index_dir, k=10)(qt)
+    df = out.to_pandas()
+    for qid, q in enumerate(queries):
+        want = golden.bm25_full(q, k=10)
+        got = df[df["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == [d for d, _ in want], q
+        assert got["score"].tolist() == [s for _, s in want], q
+
+
+def test_extended_query_requires_positions(tmp_path):
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": ["alpha beta gamma"],
+        }
+    )
+    d = str(tmp_path / "np3")
+    build_index(rd.from_arrow(t), d, num_shards=1)
+    with pytest.raises(ValueError):
+        search_index(d, '"alpha beta"')
+    # plain queries still fine on non-positional indexes
+    assert search_index(d, "alpha").num_rows == 1
