@@ -599,6 +599,44 @@ def _phrase_filter_sets(
     return allowed, banned
 
 
+def _extended_search(
+    query: str,
+    meta: IndexMeta,
+    files: list[str],
+    k: int,
+    mode: str,
+    banned: np.ndarray,
+    pos_cache: dict,
+    score_unsorted,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Quoted-phrase grammar core shared by every serving path: rank the
+    base query (via ``score_unsorted(base) -> unsorted (docs, scores)``),
+    filter to the phrase match sets BEFORE the top-k sort (scores are
+    restriction-independent, so filtering commutes with ranking), then
+    sort+truncate. Raises ValueError on a non-positional index — quoted
+    phrases are a capability the index must carry."""
+    inc, exc, phrases, neg_phrases = parse_query_full(query)
+    base = " ".join(inc + [f"-{t}" for t in exc])
+    if not (phrases or neg_phrases):
+        uniq, scores = score_unsorted(base)
+        return _topk(uniq, scores, k)
+    if not meta.has_positions:
+        raise ValueError(
+            "quoted phrases need a positional index: "
+            "build_index(..., positions=True)"
+        )
+    uniq, scores = score_unsorted(base)
+    allowed, ph_banned = _phrase_filter_sets(
+        phrases, neg_phrases, pos_cache, files
+    )
+    keep = np.ones(len(uniq), dtype=bool)
+    if allowed is not None:
+        keep &= np.isin(uniq, allowed)
+    if len(ph_banned):
+        keep &= ~np.isin(uniq, ph_banned)
+    return _topk(uniq[keep], scores[keep], k)
+
+
 def _phrase_topk(
     phrase_terms: list[str],
     tp: dict[str, "TermPositions"],
@@ -830,17 +868,15 @@ def _filter_excluded(
     return out
 
 
-def _accumulate_topk(
+def _accumulate_scores(
     doc_parts: list[np.ndarray],
     contrib_parts: list[np.ndarray],
     n_terms: int,
-    k: int,
     mode: str,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """The bit-identity-critical scoring tail shared by score_query and
-    the contribution-cache paths: concat per-term (docs, contribs) parts
-    in sorted-term order, scatter-add per doc, AND-filter on hit count,
-    (score desc, doc asc) top-k."""
+    """Unsorted (docs, scores) accumulation shared by every scoring path:
+    concat per-term (docs, contribs) parts in sorted-term order,
+    scatter-add per doc, AND-filter on hit count."""
     if not doc_parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     docs = np.concatenate(doc_parts)
@@ -853,10 +889,29 @@ def _accumulate_topk(
         np.add.at(hits, inverse, 1)
         keep = hits == n_terms
         uniq, scores = uniq[keep], scores[keep]
+    return uniq.astype(np.int64), scores
+
+
+def _topk(
+    uniq: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
     if len(uniq) == 0:
-        return uniq.astype(np.int64), scores
+        return uniq, scores
     order = np.lexsort((uniq, -scores))[:k]
-    return uniq[order].astype(np.int64), scores[order]
+    return uniq[order], scores[order]
+
+
+def _accumulate_topk(
+    doc_parts: list[np.ndarray],
+    contrib_parts: list[np.ndarray],
+    n_terms: int,
+    k: int,
+    mode: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The bit-identity-critical scoring tail shared by score_query and
+    the contribution-cache paths: :func:`_accumulate_scores` + (score
+    desc, doc asc) top-k."""
+    return _topk(*_accumulate_scores(doc_parts, contrib_parts, n_terms, mode), k)
 
 
 def _build_term_contribs(
@@ -877,16 +932,15 @@ def _build_term_contribs(
     return np.concatenate(doc_parts), np.concatenate(contrib_parts)
 
 
-def _score_from_contrib_cache(
+def _contrib_scores_unsorted(
     terms: list[str],
     cache: dict,
     postings: dict[str, list],
     dfs: dict[str, int],
     meta: IndexMeta,
-    k: int,
     mode: str,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Score a no-negation query from per-term cached contributions,
+    """Unsorted (docs, scores) from per-term cached contributions,
     filling cache misses from ``postings``/``dfs``."""
     doc_parts, contrib_parts = [], []
     for term in terms:  # sorted unique (parse_query contract)
@@ -899,21 +953,36 @@ def _score_from_contrib_cache(
             cache[term] = c
         doc_parts.append(c[0])
         contrib_parts.append(c[1])
-    return _accumulate_topk(doc_parts, contrib_parts, len(terms), k, mode)
+    return _accumulate_scores(doc_parts, contrib_parts, len(terms), mode)
 
 
-def score_query(
+def _score_from_contrib_cache(
+    terms: list[str],
+    cache: dict,
+    postings: dict[str, list],
+    dfs: dict[str, int],
+    meta: IndexMeta,
+    k: int,
+    mode: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score a no-negation query from per-term cached contributions,
+    filling cache misses from ``postings``/``dfs``."""
+    return _topk(
+        *_contrib_scores_unsorted(terms, cache, postings, dfs, meta, mode), k
+    )
+
+
+def score_query_unsorted(
     query: str,
     postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]],
     dfs: dict[str, int],
     meta: IndexMeta,
-    k: int = 10,
     mode: str = "or",
     banned: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exhaustive vectorized BM25; returns (top_doc_ids, top_scores).
-
-    ``banned``: sorted tombstoned doc ids, masked out before scoring."""
+    """Exhaustive vectorized BM25 WITHOUT the top-k sort — the full
+    unsorted (doc_ids, scores) candidate set (extended-grammar callers
+    filter before sorting)."""
     terms, excluded = parse_query(query)
     postings = _filter_excluded(postings, terms, excluded, banned)
     doc_parts: list[np.ndarray] = []
@@ -936,7 +1005,26 @@ def score_query(
             )
             doc_parts.append(doc_ids)
             contrib_parts.append(idf * norm)
-    return _accumulate_topk(doc_parts, contrib_parts, len(terms), k, mode)
+    return _accumulate_scores(doc_parts, contrib_parts, len(terms), mode)
+
+
+
+
+def score_query(
+    query: str,
+    postings: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]],
+    dfs: dict[str, int],
+    meta: IndexMeta,
+    k: int = 10,
+    mode: str = "or",
+    banned: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive vectorized BM25; returns (top_doc_ids, top_scores).
+
+    ``banned``: sorted tombstoned doc ids, masked out before scoring."""
+    return _topk(
+        *score_query_unsorted(query, postings, dfs, meta, mode, banned), k
+    )
 
 
 def search_index(
@@ -953,26 +1041,18 @@ def search_index(
 
     banned = load_tombstones(index_dir)
     if phrases or neg_phrases:
-        # extended grammar: phrase words already scored as terms (the
-        # parser expanded them into ``inc``); the phrases additionally
-        # restrict the result set. Scores are per-doc sums independent of
-        # which docs survive, so rank the base query fully, then filter.
-        if not meta.has_positions:
-            raise ValueError(
-                "quoted phrases need a positional index: "
-                "build_index(..., positions=True)"
-            )
-        base = " ".join(inc + [f"-{t}" for t in exc])
-        doc_ids, scores = score_query(
-            base, _eager5(postings), dfs, meta, 10**9, mode, banned
+        doc_ids, scores = _extended_search(
+            query,
+            meta,
+            files,
+            k,
+            mode,
+            banned,
+            {},
+            lambda base: score_query_unsorted(
+                base, _eager5(postings), dfs, meta, mode, banned
+            ),
         )
-        allowed, ph_banned = _phrase_filter_sets(phrases, neg_phrases, {}, files)
-        keep = np.ones(len(doc_ids), dtype=bool)
-        if allowed is not None:
-            keep &= np.isin(doc_ids, allowed)
-        if len(ph_banned):
-            keep &= ~np.isin(doc_ids, ph_banned)
-        doc_ids, scores = doc_ids[keep][:k], scores[keep][:k]
     elif blockmax:
         doc_ids, scores = score_query_blockmax_lazy(
             query, postings, dfs, meta, k, mode, banned
@@ -1048,6 +1128,9 @@ class BatchSearcher:
                 self._contrib = {
                     t: v for t, v in self._contrib.items() if t in keep
                 }
+                self._pos_cache = {
+                    t: v for t, v in self._pos_cache.items() if t in keep
+                }
             for t in misses:
                 self.cache[t] = loaded.get(t, [])
         return {t: self.cache[t] for t in terms if self.cache[t]}
@@ -1065,32 +1148,39 @@ class BatchSearcher:
     def _search_extended(
         self, query: str, postings: dict[str, list], dfs: dict[str, int]
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Quoted-phrase grammar: rank the base query fully, filter to the
-        phrase match sets (scores are restriction-independent)."""
-        inc, exc, phrases, neg_phrases = parse_query_full(query)
-        base = " ".join(inc + [f"-{t}" for t in exc])
-        if not (phrases or neg_phrases):
-            return score_query_blockmax_lazy(
-                base, postings, dfs, self.meta, self.k, self.mode, self.banned
+        """Quoted-phrase grammar via the shared _extended_search core;
+        base scoring goes through the per-term contribution cache when
+        its preconditions hold (no negation, no tombstones)."""
+
+        def score_unsorted(base: str) -> tuple[np.ndarray, np.ndarray]:
+            terms, excluded = parse_query(base)
+            if (
+                self.cache_contribs
+                and not excluded
+                and len(self.banned) == 0
+            ):
+                return _contrib_scores_unsorted(
+                    terms, self._contrib, postings, dfs, self.meta, self.mode
+                )
+            return score_query_unsorted(
+                base,
+                _eager5(postings, set(terms) | set(excluded)),
+                dfs,
+                self.meta,
+                self.mode,
+                self.banned,
             )
-        if not self.meta.has_positions:
-            raise ValueError(
-                "quoted phrases need a positional index: "
-                "build_index(..., positions=True)"
-            )
-        doc_ids, scores = score_query(
-            base, _eager5(postings, set(inc) | set(exc)), dfs, self.meta,
-            10**9, self.mode, self.banned,
+
+        return _extended_search(
+            query,
+            self.meta,
+            self.files,
+            self.k,
+            self.mode,
+            self.banned,
+            self._pos_cache,
+            score_unsorted,
         )
-        allowed, ph_banned = _phrase_filter_sets(
-            phrases, neg_phrases, self._pos_cache, self.files
-        )
-        keep = np.ones(len(doc_ids), dtype=bool)
-        if allowed is not None:
-            keep &= np.isin(doc_ids, allowed)
-        if len(ph_banned):
-            keep &= ~np.isin(doc_ids, ph_banned)
-        return doc_ids[keep][: self.k], scores[keep][: self.k]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = batch["query"].to_pylist()
@@ -1227,6 +1317,13 @@ class _ShardGroupSearcher:
         from lsearch_ray.index.tombstones import load_tombstones
 
         self.banned = load_tombstones(index_dir, shard_ids)
+        # this group's shard files only: doc-sharding keeps every match
+        # of a doc local, so phrase evaluation per group is complete
+        self.files = [
+            os.path.join(_shard_dir(index_dir, s), "postings.parquet")
+            for s in shard_ids
+        ]
+        self._pos_cache: dict = {}
         # resident ENCODED: ~3-4× smaller than decoded arrays (varint),
         # and queries decode only the blocks their θ bound admits
         self.postings: dict[str, list[LazyPostings]] = {}
@@ -1252,6 +1349,17 @@ class _ShardGroupSearcher:
     ) -> tuple[np.ndarray, np.ndarray]:
         # dfs are GLOBAL (termstats) so idf matches golden; doc-sharding
         # makes local scores complete → local top-k is exact.
+        if '"' in query:
+            return _extended_search(
+                query,
+                self.meta,
+                self.files,
+                k,
+                mode,
+                self.banned,
+                self._pos_cache,
+                lambda base: self._score_unsorted(base, mode),
+            )
         terms, excluded = parse_query(query)
         if not excluded and len(self.banned) == 0:
             return _score_from_contrib_cache(
@@ -1269,6 +1377,32 @@ class _ShardGroupSearcher:
         }
         return score_query_blockmax_lazy(
             query, self.postings, dfs, self.meta, k, mode, self.banned
+        )
+
+    def _score_unsorted(
+        self, base: str, mode: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        terms, excluded = parse_query(base)
+        if not excluded and len(self.banned) == 0:
+            return _contrib_scores_unsorted(
+                terms,
+                self._contrib,
+                self.postings,
+                self.global_dfs_all,
+                self.meta,
+                mode,
+            )
+        dfs = {
+            t: self.global_dfs_all.get(t, 0)
+            for t in set(terms) | set(excluded)
+        }
+        return score_query_unsorted(
+            base,
+            _eager5(self.postings, set(terms) | set(excluded)),
+            dfs,
+            self.meta,
+            mode,
+            self.banned,
         )
 
 

@@ -280,3 +280,24 @@ def test_extended_query_requires_positions(tmp_path):
         search_index(d, '"alpha beta"')
     # plain queries still fine on non-positional indexes
     assert search_index(d, "alpha").num_rows == 1
+
+
+def test_query_engine_extended_grammar(positional_index):
+    """QueryEngine (scatter-gather actors) honors quoted phrases with the
+    same golden-defined semantics as the other serving paths."""
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.index.search import QueryEngine
+
+    index_dir, golden, texts = positional_index
+    eng = QueryEngine(index_dir, num_actors=2)
+    some = [t for t in texts.values() if len(tokenize(t)) >= 4][:4]
+    checked = 0
+    for text in some:
+        toks = tokenize(text)
+        q = f'"{toks[0]} {toks[1]}" {toks[3]}'
+        want = golden.bm25_full(q, k=10)
+        got = eng.search(q, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q
+        assert got["score"].to_pylist() == [s for _, s in want], q
+        checked += bool(want)
+    assert checked >= 2
