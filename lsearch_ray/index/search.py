@@ -10,12 +10,17 @@ Three query paths, all rank-identical to ``golden.GoldenIndex.bm25``:
   Each actor opens the index once (``__init__``), then per batch loads
   postings for the batch's union of terms (term-pushdown IO) and scores
   every query vectorized. Streams arbitrarily many queries.
-- :class:`ShardSearcherActor` + :class:`QueryEngine` — scatter-gather
-  serving: one raw Ray actor per shard group holds decoded postings in
-  memory (mmap-equivalent residency), each returns an exact shard-local
-  top-k (doc-sharding makes per-shard scores complete), the driver merges.
+- :class:`_ShardGroupSearcher` + :class:`QueryEngine` — scatter-gather
+  serving: one raw Ray actor per shard group holds ENCODED postings plus
+  the global termstats in memory, answers in a single scatter round with
+  per-term contribution caches, and returns an exact shard-local top-k
+  (doc-sharding makes per-shard scores complete); the driver merges.
   Raw actors are justified here: a long-lived shared index server is the
   one stage the Dataset API can't express (SURVEY.md §4).
+- :func:`phrase_search` / :class:`BatchPhraseSearcher` — exact-phrase
+  top-k over a positional index; and ALL three term paths accept the
+  extended grammar (``'"exact phrase" loose -banned -"bad seq"'``) with
+  identical golden-defined semantics (the shared _extended_search core).
 
 Determinism contract (matches golden.py bit-for-bit):
 - query terms deduped + sorted; contributions accumulated per doc in that
