@@ -156,3 +156,68 @@ def test_lazy_scorer_bit_identical_random_corpora(seed):
             assert a[1].tolist() == b[1].tolist(), (seed, q)
     finally:
         S.EXHAUSTIVE_CUTOFF, S.SPARSE_DECODE_LIMIT = old_cut, old_sparse
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z", "S", "C")
+            ),
+            max_size=60,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_byte_tokenizer_matches_pure_python_on_unicode(texts):
+    """flat_tokens_arrow (byte-level numpy over raw Arrow buffers) must
+    agree with the pure-Python tokenizer on arbitrary Unicode, including
+    multibyte sequences, empty strings, and control characters."""
+    import pyarrow as pa
+
+    from lsearch_ray.analyzer import flat_tokens_arrow, tokenize
+
+    arr = pa.array(texts, type=pa.string())
+    parents, flat = flat_tokens_arrow(arr)
+    got: dict[int, list[str]] = {}
+    for p, t in zip(parents.tolist(), flat.to_pylist()):
+        got.setdefault(p, []).append(t)
+    for i, text in enumerate(texts):
+        assert got.get(i, []) == tokenize(text), (i, text)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8"),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_term_counts_positions_fuzz(texts):
+    """Positions from the vectorized path equal pure-Python order."""
+    import pyarrow as pa
+
+    from lsearch_ray.analyzer import term_counts_table, term_positions
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = term_counts_table(t, positions=True)
+    got: dict[tuple[int, str], list[int]] = {}
+    for i in range(out.num_rows):
+        got[(out["doc_id"][i].as_py(), out["term"][i].as_py())] = out["pos"][
+            i
+        ].as_py()
+    for d, text in enumerate(texts):
+        want = term_positions(text)
+        mine = {t_: p for (dd, t_), p in got.items() if dd == d}
+        assert mine == want, (d, text)
