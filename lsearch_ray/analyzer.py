@@ -269,8 +269,9 @@ def term_counts_table(
         "dl": pa.array(dl_per_row[row_of], type=pa.int32()),
     }
     if positions:
+        # dl_per_row IS bincount(parents) — no second pass over the stream
         doc_starts = np.concatenate(
-            ([0], np.cumsum(np.bincount(parents, minlength=n_rows)))
+            ([0], np.cumsum(dl_per_row.astype(np.int64)))
         )[:-1]
         within_doc = np.arange(len(parents), dtype=np.int64) - doc_starts[parents]
         pos_flat = within_doc[order].astype(np.int32)

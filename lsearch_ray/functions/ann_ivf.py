@@ -138,16 +138,29 @@ def ivf_search(
     *,
     nprobe: int = 4,
     id_col: str = "vec_id",
-    emb_col: str = "embedding",
+    emb_col: str | None = None,
     round_to: int | None = 4,
 ) -> pa.Table:
     """Query a materialized IVF index: rank centroids by cosine to the
     query, read ONLY the ``nprobe`` nearest ``cluster=<c>/`` partition
-    directories, exact cosine top-k over those vectors."""
+    directories, exact cosine top-k over those vectors.
+
+    ``emb_col`` defaults to the column the index was BUILT with
+    (meta.json); the query dimension is validated against the index."""
+    import json
+
     import ray.data as rd
 
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        idx_meta = json.load(f)
+    if emb_col is None:
+        emb_col = idx_meta.get("emb_col", "embedding")
     q = np.asarray(query, dtype=np.float64)
+    if len(q) != int(idx_meta.get("dim", len(q))):
+        raise ValueError(
+            f"query dim {len(q)} != index dim {idx_meta['dim']}"
+        )
     qn = q / (np.linalg.norm(q) or 1.0)
     probe = np.argsort(-(centroids @ qn))[:nprobe]
     # read_parquet accepts one directory but a LIST must be files — expand

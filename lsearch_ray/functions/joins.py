@@ -195,6 +195,12 @@ def asof_join(
     left_types = dict(zip(left_schema.names, left_schema.types))
     right_types = dict(zip(right_schema.names, right_schema.types))
     out_right = [f"{c}{suffix}" for c in right_cols]
+    clash = set(out_right) & set(left_schema.names)
+    if clash:
+        raise ValueError(
+            f"asof_join: suffixed right columns {sorted(clash)} collide "
+            "with left-table columns — rename one side or change suffix"
+        )
     mult = np.uint64(0x100000001B3)
 
     def tag(side: int):

@@ -86,7 +86,21 @@ def decode_all_postings(table: pa.Table) -> pa.Table:
 def merge_indexes(
     index_dirs: list[str], out_dir: str, *, resume: bool = True
 ) -> IndexMeta:
-    """Merge same-shape sharded indexes into ``out_dir``."""
+    """Merge same-shape sharded indexes into ``out_dir``.
+
+    Round-2 invariants carried through the merge:
+    - token-less docs stay counted: per-shard n_docs/dl_sum come from the
+      SOURCE manifests (which include stage-A docstats), not a postings
+      recount;
+    - tombstones are applied during the merge (deleted postings dropped,
+      counts adjusted) — the merged index needs no tombstone files;
+    - positional indexes merge positional: when every input has
+      positions, the ``poss`` blobs round-trip and the merged meta keeps
+      ``has_positions``; mixing positional and non-positional inputs is
+      rejected (silently dropping paid-for positions would be worse).
+    """
+    import json
+
     import ray
 
     metas = [IndexMeta.load(d) for d in index_dirs]
@@ -95,6 +109,11 @@ def merge_indexes(
     for m in metas[1:]:
         if m.num_shards != num_shards or m.block_size != block_size:
             raise ValueError("merge requires identical num_shards/block_size")
+    positions = all(m.has_positions for m in metas)
+    if any(m.has_positions for m in metas) and not positions:
+        raise ValueError(
+            "merge requires all inputs positional or all non-positional"
+        )
     os.makedirs(out_dir, exist_ok=True)
     missing = [
         s for s in range(num_shards) if not (resume and shard_complete(out_dir, s))
@@ -102,17 +121,51 @@ def merge_indexes(
 
     @ray.remote(num_cpus=1)
     def merge_shard(shard: int) -> dict:
+        from lsearch_ray.index.tombstones import load_tombstones_for_shard
+
         pa.set_cpu_count(1)
+        base_cols = ["term", "df", "docs", "tfs", "dls"]
         parts = []
+        n_docs, dl_sum = 0, 0
+        banned_parts = []
         for d in index_dirs:
-            t = pq.read_table(
-                os.path.join(_shard_dir(d, shard), "postings.parquet"),
-                columns=["term", "df", "docs", "tfs", "dls"],
+            path = os.path.join(_shard_dir(d, shard), "postings.parquet")
+            avail = pq.ParquetFile(path).schema_arrow.names
+            # an empty shard of a positional index is encoded without the
+            # poss column (no triples to carry it) — read what exists;
+            # permissive concat fills the missing pos lists
+            cols = base_cols + (
+                ["poss"] if positions and "poss" in avail else []
             )
+            t = pq.read_table(path, columns=cols)
             parts.append(decode_all_postings(t))
-        merged = pa.concat_tables(parts, promote_options="permissive")
-        return encode_shard_table(merged, out_dir, shard, block_size)
+            with open(os.path.join(_shard_dir(d, shard), "manifest.json")) as f:
+                m = json.load(f)
+            n_docs += int(m["n_docs"])
+            dl_sum += int(m["dl_sum"])
+            banned_parts.append(load_tombstones_for_shard(d, shard))
+        # zero-row parts (empty shards) carry plain-string/pos-less
+        # schemas that won't promote against the dictionary-typed ones
+        nonempty = [p for p in parts if p.num_rows]
+        merged = (
+            pa.concat_tables(nonempty, promote_options="permissive")
+            if nonempty
+            else parts[0]
+        )
+        banned = np.unique(np.concatenate(banned_parts))
+        if len(banned):
+            doc_ids = merged["doc_id"].to_numpy(zero_copy_only=False)
+            drop = np.isin(doc_ids, banned)
+            if drop.any():
+                dls = merged["dl"].to_numpy(zero_copy_only=False)
+                uq, ui = np.unique(doc_ids[drop], return_index=True)
+                dl_sum -= int(dls[drop][ui].sum())
+                merged = merged.filter(pa.array(~drop))
+            n_docs -= int(len(banned))
+        return encode_shard_table(
+            merged, out_dir, shard, block_size, (n_docs, dl_sum)
+        )
 
     if missing:
         ray.get([merge_shard.remote(s) for s in missing])
-    return finalize_index(out_dir, num_shards, block_size)
+    return finalize_index(out_dir, num_shards, block_size, positions=positions)

@@ -14,12 +14,14 @@ n_docs undercount by one after compaction — deletion of nonexistent ids
 is out of contract.
 
 Crash safety: tombstone writes and shard rewrites are tmp+rename atomic.
-Compaction commits per shard: each shard records the digest of the
-tombstone set it applied in its manifest, and its tombstone file is
-removed right after the shard commits — a re-run after a crash skips
-already-compacted shards (digest match) instead of double-subtracting
-the manifest doc counts, so compaction is idempotent at every
-interruption point.
+Compaction commits per shard: each shard's manifest carries a cumulative
+ledger of the tombstone ids it has ALREADY applied, and the shard's
+tombstone file is removed right after the shard commits. A re-run after
+a crash — even one where new deletions merged into a stale tombstone
+file during the window — subtracts only the not-yet-applied ids, so
+compaction is idempotent at every interruption point. (The ledger lives
+in manifest JSON; corpora accumulating millions of deletions between
+compactions should compact more often or rebuild.)
 """
 
 from __future__ import annotations
@@ -95,7 +97,6 @@ def compact_index(index_dir: str) -> IndexMeta:
 
     After compaction the index is byte-identical to a fresh build over
     the live corpus (same sort→encode reduce as the build and merge)."""
-    import hashlib
     import json
 
     from lsearch_ray.index.merge import decode_all_postings
@@ -105,14 +106,16 @@ def compact_index(index_dir: str) -> IndexMeta:
         banned = load_tombstones_for_shard(index_dir, s)
         if len(banned) == 0:
             continue
-        digest = hashlib.sha256(banned.tobytes()).hexdigest()
         manifest_path = os.path.join(_shard_dir(index_dir, s), "manifest.json")
         with open(manifest_path) as f:
             old = json.load(f)
-        if old.get("compacted_digest") == digest:
-            # shard already applied this tombstone set (crash landed
-            # between the manifest commit and the tombstone removal) —
-            # do NOT subtract again
+        applied = np.asarray(old.get("applied_tombstones", []), dtype=np.int64)
+        # only not-yet-applied ids adjust the counts: a crash between the
+        # manifest commit and the tombstone removal (even with NEW
+        # deletions merging into the stale file meanwhile) must not
+        # subtract the already-applied ids twice
+        effective = np.setdiff1d(banned, applied)
+        if len(effective) == 0:
             os.remove(_tombstone_path(index_dir, s))
             continue
         cols = ["term", "df", "docs", "tfs", "dls"]
@@ -122,7 +125,7 @@ def compact_index(index_dir: str) -> IndexMeta:
             cols.append("poss")
         triples = decode_all_postings(pq.read_table(path, columns=cols))
         doc_ids = triples["doc_id"].to_numpy(zero_copy_only=False)
-        keep = ~np.isin(doc_ids, banned)
+        keep = ~np.isin(doc_ids, effective)
         # adjust stats from the OLD manifest, not from surviving postings:
         # the manifest counts token-less docs (stage-A docstats) which
         # postings can never see — recounting would silently drop them
@@ -134,7 +137,7 @@ def compact_index(index_dir: str) -> IndexMeta:
         else:
             deleted_dl = 0
         doc_stats = (
-            int(old["n_docs"]) - int(len(banned)),
+            int(old["n_docs"]) - int(len(effective)),
             int(old["dl_sum"]) - deleted_dl,
         )
         encode_shard_table(
@@ -143,11 +146,12 @@ def compact_index(index_dir: str) -> IndexMeta:
             s,
             meta.block_size,
             doc_stats,
-            extra_manifest={"compacted_digest": digest},
+            extra_manifest={
+                "applied_tombstones": np.union1d(applied, effective).tolist()
+            },
         )
-        # per-shard commit point: the manifest (with digest) is durable,
-        # so dropping this shard's tombstones now is safe and makes any
-        # re-run skip the shard
+        # per-shard commit point: the manifest (with the ids ledger) is
+        # durable, so dropping this shard's tombstones now is safe
         os.remove(_tombstone_path(index_dir, s))
     return finalize_index(
         index_dir, meta.num_shards, meta.block_size, positions=meta.has_positions

@@ -7,6 +7,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from lsearch_ray.corpus import assign_doc_ids, make_corpus
@@ -65,3 +66,48 @@ def test_decode_all_postings_roundtrip(tmp_path):
     encode_shard_table(flat, re_dir, 0, 128)
     t2 = pq.read_table(os.path.join(re_dir, "shard=00000", "postings.parquet"))
     assert t2.equals(t)
+
+
+def test_merge_carries_round2_invariants(tmp_path):
+    """merge_indexes must carry token-less doc counts, apply tombstones,
+    and round-trip positions (the three invariants a merge could drop)."""
+    from lsearch_ray.index.golden import golden_index
+    from lsearch_ray.index.search import phrase_search, search_index
+    from lsearch_ray.index.tombstones import delete_docs
+
+    t1 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["alpha beta gamma", "", "beta beta delta"],
+        }
+    )
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([10, 11], type=pa.int64()),
+            "text": ["alpha delta", "gamma gamma beta"],
+        }
+    )
+    d1, d2, out = (str(tmp_path / x) for x in ("a", "b", "m"))
+    build_index(rd.from_arrow(t1), d1, num_shards=2, positions=True)
+    build_index(rd.from_arrow(t2), d2, num_shards=2, positions=True)
+    delete_docs(d1, [3])  # masked, uncompacted
+    meta = merge_indexes([d1, d2], out)
+    # token-less doc 2 counted; deleted doc 3 not
+    assert meta.n_docs == 4
+    assert meta.has_positions
+    golden = golden_index(
+        [1, 2, 10, 11], ["alpha beta gamma", "", "alpha delta", "gamma gamma beta"]
+    )
+    assert meta.avgdl == golden.avgdl
+    got = search_index(out, "beta", k=10)
+    want = golden.bm25("beta", k=10)
+    assert got["doc_id"].to_pylist() == [d for d, _ in want]
+    assert got["score"].to_pylist() == [s for _, s in want]
+    # positions survived the merge
+    ph = phrase_search(out, "alpha beta", k=10)
+    assert ph["doc_id"].to_pylist() == [1]
+    # mixed positional/non-positional inputs rejected
+    d3 = str(tmp_path / "np")
+    build_index(rd.from_arrow(t2), d3, num_shards=2)
+    with pytest.raises(ValueError):
+        merge_indexes([d1, d3], str(tmp_path / "bad"))
