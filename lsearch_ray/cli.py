@@ -65,7 +65,7 @@ _LOADER_FLAGS = {
 }
 _BOOL_FLAGS = {
     "insensitive", "recursive", "hidden", "score", "long", "strats",
-    "stats", "echo",
+    "stats", "echo", "snippet",
 }
 
 
@@ -271,6 +271,19 @@ def main(argv: list[str] | None = None) -> int:
 
         table = pa.Table.from_pandas(table, preserve_index=False)
         mode = "score" if "score" in flags else ("long" if "long" in flags else "grid")
+        if "snippet" in flags and "text" in table.column_names:
+            from lsearch_ray.stages.sinks import make_snippets
+
+            # highlight the scorer targets of every run (has/is/more)
+            targets = [
+                op.target for run in runs for op in run.ops if op.target
+            ]
+            table = make_snippets(table, targets)
+            for lbl, snip in zip(
+                table[label_col].to_pylist(), table["snippet"].to_pylist()
+            ):
+                print(f"{lbl}: {snip}")
+            continue
         cols = [label_col] + (["score"] if "score" in table.column_names else [])
         print(
             print_results(

@@ -78,3 +78,52 @@ def print_results(
 def write_results(ds, out_dir: str, *, partition_cols: list[str] | None = None):
     """Engine sink: partitioned parquet directory (resumable layout)."""
     ds.write_parquet(out_dir, partition_cols=partition_cols)
+
+
+def make_snippets(
+    table: pa.Table,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    width: int = 100,
+    marks: tuple[str, str] = ("[", "]"),
+) -> pa.Table:
+    """Append a ``snippet`` column: a ±width/2 context window around the
+    first case-insensitive occurrence of any term, with every term
+    occurrence inside the window wrapped in ``marks`` (grep -C analog).
+
+    Driver-side presentation over a top-k result table (like the other
+    formatters) — a per-row loop is fine at k-scale; don't put this in a
+    corpus-wide map stage.
+    """
+    from lsearch_ray.analyzer import ascii_lower
+
+    folded = [ascii_lower(t) for t in terms if t]
+    texts = table[text_col].to_pylist()
+    out: list[str] = []
+    half = max(1, width // 2)
+    for text in texts:
+        text = text or ""
+        low = ascii_lower(text)
+        first = -1
+        for t in folded:
+            p = low.find(t)
+            if p != -1 and (first == -1 or p < first):
+                first = p
+        start = max(0, first - half) if first != -1 else 0
+        end = min(len(text), (first if first != -1 else 0) + half)
+        window = text[start:end]
+        wlow = low[start:end]
+        # mark occurrences back-to-front so offsets stay valid
+        hits: list[tuple[int, int]] = []
+        for t in folded:
+            p = wlow.find(t)
+            while p != -1:
+                hits.append((p, p + len(t)))
+                p = wlow.find(t, p + 1)
+        for s, e in sorted(set(hits), reverse=True):
+            window = window[:s] + marks[0] + window[s:e] + marks[1] + window[e:]
+        prefix = "…" if start > 0 else ""
+        suffix = "…" if end < len(text) else ""
+        out.append(prefix + window + suffix)
+    return table.append_column("snippet", pa.array(out, type=pa.string()))

@@ -190,3 +190,45 @@ def test_cli_content_exec_bad_spec():
 
     with _pytest.raises(SystemExit):
         main(["--strats", "--content-exec", "nope_no_module:fn", "--has", "x"])
+
+
+def test_make_snippets_windows_and_marks():
+    from lsearch_ray.stages.sinks import make_snippets
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "x" * 200 + " the Biology lab " + "y" * 200,
+                "no match here at all",
+                "",
+            ],
+        }
+    )
+    out = make_snippets(t, ["biology"], width=40)
+    s1 = out["snippet"][0].as_py()
+    assert "[Biology]" in s1  # original casing preserved, marked
+    assert s1.startswith("…") and s1.endswith("…")
+    assert len(s1) < 80
+    assert out["snippet"][1].as_py().startswith("no match")  # prefix fallback
+    assert out["snippet"][2].as_py() == ""
+
+
+def test_cli_snippet_flag(tmp_path, capsys):
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "url": ["https://a/x", "https://b/y"],
+                "text": ["deep biology notes here", "rust systems code"],
+            }
+        ),
+        p,
+    )
+    rc = main([p, "--content-text", "--has", "biology", "--snippet"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[biology]" in out
+    assert "https://a/x:" in out
+    assert "https://b/y" not in out
