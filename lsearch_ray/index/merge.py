@@ -127,7 +127,7 @@ def merge_indexes(
         base_cols = ["term", "df", "docs", "tfs", "dls"]
         parts = []
         n_docs, dl_sum = 0, 0
-        banned_parts = []
+        banned_parts, effective_parts = [], []
         for d in index_dirs:
             path = os.path.join(_shard_dir(d, shard), "postings.parquet")
             avail = pq.ParquetFile(path).schema_arrow.names
@@ -143,7 +143,14 @@ def merge_indexes(
                 m = json.load(f)
             n_docs += int(m["n_docs"])
             dl_sum += int(m["dl_sum"])
-            banned_parts.append(load_tombstones_for_shard(d, shard))
+            b = load_tombstones_for_shard(d, shard)
+            banned_parts.append(b)
+            # ids a crashed compact_index already applied to THIS input's
+            # manifest must not be subtracted a second time
+            applied = np.asarray(
+                m.get("applied_tombstones", []), dtype=np.int64
+            )
+            effective_parts.append(np.setdiff1d(b, applied))
         # zero-row parts (empty shards) carry plain-string/pos-less
         # schemas that won't promote against the dictionary-typed ones
         nonempty = [p for p in parts if p.num_rows]
@@ -153,15 +160,18 @@ def merge_indexes(
             else parts[0]
         )
         banned = np.unique(np.concatenate(banned_parts))
+        effective = np.unique(np.concatenate(effective_parts))
         if len(banned):
             doc_ids = merged["doc_id"].to_numpy(zero_copy_only=False)
             drop = np.isin(doc_ids, banned)
             if drop.any():
                 dls = merged["dl"].to_numpy(zero_copy_only=False)
-                uq, ui = np.unique(doc_ids[drop], return_index=True)
-                dl_sum -= int(dls[drop][ui].sum())
+                eff_drop = drop & np.isin(doc_ids, effective)
+                if eff_drop.any():
+                    uq, ui = np.unique(doc_ids[eff_drop], return_index=True)
+                    dl_sum -= int(dls[eff_drop][ui].sum())
                 merged = merged.filter(pa.array(~drop))
-            n_docs -= int(len(banned))
+            n_docs -= int(len(effective))
         return encode_shard_table(
             merged, out_dir, shard, block_size, (n_docs, dl_sum)
         )

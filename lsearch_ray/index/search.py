@@ -610,7 +610,6 @@ def _extended_search(
     files: list[str],
     k: int,
     mode: str,
-    banned: np.ndarray,
     pos_cache: dict,
     score_unsorted,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -1052,7 +1051,6 @@ def search_index(
             files,
             k,
             mode,
-            banned,
             {},
             lambda base: score_query_unsorted(
                 base, _eager5(postings), dfs, meta, mode, banned
@@ -1182,7 +1180,6 @@ class BatchSearcher:
             self.files,
             self.k,
             self.mode,
-            self.banned,
             self._pos_cache,
             score_unsorted,
         )
@@ -1355,13 +1352,16 @@ class _ShardGroupSearcher:
         # dfs are GLOBAL (termstats) so idf matches golden; doc-sharding
         # makes local scores complete → local top-k is exact.
         if '"' in query:
+            if len(self._pos_cache) > 50_000:
+                # long-lived actor: bound the positional cache like
+                # BatchSearcher bounds its caches
+                self._pos_cache.clear()
             return _extended_search(
                 query,
                 self.meta,
                 self.files,
                 k,
                 mode,
-                self.banned,
                 self._pos_cache,
                 lambda base: self._score_unsorted(base, mode),
             )

@@ -107,15 +107,24 @@ def compact_index(index_dir: str) -> IndexMeta:
         if len(banned) == 0:
             continue
         manifest_path = os.path.join(_shard_dir(index_dir, s), "manifest.json")
-        with open(manifest_path) as f:
-            old = json.load(f)
-        applied = np.asarray(old.get("applied_tombstones", []), dtype=np.int64)
-        # only not-yet-applied ids adjust the counts: a crash between the
-        # manifest commit and the tombstone removal (even with NEW
-        # deletions merging into the stale file meanwhile) must not
-        # subtract the already-applied ids twice
+        pending_path = manifest_path + ".pending"
+        # the doc-stat BASE is the pending manifest when one exists: a
+        # crash between the postings replace and the manifest rename
+        # leaves filtered postings with an old manifest, and the deleted
+        # docs' dl can no longer be recovered from postings — the pending
+        # file (written BEFORE the replace) carries the correct target
+        if os.path.exists(pending_path):
+            with open(pending_path) as f:
+                base = json.load(f)
+        else:
+            with open(manifest_path) as f:
+                base = json.load(f)
+        applied = np.asarray(base.get("applied_tombstones", []), dtype=np.int64)
+        # only not-yet-applied ids adjust the counts: already-applied ids
+        # (from a crashed prior run, even with NEW deletions merged into
+        # the stale tombstone file meanwhile) must not subtract twice
         effective = np.setdiff1d(banned, applied)
-        if len(effective) == 0:
+        if len(effective) == 0 and not os.path.exists(pending_path):
             os.remove(_tombstone_path(index_dir, s))
             continue
         cols = ["term", "df", "docs", "tfs", "dls"]
@@ -125,33 +134,44 @@ def compact_index(index_dir: str) -> IndexMeta:
             cols.append("poss")
         triples = decode_all_postings(pq.read_table(path, columns=cols))
         doc_ids = triples["doc_id"].to_numpy(zero_copy_only=False)
-        keep = ~np.isin(doc_ids, effective)
-        # adjust stats from the OLD manifest, not from surviving postings:
-        # the manifest counts token-less docs (stage-A docstats) which
-        # postings can never see — recounting would silently drop them
+        # filter with the FULL banned set (idempotent over partial
+        # states); dl adjustment only for effective ids still present
+        keep = ~np.isin(doc_ids, banned)
         dls = triples["dl"].to_numpy(zero_copy_only=False)
-        dropped = ~keep
-        if dropped.any():
-            uq, ui = np.unique(doc_ids[dropped], return_index=True)
-            deleted_dl = int(dls[dropped][ui].sum())
+        eff_dropped = np.isin(doc_ids, effective)
+        if eff_dropped.any():
+            uq, ui = np.unique(doc_ids[eff_dropped], return_index=True)
+            deleted_dl = int(dls[eff_dropped][ui].sum())
         else:
             deleted_dl = 0
         doc_stats = (
-            int(old["n_docs"]) - int(len(effective)),
-            int(old["dl_sum"]) - deleted_dl,
+            int(base["n_docs"]) - int(len(effective)),
+            int(base["dl_sum"]) - deleted_dl,
         )
+        ledger = np.union1d(applied, banned).tolist()
+        # commit protocol: pending manifest → postings → manifest →
+        # remove pending → remove tombstones; every crash window resumes
+        # correctly (pending is the recovery record for the replace gap)
+        ptmp = pending_path + f".tmp.{os.getpid()}"
+        with open(ptmp, "w") as f:
+            json.dump(
+                {
+                    "n_docs": doc_stats[0],
+                    "dl_sum": doc_stats[1],
+                    "applied_tombstones": ledger,
+                },
+                f,
+            )
+        os.replace(ptmp, pending_path)
         encode_shard_table(
             triples.filter(pa.array(keep)),
             index_dir,
             s,
             meta.block_size,
             doc_stats,
-            extra_manifest={
-                "applied_tombstones": np.union1d(applied, effective).tolist()
-            },
+            extra_manifest={"applied_tombstones": ledger},
         )
-        # per-shard commit point: the manifest (with the ids ledger) is
-        # durable, so dropping this shard's tombstones now is safe
+        os.remove(pending_path)
         os.remove(_tombstone_path(index_dir, s))
     return finalize_index(
         index_dir, meta.num_shards, meta.block_size, positions=meta.has_positions

@@ -114,14 +114,22 @@ def make_snippets(
         end = min(len(text), (first if first != -1 else 0) + half)
         window = text[start:end]
         wlow = low[start:end]
-        # mark occurrences back-to-front so offsets stay valid
+        # collect occurrences, merge overlapping/adjacent spans (multi-term
+        # or self-overlapping hits would otherwise nest brackets), then
+        # mark back-to-front so offsets stay valid
         hits: list[tuple[int, int]] = []
         for t in folded:
             p = wlow.find(t)
             while p != -1:
                 hits.append((p, p + len(t)))
                 p = wlow.find(t, p + 1)
-        for s, e in sorted(set(hits), reverse=True):
+        merged: list[tuple[int, int]] = []
+        for s, e in sorted(hits):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        for s, e in reversed(merged):
             window = window[:s] + marks[0] + window[s:e] + marks[1] + window[e:]
         prefix = "…" if start > 0 else ""
         suffix = "…" if end < len(text) else ""

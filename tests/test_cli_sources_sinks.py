@@ -232,3 +232,16 @@ def test_cli_snippet_flag(tmp_path, capsys):
     assert "[biology]" in out
     assert "https://a/x:" in out
     assert "https://b/y" not in out
+
+
+def test_make_snippets_overlapping_terms():
+    from lsearch_ray.stages.sinks import make_snippets
+
+    t = pa.table(
+        {"text": ["data at rest", "aaa"], "doc_id": pa.array([1, 2], type=pa.int64())}
+    )
+    out = make_snippets(t, ["data", "at"])
+    assert out["snippet"][0].as_py() == "[data] [at] rest"
+    out2 = make_snippets(t, ["aa"])
+    # self-overlapping hits merge into one clean span
+    assert out2["snippet"][1].as_py() == "[aaa]"
