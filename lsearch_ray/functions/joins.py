@@ -9,9 +9,13 @@ needs broadcast and partitioned hash joins for hydration and analytics).
   both inputs repartitioned on the key). ``num_partitions`` controls
   reducer memory.
 - :func:`broadcast_semi_join` / anti — key-set membership filters.
+- :func:`range_join` — broadcast interval join (overlapping intervals,
+  left semantics).
+- :func:`asof_join` — backward as-of join via hash-partition co-group +
+  per-partition vectorized ``merge_asof``.
 - :func:`sessionize` — the stream-shaped pattern: per-key ordered
-  ``map_groups`` computing gap-based sessions (Ray Data has no event-time
-  windows; the ordering assumption is per-group sort inside the task).
+  ``map_groups`` computing gap-based sessions (tumbling/sliding windows
+  live in functions/windows.py).
 """
 
 from __future__ import annotations
