@@ -1173,9 +1173,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": (
             "SELECT user_id, count(*) AS n_events, "
-            "sum(CASE WHEN prev_ts IS NULL OR "
+            # CAST: DuckDB's sum(CASE...) yields decimal128(38,0); the engine
+            # emits int64 and the driver value-hash covers the physical
+            # encoding, so without the cast identical values hash-mismatch.
+            "CAST(sum(CASE WHEN prev_ts IS NULL OR "
             "date_diff('microsecond', prev_ts, ts) > 1800000000 "
-            "THEN 1 ELSE 0 END) AS n_sessions FROM ("
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM ("
             "  SELECT user_id, ts, event_id, "
             "         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts"
             "  FROM events"

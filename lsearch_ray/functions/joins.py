@@ -13,9 +13,9 @@ needs broadcast and partitioned hash joins for hydration and analytics).
   left semantics).
 - :func:`asof_join` — backward as-of join via hash-partition co-group +
   per-partition vectorized ``merge_asof``.
-- :func:`sessionize` — the stream-shaped pattern: per-key ordered
-  ``map_groups`` computing gap-based sessions (tumbling/sliding windows
-  live in functions/windows.py).
+- :func:`sessionize` — the stream-shaped pattern: hash-partition on key,
+  one vectorized gap-scan per partition (tumbling/sliding windows live
+  in functions/windows.py).
 """
 
 from __future__ import annotations
@@ -296,29 +296,76 @@ def sessionize(
     ts_col: str = "ts",
     order_cols: tuple[str, ...] = ("event_id",),
     gap_seconds: float = 1800.0,
+    num_partitions: int = 64,
 ):
     """Per-key session assignment: a new session starts when the gap to
     the previous event exceeds ``gap_seconds``. Returns one row per key:
-    (key, n_events, n_sessions)."""
+    (key, n_events, n_sessions).
+
+    Scale shape (the ``exact_dedup`` pattern): rows are hash-partitioned
+    on the key — ONE groupby shuffle on ``__part``, so each reduce task
+    receives a whole hash partition holding complete key groups — then a
+    single vectorized pass per partition: mergesort by (key, ts, order),
+    session starts = key-boundary OR gap-exceeded via ``np.diff``,
+    per-key totals via run-boundary ``reduceat``. No per-key Python call
+    (the previous per-key ``map_groups`` form was one interpreter
+    round-trip + DataFrame per user — 10^8 users = 10^8 calls). Only the
+    (key, ts, order) columns enter the shuffle. Size ``num_partitions``
+    ≈ cluster cores × 4 at scale so a partition fits a worker's heap.
+    """
+
+    from lsearch_ray.functions.dedup import _col_hash64
 
     gap_ns = int(round(gap_seconds * 1e9))
+    mult = np.uint64(0x100000001B3)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, *order_cols], kind="mergesort")
+    def add_part(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            part = (
+                (_col_hash64(b[key_col]) * mult) % np.uint64(num_partitions)
+            ).astype(np.int64)
+        cols = {key_col: b[key_col], ts_col: b[ts_col]}
+        for c in order_cols:
+            cols[c] = b[c]
+        cols["__part"] = pa.array(part)
+        return pa.table(cols)
+
+    def sess_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *order_cols], kind="mergesort")
         # pandas 2 may keep us resolution — normalize to ns explicitly
         ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype("int64")
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (np.diff(ts) > gap_ns).astype(np.int64)
+        key = g[key_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    key_col: np.empty(0, dtype=key.dtype),
+                    "n_events": np.empty(0, dtype=np.int64),
+                    "n_sessions": np.empty(0, dtype=np.int64),
+                }
+            )
+        boundary = key[1:] != key[:-1]
+        new_session = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_session[1:] = (boundary | (np.diff(ts) > gap_ns)).astype(
+                np.int64
+            )
+        starts = np.flatnonzero(np.r_[True, boundary])
         return pd.DataFrame(
             {
-                key_col: np.asarray([g[key_col].iloc[0]], dtype=np.int64),
-                "n_events": np.asarray([len(g)], dtype=np.int64),
-                "n_sessions": np.asarray([int(new_session.sum())], dtype=np.int64),
+                key_col: key[starts],
+                "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
+                "n_sessions": np.add.reduceat(new_session, starts).astype(
+                    np.int64
+                ),
             }
         )
 
-    out = events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    out = (
+        events_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sess_partition, batch_format="pandas")
+    )
     # canonical output order: the groupby shuffle's block order is not
     # reproducible run-to-run; downstream value hashes need determinism
     return out.sort(key_col)

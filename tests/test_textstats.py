@@ -251,3 +251,53 @@ def test_sessionize():
     )
     out = sessionize(rd.from_arrow(ev), gap_seconds=60.0).take_all()
     assert out == [{"user_id": 1, "n_events": 5, "n_sessions": 3}]
+
+
+def test_sessionize_many_keys():
+    """10^5 distinct keys through the hash-partitioned vectorized path
+    (no per-key Python), verified against an independent pandas
+    window-function reference."""
+    import pandas as pd
+
+    from lsearch_ray.functions.joins import sessionize
+
+    rng = np.random.default_rng(7)
+    n = 220_000
+    n_keys = 110_000
+    user = np.concatenate(
+        [
+            np.arange(n_keys, dtype=np.int64),  # every key appears ≥ once
+            rng.integers(0, n_keys, size=n - n_keys).astype(np.int64),
+        ]
+    )
+    ts_us = rng.integers(0, 3_600_000_000, size=n).astype(np.int64)
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(user),
+            "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    gap = 120.0
+    out = (
+        sessionize(
+            rd.from_arrow(ev).repartition(8), gap_seconds=gap, num_partitions=16
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # independent reference: lag-based session starts per key
+    ref = pd.DataFrame({"user_id": user, "ts_us": ts_us, "event_id": np.arange(n)})
+    ref = ref.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    prev = ref.groupby("user_id")["ts_us"].shift()
+    start = prev.isna() | ((ref["ts_us"] - prev) > gap * 1e6)
+    expect = (
+        ref.assign(start=start.astype(np.int64))
+        .groupby("user_id", sort=True)
+        .agg(n_events=("ts_us", "size"), n_sessions=("start", "sum"))
+        .reset_index()
+    )
+    assert len(out) == n_keys == len(expect)
+    assert (out["user_id"].to_numpy() == expect["user_id"].to_numpy()).all()
+    assert (out["n_events"].to_numpy() == expect["n_events"].to_numpy()).all()
+    assert (out["n_sessions"].to_numpy() == expect["n_sessions"].to_numpy()).all()
