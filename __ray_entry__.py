@@ -602,18 +602,39 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ev, gap_seconds=1800.0)
 
 
-def _q_ivf_ann(sf_dir: str):
+def _ivf_query_vec(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    from lsearch_ray.functions.ann_ivf import ivf_cosine_topk
-
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qvec = np.array(
+    return np.array(
         pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][0].as_py(),
         dtype=np.float64,
     )
-    # probing every cluster makes IVF exact → the brute-force SQL oracle
-    # applies (the approximation knob is nprobe < n_clusters)
+
+
+def _q_ivf_ann(sf_dir: str):
+    """IVF through the SERVING path: build the materialized
+    cluster-partitioned layout (build_ivf_index), then probe it
+    (ivf_search). nprobe = n_clusters makes IVF exact → the brute-force
+    SQL oracle applies (the approximation knob is nprobe < n_clusters),
+    while the driver still exercises the real build+probe layout."""
+    import hashlib
+
+    from lsearch_ray.functions.ann_ivf import build_ivf_index, ivf_search
+
+    qvec = _ivf_query_vec(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/lsr_ivf_idx_{tag}"
+    build_ivf_index(_read(sf_dir, "embeddings"), index_dir, n_clusters=8)
+    return ivf_search(index_dir, qvec, k=10, nprobe=8)
+
+
+def _q_ivf_ann_oneshot(sf_dir: str):
+    """Secondary form: the one-shot inline-assignment path (no
+    materialized layout), same exactness argument (nprobe = n_clusters)."""
+    from lsearch_ray.functions.ann_ivf import ivf_cosine_topk
+
+    qvec = _ivf_query_vec(sf_dir)
     return ivf_cosine_topk(
         _read(sf_dir, "embeddings"), qvec, k=10, n_clusters=8, nprobe=8
     )
@@ -705,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": _q_distinct_segments,
         "sessionize": _q_sessionize,
         "ivf_ann": _q_ivf_ann,
+        "ivf_ann_oneshot": _q_ivf_ann_oneshot,
     }
 
 
@@ -1067,6 +1089,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "ivf_ann": (
+            "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim "
+            "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
+        ),
+        "ivf_ann_oneshot": (
             "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim "
             "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"

@@ -36,6 +36,33 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _MAXH = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _mulmod_mersenne61(a, x: np.ndarray) -> np.ndarray:
+    """Exact ``(a*x) mod (2^61-1)`` in uint64 lanes (no 128-bit ints).
+
+    Operands are < 2^61; split into 32-bit halves, the 128-bit product's
+    partial terms fold with 2^64 ≡ 8 and 2^61 ≡ 1 (mod p), each kept
+    below 2^63, then one exact final modulo. This makes
+    ``h(x) = (a·x + b) mod p`` genuinely universal — a plain wrapping
+    uint64 product before the mod (the previous form) loses the high
+    product bits and slightly biases the min-hash estimator.
+    """
+    p = _MERSENNE
+    m32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & m32
+    x_hi, x_lo = x >> np.uint64(32), x & m32
+    with np.errstate(over="ignore"):
+        lo = (a_lo * x_lo) % p
+        hi = ((a_hi * x_hi) << np.uint64(3)) % p  # ·2^64 ≡ ·8 (mod p)
+        mid = (a_hi * x_lo + a_lo * x_hi) % p  # each term < 2^61
+        # mid·2^32 (mod p): mid = m_hi·2^29 + m_lo → m_hi·2^61 + m_lo·2^32
+        # ≡ m_hi + m_lo·2^32, both addends < 2^61
+        mid = (
+            (mid >> np.uint64(29))
+            + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        ) % p
+        return (lo + hi + mid) % p
+
+
 def _token_hashes(batch_texts) -> tuple[np.ndarray, np.ndarray]:
     """(doc boundaries, uint64 hash per token) for a text column."""
     parents, flat = flat_tokens_arrow(batch_texts)
@@ -100,7 +127,8 @@ class MinHashSignatures:
         id_col: str = "doc_id",
     ):
         rng = np.random.RandomState(seed)
-        # universal hashing h_p(x) = (a_p * x + b_p) mod (2^61-1)
+        # universal hashing h_p(x) = (a_p * x + b_p) mod (2^61-1), the
+        # product computed exactly via _mulmod_mersenne61
         self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
@@ -119,7 +147,7 @@ class MinHashSignatures:
             x = sh % _MERSENNE
             with np.errstate(over="ignore"):
                 for p in range(self.num_perm):
-                    v = (self.a[p] * x + self.b[p]) % _MERSENNE
+                    v = (_mulmod_mersenne61(self.a[p], x) + self.b[p]) % _MERSENNE
                     sigs[nonempty, p] = np.minimum.reduceat(v, reduce_starts)
         offsets = np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int64)
         sig_col = pa.LargeListArray.from_arrays(

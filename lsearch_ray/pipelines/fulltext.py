@@ -133,6 +133,18 @@ def bm25_topk_dataset(
             lambda b: b.filter(pa.compute.equal(b["nt"], n_req)),
             batch_format="pyarrow",
         )
+    if round_to is not None:
+        # round BEFORE sort+limit: the oracle orders by the rounded alias,
+        # so sorting unrounded floats could pick a different k-th doc when
+        # two scores round to the same value (latent top-k boundary flake)
+        def round_score(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("score"),
+                "score",
+                pa.compute.round(b["score"], ndigits=round_to),
+            )
+
+        scored = scored.map_batches(round_score, batch_format="pyarrow")
     top = (
         scored.sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
@@ -145,10 +157,9 @@ def bm25_topk_dataset(
                 "score": pa.array([], type=pa.float64()),
             }
         )
-    score = top["score"].round(round_to) if round_to is not None else top["score"]
     return pa.table(
         {
             "doc_id": pa.array(top["doc_id"], type=pa.int64()),
-            "score": pa.array(score, type=pa.float64()),
+            "score": pa.array(top["score"], type=pa.float64()),
         }
     )

@@ -41,7 +41,20 @@ def expand_pattern(
     """
     pat = pattern
     if recursive and not pat.startswith("**/"):
-        pat = os.path.join(os.path.dirname(pat), "**", os.path.basename(pat))
+        if os.path.isabs(pat):
+            # documented divergence: the reference's literal concat
+            # ("**/" + pattern, cli.rs:443-445) globs relative to cwd, so
+            # for an ABSOLUTE pattern it matches nothing; anchoring the
+            # recursion at the pattern's directory is the useful reading
+            pat = os.path.join(
+                os.path.dirname(pat), "**", os.path.basename(pat)
+            )
+        else:
+            # reference parity (cli.rs:443-445): the WHOLE pattern is
+            # prefixed with "**/" as a plain string concat — `corpus/*.rs`
+            # becomes `**/corpus/*.rs` (matches the pattern's full relative
+            # path at any depth), NOT `corpus/**/*.rs`
+            pat = "**/" + pat
     # include_hidden: the reference's glob matches dotfiles and prunes them
     # itself (cli.rs:416-418) — mirror that so --hidden can reveal them
     matches = _glob.glob(pat, recursive=True, include_hidden=True)

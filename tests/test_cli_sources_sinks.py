@@ -81,6 +81,28 @@ def test_expand_pattern(tmp_path):
         expand_pattern(str(d / "nope*.parquet"))
 
 
+def test_expand_pattern_recursive_relative_parity(tmp_path, monkeypatch):
+    """Reference parity (cli.rs:443-445): recursive prefixes ``**/`` to the
+    WHOLE relative pattern — ``data/*.parquet`` matches that full relative
+    path at ANY depth (so ``nest/data/x.parquet`` matches too), and does
+    NOT rewrite to ``data/**/*.parquet`` (so ``data/sub/c.parquet`` — a
+    different relative path — must NOT match)."""
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    (d / "sub").mkdir()
+    (d / "sub" / "c.parquet").write_bytes(b"x")
+    nest = tmp_path / "nest" / "data"
+    nest.mkdir(parents=True)
+    (nest / "deep.parquet").write_bytes(b"x")
+    monkeypatch.chdir(tmp_path)
+    got = {
+        os.path.relpath(p, tmp_path)
+        for p in expand_pattern("data/*.parquet", recursive=True)
+    }
+    assert got == {"data/a.parquet", "nest/data/deep.parquet"}
+
+
 def test_read_pages_prunes_columns(tmp_path):
     p = str(tmp_path / "docs.parquet")
     pq.write_table(
