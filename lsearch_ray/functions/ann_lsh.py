@@ -22,7 +22,7 @@ from lsearch_ray.functions.ann import _stack_embeddings
 from lsearch_ray.functions.cluster import (
     apply_verified_pairs,
     attach_pair_payloads,
-    bucket_pairs_fn,
+    bucket_pairs_ds,
     fixed_blob_matrix,
     list_to_blob,
     unique_pairs,
@@ -141,9 +141,7 @@ def embedding_dedup(
         HyperplaneBuckets(dim, nplanes, seed, emb_col), batch_format="pyarrow"
     )
     pairs = unique_pairs(
-        bucketed.groupby("bucket").map_groups(
-            bucket_pairs_fn(id_col), batch_format="pandas"
-        )
+        bucket_pairs_ds(bucketed, ["bucket"], id_col)
     ).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:

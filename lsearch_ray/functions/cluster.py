@@ -19,22 +19,109 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def bucket_pairs_fn(id_col: str = "doc_id", cap: int = 64):
-    """Returns a ``map_groups`` fn emitting candidate pairs (a<b) within a
-    bucket. Over-``cap`` buckets (boilerplate explosions) chain members to
-    the bucket minimum instead of emitting O(n²) pairs — connected
-    components still connect the whole cluster."""
+def _concat_aranges(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated, vectorized."""
+    total = int(lens.sum())
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64), lens
+    )
+    return out
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-        if len(ids) > cap:
-            return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
 
-    return pairs
+def _emit_pairs_sorted(
+    ids: np.ndarray, run_starts: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs (a<b) for every bucket run of a sorted id array.
+
+    ``run_starts`` are bucket boundaries (length R+1, first 0, last n);
+    ids are ascending within each run. Runs ≤ ``cap`` emit all
+    ``triu`` pairs; over-``cap`` runs (boilerplate explosions) chain
+    members to the run minimum instead of O(n²) pairs — connected
+    components still connect the whole cluster. Fully vectorized: the
+    only Python loop is over DISTINCT run lengths (≤ cap of them)."""
+    L = np.diff(run_starts)
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    big = np.flatnonzero(L > cap)
+    if len(big):
+        lens = (L[big] - 1).astype(np.int64)
+        b_idx = np.repeat(run_starts[big] + 1, lens) + _concat_aranges(lens)
+        a_parts.append(np.repeat(ids[run_starts[big]], lens))
+        b_parts.append(ids[b_idx])
+    full = np.flatnonzero((L >= 2) & (L <= cap))
+    if len(full):
+        fl = L[full]
+        for Lv in np.unique(fl):
+            runs = run_starts[full[fl == Lv]]
+            ia, ib = np.triu_indices(int(Lv), k=1)
+            a_parts.append(ids[(runs[:, None] + ia[None, :]).ravel()])
+            b_parts.append(ids[(runs[:, None] + ib[None, :]).ravel()])
+    if a_parts:
+        return np.concatenate(a_parts), np.concatenate(b_parts)
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+
+
+def bucket_pairs_ds(
+    bucket_rows_ds,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    *,
+    cap: int = 64,
+    num_partitions: int = 32,
+):
+    """(bucket..., id) rows → candidate (a, b) pairs, partition-level
+    vectorized.
+
+    Replaces per-bucket ``groupby(bucket).map_groups``: LSH buckets are
+    millions of mostly-singleton groups, so per-group Python is one
+    interpreter round-trip per bucket. Instead rows are hash-partitioned
+    on the bucket key (ONE groupby shuffle on ``__part`` — complete
+    buckets land in one partition), then each partition does a single
+    mergesort by (bucket..., id) and one vectorized
+    :func:`_emit_pairs_sorted` pass over the bucket runs. Size
+    ``num_partitions`` ≈ cluster cores × 4 at scale."""
+    from lsearch_ray.functions.dedup import _col_hash64
+
+    mult = np.uint64(0x100000001B3)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = np.full(b.num_rows, 0xCBF29CE484222325, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in bucket_cols:
+                h = (h ^ _col_hash64(b[c])) * mult
+        cols = {c: b[c] for c in (*bucket_cols, id_col)}
+        cols["__part"] = pa.array(
+            (h % np.uint64(num_partitions)).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*bucket_cols, id_col], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                }
+            )
+        ids = g[id_col].to_numpy().astype(np.int64)
+        change = np.zeros(n - 1, dtype=bool)
+        for c in bucket_cols:
+            v = g[c].to_numpy()
+            change |= v[1:] != v[:-1]
+        run_starts = np.concatenate(
+            ([0], np.flatnonzero(change) + 1, [n])
+        ).astype(np.int64)
+        a, b = _emit_pairs_sorted(ids, run_starts, cap)
+        return pd.DataFrame({"a": a, "b": b})
+
+    return (
+        bucket_rows_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
 
 
 def unique_pairs(pairs_ds):

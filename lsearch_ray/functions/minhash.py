@@ -202,7 +202,7 @@ from lsearch_ray.functions.cluster import (
     apply_verified_pairs,
     attach_pair_payloads,
     blob_lists,
-    bucket_pairs_fn,
+    bucket_pairs_ds,
     fixed_blob_matrix,
     list_to_blob,
     unique_pairs,
@@ -228,9 +228,7 @@ def minhash_candidate_pairs(
     band_rows = sigs.map_batches(
         BandRows(bands, rows_per_band, id_col), batch_format="pyarrow"
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs_fn(id_col), batch_format="pandas"
-    )
+    pairs = bucket_pairs_ds(band_rows, ["band", "band_hash"], id_col)
     return sigs, unique_pairs(pairs)
 
 

@@ -20,7 +20,7 @@ import pyarrow as pa
 from lsearch_ray.functions.cluster import (
     apply_verified_pairs,
     attach_pair_payloads,
-    bucket_pairs_fn,
+    bucket_pairs_ds,
     unique_pairs,
 )
 from lsearch_ray.functions.minhash import _pair_partitions, _token_hashes
@@ -117,9 +117,7 @@ def simhash_dedup(
     fps = ds.map_batches(SimHash64(text_col, id_col), batch_format="pyarrow")
     band_rows = fps.map_batches(_SimhashBands(id_col), batch_format="pyarrow")
     pairs = unique_pairs(
-        band_rows.groupby(["band", "band_hash"]).map_groups(
-            bucket_pairs_fn(id_col), batch_format="pandas"
-        )
+        bucket_pairs_ds(band_rows, ["band", "band_hash"], id_col)
     ).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:

@@ -311,3 +311,49 @@ def test_asof_join_preserves_big_int64():
     }
     assert out[1] == big  # exact, not rounded
     assert out[2] is None  # ts=5 has no prior right row
+
+
+def test_bucket_pairs_ds_matches_per_bucket_reference():
+    """Partition-vectorized pair emission == brute-force per-bucket logic
+    (triu for runs <= cap, min-chain above cap), across many buckets and
+    multiple hash partitions."""
+    from itertools import combinations
+
+    from lsearch_ray.functions.cluster import bucket_pairs_ds, unique_pairs
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    band = rng.randint(0, 4, size=n).astype(np.int64)
+    # skewed bucket hashes: a few huge buckets (> cap), many small ones
+    band_hash = np.where(
+        rng.rand(n) < 0.05, 0, rng.randint(1, 400, size=n)
+    ).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"band": band, "band_hash": band_hash, "doc_id": ids})
+    got = {
+        (r["a"], r["b"])
+        for r in unique_pairs(
+            bucket_pairs_ds(
+                rd.from_arrow(t).repartition(6),
+                ["band", "band_hash"],
+                "doc_id",
+                num_partitions=8,
+            )
+        ).take_all()
+    }
+    cap = 64
+    expect = set()
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for bd, bh, i in zip(band, band_hash, ids):
+        buckets[(bd, bh)].append(int(i))
+    for members in buckets.values():
+        members.sort()
+        if len(members) < 2:
+            continue
+        if len(members) > cap:
+            expect.update((members[0], m) for m in members[1:])
+        else:
+            expect.update(combinations(members, 2))
+    assert got == expect
