@@ -56,6 +56,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lsearch_ray.analyzer import term_counts_table
+from lsearch_ray.index import fsio
 from lsearch_ray.index.codec import (
     DEFAULT_BLOCK_SIZE,
     _empty_postings_table,
@@ -123,12 +124,15 @@ class TriplesPartitionedWriter:
         id_col: str = "doc_id",
         keep_shards: list[int] | None = None,
         positions: bool = False,
+        filesystem=None,
     ):
         self.triples_dir = triples_dir
         self.num_shards = num_shards
         self.text_col = text_col
         self.id_col = id_col
         self.positions = positions
+        self.filesystem = filesystem
+        self._fs = None  # resolved once per actor/task, not per batch
         self.keep = (
             np.array(sorted(keep_shards), dtype=np.int32)
             if keep_shards is not None
@@ -185,11 +189,15 @@ class TriplesPartitionedWriter:
                 ),
             }
         )
-        os.makedirs(self.triples_dir, exist_ok=True)
-        path = os.path.join(self.triples_dir, f"docstats-{tag}.parquet")
-        tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(stats, tmp)
-        os.replace(tmp, path)
+        if self._fs is None:
+            self._fs, self.triples_dir = fsio.resolve_fs(
+                self.triples_dir, self.filesystem
+            )
+        fs = self._fs
+        fsio.makedirs(fs, self.triples_dir)
+        fsio.write_table(
+            fs, fsio.join(self.triples_dir, f"docstats-{tag}.parquet"), stats
+        )
         if triples.num_rows:
             order = np.argsort(shard, kind="stable")
             st = triples.take(pa.array(order))
@@ -199,12 +207,11 @@ class TriplesPartitionedWriter:
             ends = np.concatenate((bounds, [len(sv)]))
             for s, e in zip(starts, ends):
                 k = int(sv[s])
-                sdir = os.path.join(self.triples_dir, f"shard={k}")
-                os.makedirs(sdir, exist_ok=True)
-                path = os.path.join(sdir, f"part-{tag}.parquet")
-                tmp = path + f".tmp.{os.getpid()}"
-                pq.write_table(st.slice(s, e - s), tmp)
-                os.replace(tmp, path)
+                sdir = fsio.join(self.triples_dir, f"shard={k}")
+                fsio.makedirs(fs, sdir)
+                fsio.write_table(
+                    fs, fsio.join(sdir, f"part-{tag}.parquet"), st.slice(s, e - s)
+                )
         return pa.table({"n_triples": pa.array([int(triples.num_rows)], type=pa.int64())})
 
 
@@ -216,8 +223,9 @@ def _manifest_path(index_dir: str, shard: int) -> str:
     return os.path.join(_shard_dir(index_dir, shard), "manifest.json")
 
 
-def shard_complete(index_dir: str, shard: int) -> bool:
-    return os.path.exists(_manifest_path(index_dir, shard))
+def shard_complete(index_dir: str, shard: int, filesystem=None) -> bool:
+    fs, path = fsio.resolve_fs(index_dir, filesystem)
+    return fsio.exists(fs, fsio.join(path, f"shard={shard:05d}", "manifest.json"))
 
 
 def encode_shard_table(
@@ -227,6 +235,7 @@ def encode_shard_table(
     block_size: int,
     doc_stats: tuple[int, int] | None = None,
     extra_manifest: dict | None = None,
+    filesystem=None,
 ) -> dict:
     """Sort one shard's triples, encode, write atomically, commit manifest.
 
@@ -259,11 +268,10 @@ def encode_shard_table(
         n_docs = int(len(uniq_docs))
         dl_sum = int(dls[first_idx].sum()) if len(first_idx) else 0
 
-    sdir = _shard_dir(index_dir, shard)
-    os.makedirs(sdir, exist_ok=True)
-    tmp = os.path.join(sdir, f".postings.tmp.{os.getpid()}")
-    pq.write_table(postings, tmp)
-    os.replace(tmp, os.path.join(sdir, "postings.parquet"))
+    fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
+    sdir = fsio.join(idx_path, f"shard={shard:05d}")
+    fsio.makedirs(fs, sdir)
+    fsio.write_table(fs, fsio.join(sdir, "postings.parquet"), postings)
     manifest = {
         "shard": shard,
         "n_docs": n_docs,
@@ -274,10 +282,8 @@ def encode_shard_table(
         "wall_s": round(time.monotonic() - t0, 4),
         **(extra_manifest or {}),
     }
-    mtmp = _manifest_path(index_dir, shard) + f".tmp.{os.getpid()}"
-    with open(mtmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(mtmp, _manifest_path(index_dir, shard))
+    # manifest LAST: it is the per-shard commit marker on every backend
+    fsio.write_json(fs, fsio.join(sdir, "manifest.json"), manifest)
     return manifest
 
 
@@ -313,50 +319,47 @@ def _sort_triples(group: pa.Table) -> pa.Table:
 
 
 def _encode_shard_from_triples(
-    triples_dir: str, index_dir: str, shard: int, block_size: int
+    triples_dir: str, index_dir: str, shard: int, block_size: int,
+    filesystem=None,
 ) -> dict:
     # one task per CPU slot: stop Arrow's internal pool from oversubscribing
     # the node (32 tasks × default pool was measured ~2× slower)
     pa.set_cpu_count(1)
     pa.set_io_thread_count(2)
-    part = os.path.join(triples_dir, f"shard={shard}")
+    fs, tri_path = fsio.resolve_fs(triples_dir, filesystem)
+    part = fsio.join(tri_path, f"shard={shard}")
     doc_stats = None
-    if os.path.isdir(part):
-        files = sorted(
-            os.path.join(part, f)
-            for f in os.listdir(part)
-            if f.startswith("part-") and f.endswith(".parquet")
+    files = sorted(
+        fsio.join(part, f)
+        for f in fsio.listdir(fs, part)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    # one dataset-API read over the file list: ~3-4× faster than a
+    # per-file read_table loop (per-file open/footer overhead dominates
+    # at hundreds of small parts per shard)
+    if files:
+        avail = fsio.parquet_schema_names(fs, files[0])
+        cols = ["term", "doc_id", "tf", "dl"] + (
+            ["pos"] if "pos" in avail else []
         )
-        # one dataset-API read over the file list: ~3-4× faster than a
-        # per-file read_table loop (per-file open/footer overhead dominates
-        # at hundreds of small parts per shard)
-        if files:
-            avail = pq.ParquetFile(files[0]).schema_arrow.names
-            cols = ["term", "doc_id", "tf", "dl"] + (
-                ["pos"] if "pos" in avail else []
-            )
-            group = pq.read_table(files, columns=cols)
-        else:
-            group = _empty_triples_table()
+        group = fsio.read_table(fs, files, columns=cols)
     else:
         group = _empty_triples_table()
-    stat_files = (
-        sorted(
-            os.path.join(triples_dir, f)
-            for f in os.listdir(triples_dir)
-            if f.startswith("docstats-") and f.endswith(".parquet")
-        )
-        if os.path.isdir(triples_dir)
-        else []
+    stat_files = sorted(
+        fsio.join(tri_path, f)
+        for f in fsio.listdir(fs, tri_path)
+        if f.startswith("docstats-") and f.endswith(".parquet")
     )
     if stat_files:
-        st = pq.read_table(stat_files)
+        st = fsio.read_table(fs, stat_files)
         mine = st.filter(pa.compute.equal(st["shard"], shard))
         doc_stats = (
             int(pa.compute.sum(mine["n_docs"]).as_py() or 0),
             int(pa.compute.sum(mine["dl_sum"]).as_py() or 0),
         )
-    return encode_shard_table(group, index_dir, shard, block_size, doc_stats)
+    return encode_shard_table(
+        group, index_dir, shard, block_size, doc_stats, filesystem=filesystem
+    )
 
 
 def _empty_triples_table() -> pa.Table:
@@ -390,9 +393,9 @@ class IndexMeta:
             has_positions=bool(d.get("has_positions", False)),
         )
 
-    def save(self, index_dir: str) -> None:
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            json.dump(self.__dict__, f, indent=1)
+    def save(self, index_dir: str, filesystem=None) -> None:
+        fs, path = fsio.resolve_fs(index_dir, filesystem)
+        fsio.write_json(fs, fsio.join(path, "meta.json"), self.__dict__, indent=1)
 
 
 def build_index(
@@ -407,6 +410,7 @@ def build_index(
     keep_triples: bool = False,
     stage_a_batch_size: int | None = None,
     positions: bool = False,
+    filesystem=None,
 ) -> IndexMeta:
     """Build (or resume building) the sharded inverted index.
 
@@ -415,24 +419,31 @@ def build_index(
     ``positions=True`` adds per-posting token positions to the codec
     (phrase queries via index.search.phrase_search) at ~1.5-2× index
     size; off by default.
+    ``index_dir``/``filesystem``: a local path, a filesystem URI
+    (``s3://bucket/prefix``), or an explicit ``pyarrow.fs.FileSystem`` —
+    all build IO (the stage-A external shuffle included) goes through
+    ``index.fsio``, whose commit protocol needs no atomic rename on
+    object stores (see that module's docstring).
     """
     import ray
 
     build_t0 = time.monotonic()
     stage_walls: dict[str, float] = {}
-    os.makedirs(index_dir, exist_ok=True)
-    triples_dir = os.path.join(index_dir, "triples")
-    triples_marker = os.path.join(index_dir, ".triples_complete")
+    fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
+    fsio.makedirs(fs, idx_path)
+    triples_dir = fsio.join(idx_path, "triples")
+    triples_marker = fsio.join(idx_path, ".triples_complete")
     missing = [
-        s for s in range(num_shards) if not (resume and shard_complete(index_dir, s))
+        s
+        for s in range(num_shards)
+        if not (resume and shard_complete(idx_path, s, filesystem=fs))
     ]
     if missing:
-        if not (resume and os.path.exists(triples_marker)):
+        if not (resume and fsio.exists(fs, triples_marker)):
             # (re)run stage A from scratch: a partial triples dir may hold
             # appended duplicates, so clear it first
-            shutil.rmtree(triples_dir, ignore_errors=True)
-            if os.path.exists(triples_marker):
-                os.remove(triples_marker)
+            fsio.delete_dir(fs, triples_dir)
+            fsio.delete_file(fs, triples_marker)
             keep = missing if len(missing) < num_shards else None
             writer = TriplesPartitionedWriter(
                 triples_dir,
@@ -441,6 +452,7 @@ def build_index(
                 id_col,
                 keep_shards=keep,
                 positions=positions,
+                filesystem=fs,
             )
             t0 = time.monotonic()
             # stage_a_batch_size None = one call per input block (no
@@ -455,46 +467,47 @@ def build_index(
             executed = counts.materialize()
             stage_walls["triples_map_s"] = round(time.monotonic() - t0, 3)
             try:
-                with open(os.path.join(index_dir, "stage_a_stats.txt"), "w") as f:
-                    f.write(executed.stats())
+                fsio.write_text(
+                    fs, fsio.join(idx_path, "stage_a_stats.txt"), executed.stats()
+                )
             except Exception:
                 pass
-            with open(triples_marker, "w") as f:
-                f.write("ok")
+            fsio.write_text(fs, triples_marker, "ok")
 
         @ray.remote(num_cpus=1)
         def encode_task(shard: int) -> dict:
             return _encode_shard_from_triples(
-                triples_dir, index_dir, shard, block_size
+                triples_dir, idx_path, shard, block_size, filesystem=fs
             )
 
         t0 = time.monotonic()
         ray.get([encode_task.remote(s) for s in missing])
         stage_walls["encode_shards_s"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    meta = finalize_index(index_dir, num_shards, block_size, positions=positions)
+    meta = finalize_index(
+        idx_path, num_shards, block_size, positions=positions, filesystem=fs
+    )
     stage_walls["finalize_s"] = round(time.monotonic() - t0, 3)
-    _write_build_metrics(index_dir, num_shards, stage_walls, build_t0)
+    _write_build_metrics(idx_path, num_shards, stage_walls, build_t0, filesystem=fs)
     if not keep_triples:
-        shutil.rmtree(triples_dir, ignore_errors=True)
-        if os.path.exists(triples_marker):
-            os.remove(triples_marker)
+        fsio.delete_dir(fs, triples_dir)
+        fsio.delete_file(fs, triples_marker)
     return meta
 
 
 def _write_build_metrics(
-    index_dir: str, num_shards: int, stage_walls: dict, build_t0: float
+    index_dir: str, num_shards: int, stage_walls: dict, build_t0: float,
+    filesystem=None,
 ) -> None:
     """metrics.json: build-level stage walls + per-partition metrics rolled
     up from shard manifests (the M3/AppStats counterpart for the build —
     the north rule's "per-partition lineage + metrics")."""
+    fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
     shards = []
     for s in range(num_shards):
-        try:
-            with open(_manifest_path(index_dir, s)) as f:
-                shards.append(json.load(f))
-        except FileNotFoundError:
-            pass
+        mpath = fsio.join(idx_path, f"shard={s:05d}", "manifest.json")
+        if fsio.exists(fs, mpath):
+            shards.append(fsio.read_json(fs, mpath))
     metrics = {
         "total_wall_s": round(time.monotonic() - build_t0, 3),
         "stages": stage_walls,
@@ -509,21 +522,23 @@ def _write_build_metrics(
             "n_postings_max": max((m["n_postings"] for m in shards), default=0),
         },
     }
-    with open(os.path.join(index_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+    fsio.write_json(fs, fsio.join(idx_path, "metrics.json"), metrics, indent=1)
 
 
 def finalize_index(
-    index_dir: str, num_shards: int, block_size: int, positions: bool = False
+    index_dir: str, num_shards: int, block_size: int, positions: bool = False,
+    filesystem=None,
 ) -> IndexMeta:
     """Aggregate shard manifests → meta.json + global termstats parquet."""
+    fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
     n_docs, dl_sum = 0, 0
     for s in range(num_shards):
-        path = _manifest_path(index_dir, s)
-        if not os.path.exists(path):
-            encode_shard_table(_empty_triples_table(), index_dir, s, block_size)
-        with open(path) as f:
-            m = json.load(f)
+        mpath = fsio.join(idx_path, f"shard={s:05d}", "manifest.json")
+        if not fsio.exists(fs, mpath):
+            encode_shard_table(
+                _empty_triples_table(), idx_path, s, block_size, filesystem=fs
+            )
+        m = fsio.read_json(fs, mpath)
         n_docs += m["n_docs"]
         dl_sum += m["dl_sum"]
 
@@ -532,35 +547,49 @@ def finalize_index(
     # aggregate driver-side (a Ray groupby has ~seconds of fixed cost);
     # large ones go through the distributed groupby.
     files = [
-        os.path.join(_shard_dir(index_dir, s), "postings.parquet")
+        fsio.join(idx_path, f"shard={s:05d}", "postings.parquet")
         for s in range(num_shards)
     ]
-    tmp_stats = os.path.join(index_dir, ".termstats.tmp")
-    final_stats = os.path.join(index_dir, "termstats")
-    shutil.rmtree(tmp_stats, ignore_errors=True)
-    n_term_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    if n_term_rows <= 5_000_000:
-        t = pa.concat_tables(
-            [pq.read_table(f, columns=["term", "df"]) for f in files],
-            promote_options="permissive",
-        )
-        t = t.set_column(1, "df", t["df"].cast(pa.int64()))
-        agg = t.group_by("term").aggregate([("df", "sum")])
-        agg = agg.rename_columns(["term", "df"])
-        os.makedirs(tmp_stats, exist_ok=True)
-        pq.write_table(agg, os.path.join(tmp_stats, "part-0.parquet"))
-    else:
-        import ray.data as rd
-        from ray.data.aggregate import Sum
+    final_stats = fsio.join(idx_path, "termstats")
+    n_term_rows = sum(fsio.parquet_num_rows(fs, f) for f in files)
+    small_vocab = n_term_rows <= 5_000_000
 
-        stats = (
-            rd.read_parquet(files, columns=["term", "df"])
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
-        )
-        stats.write_parquet(tmp_stats)
-    shutil.rmtree(final_stats, ignore_errors=True)
-    os.replace(tmp_stats, final_stats)
+    def write_stats(target: str) -> None:
+        if small_vocab:
+            t = pa.concat_tables(
+                [fsio.read_table(fs, [f], columns=["term", "df"]) for f in files],
+                promote_options="permissive",
+            )
+            t = t.set_column(1, "df", t["df"].cast(pa.int64()))
+            agg = t.group_by("term").aggregate([("df", "sum")])
+            agg = agg.rename_columns(["term", "df"])
+            fsio.makedirs(fs, target)
+            fsio.write_table(fs, fsio.join(target, "part-0.parquet"), agg)
+        else:
+            import ray.data as rd
+            from ray.data.aggregate import Sum
+
+            stats = (
+                rd.read_parquet(files, columns=["term", "df"], filesystem=fs)
+                .groupby("term")
+                .aggregate(Sum("df", alias_name="df"))
+            )
+            stats.write_parquet(target, filesystem=fs)
+
+    if fsio.is_local(fs):
+        # local: stage into a tmp dir, publish with one atomic dir rename
+        tmp_stats = fsio.join(idx_path, ".termstats.tmp")
+        shutil.rmtree(tmp_stats, ignore_errors=True)
+        write_stats(tmp_stats)
+        shutil.rmtree(final_stats, ignore_errors=True)
+        os.replace(tmp_stats, final_stats)
+    else:
+        # object store: no dir rename exists — clear the prefix and write
+        # the final objects directly; meta.json (written below, last) is
+        # the build-level commit marker, so a reader that finds meta.json
+        # sees a complete termstats prefix
+        fsio.delete_dir(fs, final_stats)
+        write_stats(final_stats)
 
     meta = IndexMeta(
         num_shards=num_shards,
@@ -569,5 +598,5 @@ def finalize_index(
         block_size=block_size,
         has_positions=positions,
     )
-    meta.save(index_dir)
+    meta.save(idx_path, filesystem=fs)
     return meta

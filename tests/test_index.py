@@ -236,3 +236,48 @@ def test_query_engine_search_many(built):
         got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
         assert [r["doc_id"] for r in got] == [d for d, _ in want], q
         assert [r["score"] for r in got] == [s for _, s in want], q
+
+
+def test_build_index_via_pyarrow_fs_byte_identical(tmp_path):
+    """The stage-A external shuffle + encode + finalize run against a
+    generic ``pyarrow.fs`` target (SubTreeFileSystem — NOT a
+    LocalFileSystem, so the no-rename object-store publish protocol is
+    exercised end to end) and produce byte-identical index artifacts."""
+    import hashlib
+
+    from pyarrow import fs as pafs
+
+    corpus = assign_doc_ids(make_corpus(300, seed=9))
+    first = np.sort(np.unique(corpus["doc_id"].to_numpy(), return_index=True)[1])
+    corpus = corpus.take(pa.array(first))
+    docs = rd.from_arrow(corpus.select(["doc_id", "text"]))
+
+    local_dir = str(tmp_path / "idx_local")
+    build_index(docs, local_dir, num_shards=4)
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    build_index(docs, "idx_fs", num_shards=4, filesystem=fs)
+    fs_dir = str(tmp_path / "idx_fs")
+
+    def digest(d, rel):
+        with open(os.path.join(d, rel), "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    for s in range(4):
+        rel = os.path.join(f"shard={s:05d}", "postings.parquet")
+        assert digest(local_dir, rel) == digest(fs_dir, rel), rel
+    assert digest(local_dir, os.path.join("termstats", "part-0.parquet")) == digest(
+        fs_dir, os.path.join("termstats", "part-0.parquet")
+    )
+    assert IndexMeta.load(fs_dir).__dict__ == IndexMeta.load(local_dir).__dict__
+    # no leftover tmp artifacts on the fs target
+    leftovers = [
+        p
+        for p in os.listdir(fs_dir)
+        if p.startswith(".") and p != ".triples_complete"
+    ]
+    assert leftovers == []
+    got = search_index(fs_dir, "biology data", k=5)
+    want = search_index(local_dir, "biology data", k=5)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
