@@ -666,11 +666,9 @@ def _q_bm25_phrase(sf_dir: str):
     )
 
 
-def _q_web_flagship(sf_dir: str):
-    """End-to-end north-star pipeline on the deterministic synthetic web
-    corpus (input_hint schema): html → byte-identical extract → url dedup
-    → sharded index → block-max BM25 top-k. Rows-only check (no SQL over
-    html), rank-identity is pytest-gated (tests/test_web_pipeline.py)."""
+def _web_flagship_result(sf_dir: str):
+    """The raw flagship pipeline run (no golden comparison — used by
+    tools/make_web_golden.py to regenerate the contract)."""
     import shutil
 
     import ray.data as rd
@@ -685,6 +683,43 @@ def _q_web_flagship(sf_dir: str):
     return search_web_corpus(
         index_dir, ["the data search", "biology music", "word042"], k=10
     )
+
+
+def _q_web_flagship(sf_dir: str):
+    """End-to-end north-star pipeline on the deterministic synthetic web
+    corpus (input_hint schema): html → byte-identical extract → url dedup
+    → sharded index → block-max BM25 top-k. No SQL can run this, so the
+    machine-checked contract is the committed golden
+    tests/golden/web_flagship.json (seed-42 corpus is deterministic):
+    the query compares its live (query_id, rank, doc_id, score) rows
+    against the golden and RAISES on drift — the driver's rows-only
+    check is thereby gated on committed bytes."""
+    import json
+
+    result = _web_flagship_result(sf_dir)
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "golden",
+        "web_flagship.json",
+    )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    got = [
+        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        for r in result.to_pylist()
+    ]
+    want = [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in golden["rows"]
+    ]
+    if got != want:
+        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
+        raise RuntimeError(
+            f"web_flagship drifted from committed golden "
+            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
+        )
+    return result
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

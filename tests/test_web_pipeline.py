@@ -68,3 +68,22 @@ def test_query_rank_identical(built):
         got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
         assert [r["doc_id"] for r in got] == [d for d, _ in want], q
         assert [r["score"] for r in got] == [s for _, s in want], q
+
+
+def test_web_flagship_matches_committed_golden():
+    """The driver query compares against tests/golden/web_flagship.json
+    and raises on drift; running it green here pins the committed bytes."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __ray_entry__
+
+    t = __ray_entry__.queries()["web_flagship"]("/root/testdata/sf0.001")
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "web_flagship.json"
+    )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    assert t.num_rows == len(golden["rows"]) == 30
