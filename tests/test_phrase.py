@@ -301,3 +301,77 @@ def test_query_engine_extended_grammar(positional_index):
         assert got["score"].to_pylist() == [s for _, s in want], q
         checked += bool(want)
     assert checked >= 2
+
+
+def test_grammar_parity_across_all_serving_paths(positional_index):
+    """One mixed-grammar battery (plain, negation, quoted phrase, negated
+    phrase, combinations, empty/miss cases) through ALL THREE serving
+    paths — search_index, BatchSearcher (actor pool), QueryEngine
+    (scatter-gather) — asserting bit-identical (doc_id, score) lists
+    against golden.bm25_full. The full extended grammar is a uniform
+    capability of every path."""
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.index.search import BatchSearcher, QueryEngine
+
+    index_dir, golden, texts = positional_index
+    toks_by_doc = [tokenize(t) for t in texts.values() if len(tokenize(t)) >= 5]
+    t0, t1, t2, t3, _ = toks_by_doc[0][:5]
+    u0, u1 = toks_by_doc[1][:2]
+    queries = [
+        f"{t0} {t2}",                       # plain OR
+        f"{t1}",                            # single term
+        f"{t0} -{u1}",                      # negation
+        f'"{t0} {t1}"',                     # pure phrase
+        f'"{t0} {t1}" {t3}',                # phrase + loose
+        f'{t2} -"{u0} {u1}"',               # negated phrase
+        f'"{t0} {t1}" -{u0} {t3}',          # phrase + negation + loose
+        f'"{t0} {t1}" -"{u0} {u1}"',        # phrase + negated phrase
+        '"zzz qqq" word001',                # miss phrase
+        '""',                               # degenerate
+    ]
+    want = {q: golden.bm25_full(q, k=10) for q in queries}
+    assert sum(bool(w) for w in want.values()) >= 5
+
+    # path 1: one-shot
+    for q in queries:
+        got = search_index(index_dir, q, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want[q]], ("si", q)
+        assert got["score"].to_pylist() == [s for _, s in want[q]], ("si", q)
+
+    # path 2: BatchSearcher through a real actor-pool Dataset pipeline
+    qt = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(queries)), type=pa.int64()),
+                "query": queries,
+            }
+        )
+    )
+    rows = qt.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": 10},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+    ).take_all()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(queries):
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want[q]], ("bs", q)
+        assert [r["score"] for r in got] == [s for _, s in want[q]], ("bs", q)
+
+    # path 3: QueryEngine scatter-gather actors
+    eng = QueryEngine(index_dir, num_actors=2)
+    for q in queries:
+        got = eng.search(q, k=10)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want[q]], ("qe", q)
+        assert got["score"].to_pylist() == [s for _, s in want[q]], ("qe", q)
+    many = eng.search_many(queries, k=10)
+    by_q2: dict[int, list] = {}
+    for r in many.to_pylist():
+        by_q2.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(queries):
+        got = sorted(by_q2.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want[q]], ("qm", q)
