@@ -33,7 +33,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("LSR_BENCH_DOCS", "200000"))
 CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
 INDEX_DIR = "/tmp/lsr_bench_index"
-NUM_SHARDS = 32
+NUM_SHARDS = int(os.environ.get("LSR_BENCH_SHARDS", "32"))
 
 
 def _init_ray():
@@ -167,34 +167,64 @@ def bench_query_serving() -> dict:
     }
 
 
-def bench_query_stream() -> dict:
+def _zipf_queries_list(n: int) -> list[str]:
+    """Zipf-distributed query terms — the web-search workload shape
+    (uniform _bench_queries_list can't show cache-affinity effects)."""
+    import numpy as np
+
+    from lsearch_ray.corpus import _VOCAB
+
+    rng = np.random.RandomState(13)
+    ranks = np.arange(1, len(_VOCAB) + 1, dtype=np.float64)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 4)
+        out.append(" ".join(rng.choice(_VOCAB, size=k, replace=False, p=p)))
+    return out
+
+
+def _stream_queries(queries: list[str], *, routed: bool) -> tuple[float, int]:
     import pyarrow as pa
     import ray.data as rd
 
-    from lsearch_ray.index.search import BatchSearcher
+    from lsearch_ray.index.search import BatchSearcher, route_queries_by_head_term
 
-    queries = _bench_queries_list(4000)
     qt = pa.table(
         {
             "query_id": pa.array(range(len(queries)), type=pa.int64()),
             "query": queries,
         }
     )
+    ds = rd.from_arrow(qt).repartition(8)  # ONE block would serialize the pool
+    if routed:
+        ds = route_queries_by_head_term(ds, num_routes=8)
     t0 = time.monotonic()
-    n = (
-        rd.from_arrow(qt)
-        .repartition(8)  # from_arrow yields ONE block → would serialize the pool
-        .map_batches(
-            BatchSearcher,
-            fn_constructor_kwargs={"index_dir": INDEX_DIR, "k": 10},
-            batch_format="pyarrow",
-            batch_size=500,  # one batch per actor → one pushdown IO round each
-            concurrency=8,
-        )
-        .count()
-    )
-    dt = time.monotonic() - t0
-    return {"sec": dt, "result_rows": n, "qps": len(queries) / dt}
+    n = ds.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": INDEX_DIR, "k": 10},
+        batch_format="pyarrow",
+        batch_size=500,  # one batch per actor → one pushdown IO round each
+        concurrency=8,
+    ).count()
+    return time.monotonic() - t0, n
+
+
+def bench_query_stream() -> dict:
+    queries = _bench_queries_list(4000)
+    dt, n = _stream_queries(queries, routed=False)
+    # term-affinity routing, measured on a Zipf workload (routed vs not,
+    # same queries, same index, same pool)
+    zq = _zipf_queries_list(4000)
+    dt_plain, _ = _stream_queries(zq, routed=False)
+    dt_routed, _ = _stream_queries(zq, routed=True)
+    return {
+        "sec": dt,
+        "result_rows": n,
+        "qps": len(queries) / dt,
+        "zipf_qps_unrouted": len(zq) / dt_plain,
+        "zipf_qps_routed": len(zq) / dt_routed,
+    }
 
 
 def bench_generic() -> dict:

@@ -27,46 +27,52 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 from lsearch_ray.stages.ops import ContentRun, ScoreOp, explain
 
-# flag name → (kind, takes_target)
-_SCORER_FLAGS = {
-    "is": "is",
-    "not": "not",
-    "has": "has",
-    "hasnt": "hasnt",
-    "more": "more",
-    "less": "less",  # declared-but-unimplemented in the reference (cli.yaml:44-49)
-}
-_SHORT = {
-    "e": "is",
-    "n": "not",
-    "h": "has",
-    "H": "hasnt",
-    "m": "more",
-    "L": "less",
-    "t": "content-text",
-    "T": "content-title",
-    "p": "content-path",
-    "E": "content-ext",
-    "i": "insensitive",
-    "r": "recursive",
-    "s": "score",
-    "l": "long",
-    "x": "hidden",
-}
-_LOADER_FLAGS = {
-    "content-text": "text",
-    "content-title": "title",
-    "content-path": "url",
-    "content-ext": "ext",
-}
-_BOOL_FLAGS = {
-    "insensitive", "recursive", "hidden", "score", "long", "strats",
-    "stats", "echo", "snippet",
-}
+
+def _load_spec() -> dict:
+    """Parse the declarative flag spec (cli.yaml, the clap-yaml
+    counterpart of the reference's src/cli.yaml — C3) into the parser
+    tables. The spec file is the single source of truth for the CLI
+    surface; code below only interprets token streams against it."""
+    import yaml
+
+    with open(os.path.join(os.path.dirname(__file__), "cli.yaml")) as f:
+        spec = yaml.safe_load(f)
+    scorers: dict[str, str] = {}
+    loaders: dict[str, str] = {}
+    bools: set[str] = set()
+    shorts: dict[str, str] = {}
+    for entry in spec["args"]:
+        (name, cfg), = entry.items()
+        kind = cfg["kind"]
+        if kind == "scorer":
+            scorers[name] = name
+        elif kind == "loader":
+            loaders[name] = cfg["maps_to"]
+        elif kind == "bool":
+            bools.add(name)
+        # kind == "exec" (content-exec) is handled structurally below
+        if "short" in cfg:
+            shorts[str(cfg["short"])] = name
+    shorts.update(spec.get("extra_shorts", {}))
+    return {
+        "spec": spec,
+        "scorers": scorers,
+        "loaders": loaders,
+        "bools": bools,
+        "shorts": shorts,
+    }
+
+
+_TABLES = _load_spec()
+_SCORER_FLAGS = _TABLES["scorers"]
+_SHORT = _TABLES["shorts"]
+_LOADER_FLAGS = _TABLES["loaders"]
+_BOOL_FLAGS = _TABLES["bools"]
 
 
 def parse_tokens(argv: list[str]):
@@ -112,7 +118,9 @@ def parse_tokens(argv: list[str]):
                 else:
                     tokens.append((name, None))
                     expecting_target_for = (
-                        name if name in _SCORER_FLAGS else None
+                        name
+                        if name in _SCORER_FLAGS or name == "content-exec"
+                        else None
                     )
         else:
             # positional: attaches to the last scorer flag (cli.rs:251-253),

@@ -1229,6 +1229,45 @@ class BatchSearcher:
         )
 
 
+def route_queries_by_head_term(queries_ds, *, num_routes: int = 8, query_col: str = "query"):
+    """Term-affinity routing for the streaming BatchSearcher path.
+
+    Without routing, a hot term's postings (and its per-term contribution
+    cache) are re-loaded and re-computed in EVERY actor of the pool —
+    with N actors a Zipf head term costs N loads. This stage keys each
+    query by the hash of its head term and sorts the query stream on that
+    key: queries sharing a head term become contiguous, so they land in
+    the same batches and therefore the same actor, and each actor's
+    caches cover a disjoint-ish slice of the hot-term space instead of
+    all of it.
+
+    The sort is a shuffle of the QUERY table only (tiny rows — never the
+    index), and per-query results are unchanged (rank-identity is
+    pytest-gated); only the stream order differs, which ``query_id``
+    already disambiguates. Compose as::
+
+        route_queries_by_head_term(queries_ds, num_routes=pool_size)
+            .map_batches(BatchSearcher, ...)
+    """
+    from lsearch_ray.corpus import fnv1a64
+
+    def add_route(b: pa.Table) -> pa.Table:
+        heads = []
+        for q in b[query_col].to_pylist():
+            inc, exc = parse_query(q)
+            toks = inc or exc
+            heads.append(toks[0] if toks else "")
+        h = fnv1a64(pa.array(heads, type=pa.large_string())).astype(np.uint64)
+        return b.append_column(
+            "__route",
+            pa.array((h % np.uint64(num_routes)).astype(np.int64)),
+        )
+
+    return queries_ds.map_batches(add_route, batch_format="pyarrow").sort(
+        "__route"
+    )
+
+
 class BatchPhraseSearcher:
     """``map_batches`` actor for streaming PHRASE queries through a
     positional index — the distributed counterpart of :func:`phrase_search`

@@ -267,3 +267,36 @@ def test_make_snippets_overlapping_terms():
     out2 = make_snippets(t, ["aa"])
     # self-overlapping hits merge into one clean span
     assert out2["snippet"][1].as_py() == "[aaa]"
+
+
+def test_cli_spec_is_declarative_and_reference_parity():
+    """C3: the parser tables derive from cli.yaml (the clap-yaml
+    counterpart of reference src/cli.yaml); reference-defined shorts
+    match the reference spec exactly."""
+    from lsearch_ray.cli import _BOOL_FLAGS, _LOADER_FLAGS, _SCORER_FLAGS, _SHORT
+
+    # reference src/cli.yaml shorts (cli.yaml:13-133)
+    ref_shorts = {
+        "e": "is", "n": "not", "h": "has", "H": "hasnt", "m": "more",
+        "L": "less", "i": "insensitive", "l": "long", "t": "content-text",
+        "E": "content-ext", "T": "content-title", "P": "content-path",
+        "C": "content-exec", "r": "recursive", "a": "hidden",
+    }
+    for ch, name in ref_shorts.items():
+        assert _SHORT.get(ch) == name, (ch, name, _SHORT.get(ch))
+    assert set(_SCORER_FLAGS) == {"is", "not", "has", "hasnt", "more", "less"}
+    assert _LOADER_FLAGS == {
+        "content-text": "text", "content-title": "title",
+        "content-path": "url", "content-ext": "ext",
+    }
+    assert {"recursive", "hidden", "echo", "stats", "strats"} <= _BOOL_FLAGS
+
+
+def test_cli_reference_short_aliases_parse():
+    """-P/-a/-C bundled shorts (reference spec) reach the plan builder."""
+    pats, tokens, flags, _ = parse_tokens(["-P", "-a", "x.parquet"])
+    assert "hidden" in flags
+    assert [t[0] for t in tokens] == ["content-path"]
+    pats, tokens, flags, _ = parse_tokens(["-C", "mod:fn", "-h", "y"])
+    assert tokens[0] == ("content-exec", "mod:fn")
+    assert tokens[1] == ("has", "y")

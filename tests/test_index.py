@@ -281,3 +281,40 @@ def test_build_index_via_pyarrow_fs_byte_identical(tmp_path):
     want = search_index(local_dir, "biology data", k=5)
     assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
     assert got["score"].to_pylist() == want["score"].to_pylist()
+
+
+def test_routed_stream_rank_identical(built):
+    """route_queries_by_head_term reorders the stream only: per-query
+    (rank, doc_id, score) rows are identical to the unrouted pool."""
+    from lsearch_ray.index.search import BatchSearcher, route_queries_by_head_term
+
+    queries = QUERIES * 3  # repeats exercise the per-actor caches
+    qt = pa.table(
+        {
+            "query_id": pa.array(range(len(queries)), type=pa.int64()),
+            "query": queries,
+        }
+    )
+
+    def run(routed: bool):
+        ds = rd.from_arrow(qt).repartition(4)
+        if routed:
+            ds = route_queries_by_head_term(ds, num_routes=4)
+        rows = ds.map_batches(
+            BatchSearcher,
+            fn_constructor_kwargs={"index_dir": built[0], "k": 10},
+            batch_format="pyarrow",
+            batch_size=6,
+            concurrency=2,
+        ).take_all()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        return {q: sorted(v) for q, v in by_q.items()}
+
+    plain, routed = run(False), run(True)
+    assert set(plain) == set(routed)
+    for qid in plain:
+        assert plain[qid] == routed[qid], queries[qid]
