@@ -425,6 +425,53 @@ def _q_sample_events(sf_dir: str):
     return hash_sample(ev, "event_id", num=1, denom=10).sort("event_id")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling: 50% of clicks, 10% of views,
+    all purchases, drop the rest — one vectorized filter per batch, no
+    shuffle, SQL-reproducible hash arithmetic."""
+    from lsearch_ray.functions.sampling import stratified_hash_sample
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return stratified_hash_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"click": (1, 2), "view": (1, 10), "purchase": (1, 1)},
+    ).sort("event_id")
+
+
+def _q_heavy_terms(sf_dir: str):
+    """Top-20 corpus terms via the bounded-memory heavy-hitters sketch +
+    exact verification pass; the query RAISES unless the result is
+    provably exact, so the SQL twin applies."""
+    from lsearch_ray.analyzer import flat_tokens_arrow
+    from lsearch_ray.functions.sketches import heavy_hitters
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    table, info = heavy_hitters(
+        docs,
+        values_fn=lambda b: flat_tokens_arrow(b["text"])[1],
+        k=20,
+        per_batch_cap=4096,
+    )
+    if not info["provably_exact"]:
+        raise RuntimeError(
+            f"heavy_hitters not provably exact (bound={info['bound']})"
+        )
+    return table
+
+
+def _q_quantiles_value(sf_dir: str):
+    """Exact p50/p90/p99 of events.value by iterative histogram
+    refinement — no full sort, driver state is one histogram per round."""
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["value"])
+    return exact_quantiles(
+        ev, "value", [0.5, 0.9, 0.99], n_buckets=512, collect_limit=20_000
+    )
+
+
 def _q_distinct_users_kmv(sf_dir: str):
     """KMV distinct-count sketch over user_id (deterministic: FNV hashes
     → same kth-minimum → same estimate on any partitioning)."""
@@ -744,6 +791,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_orders": _q_range_join_orders,
         "asof_clicks_views": _q_asof_clicks_views,
         "sample_events": _q_sample_events,
+        "stratified_sample": _q_stratified_sample,
+        "heavy_terms": _q_heavy_terms,
+        "quantiles_value": _q_quantiles_value,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
@@ -1183,6 +1233,34 @@ def oracle_sql() -> dict[str, str]:
             f"  SELECT event_id, user_id, value, "
             f"  {_mixed_hash63_of('CAST(event_id AS VARCHAR)')} AS h FROM events"
             ") WHERE h % 10 < 1"
+        ),
+        "stratified_sample": (
+            # per-stratum twin of sample_events: a CASE over the same hash
+            "SELECT event_id, event_type, value FROM ("
+            f"  SELECT event_id, event_type, value, "
+            f"  {_mixed_hash63_of('CAST(event_id AS VARCHAR)')} AS h FROM events"
+            ") WHERE CASE event_type "
+            "  WHEN 'click' THEN h % 2 < 1 "
+            "  WHEN 'view' THEN h % 10 < 1 "
+            "  WHEN 'purchase' THEN TRUE "
+            "  ELSE FALSE END"
+        ),
+        "heavy_terms": (
+            # exact top-20 terms (the engine's sketch+verify certifies
+            # exactness or raises, so the brute-force twin applies);
+            # deterministic (n desc, term) tiebreak both sides
+            f"SELECT term AS value, count(*) AS n FROM ({_TOKS}) "
+            "GROUP BY term ORDER BY n DESC, value LIMIT 20"
+        ),
+        "quantiles_value": (
+            # order statistic at 0-indexed rank floor(q*(n-1)) — the
+            # engine's histogram-refinement contract; tie-order-free
+            # because only the VALUE at the rank is returned
+            "WITH s AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn "
+            "           FROM events), "
+            "n AS (SELECT count(*) AS c FROM events) "
+            "SELECT qs.q, s.value FROM (VALUES (0.5), (0.9), (0.99)) qs(q) "
+            "JOIN s ON s.rn = CAST(floor(qs.q * ((SELECT c FROM n) - 1)) AS BIGINT)"
         ),
         "distinct_users_kmv": (
             # KMV sketch twin: same hashes → same kth minimum → same

@@ -33,7 +33,11 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("LSR_BENCH_DOCS", "200000"))
 CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
 INDEX_DIR = "/tmp/lsr_bench_index"
-NUM_SHARDS = int(os.environ.get("LSR_BENCH_SHARDS", "32"))
+# 64 shards measured best for stage B on this box (2M docs: encode
+# 5.9→3.3 s at 8 cpus and 6.5→2.5 s at 32 vs 32 shards, same sessions —
+# smaller per-task working sets + better wave packing; 128 overshoots
+# on per-task fixed costs). Rule of thumb: ~2× total cores.
+NUM_SHARDS = int(os.environ.get("LSR_BENCH_SHARDS", "64"))
 
 
 def _init_ray():

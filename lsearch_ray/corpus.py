@@ -202,7 +202,13 @@ def fnv1a64(strings: pa.ChunkedArray | pa.Array) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n + 1)
+    # honor arr.offset: a zero-copy SLICE (Ray hands block slices to batch
+    # fns) shares the parent's buffers — element i's offsets live at
+    # buffer position arr.offset + i, and offset values index the shared
+    # data buffer absolutely
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     lengths = offsets[1:] - offsets[:-1]
     prime = np.uint64(0x100000001B3)

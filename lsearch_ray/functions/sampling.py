@@ -57,6 +57,44 @@ def hash_sample(ds, key_col: str, *, num: int = 1, denom: int = 10):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def stratified_hash_sample(
+    ds,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, tuple[int, int]],
+    *,
+    default: tuple[int, int] = (0, 1),
+):
+    """Deterministic per-stratum sampling: a row in stratum ``s`` is kept
+    iff ``hash(key) mod denom_s < num_s`` with ``(num_s, denom_s) =
+    rates[s]`` (``default`` for unlisted strata; ``(0, 1)`` drops them).
+
+    Same no-shuffle, no-state shape as :func:`hash_sample` — one
+    vectorized filter per batch, the per-stratum rate looked up through
+    a dictionary-encoded stratum column — and the same SQL-expressible
+    determinism (a CASE over the identical hash arithmetic).
+    """
+
+    def filt(b: pa.Table) -> pa.Table:
+        h = _key_hash63(b[key_col]).astype(np.uint64)
+        s = b[strata_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        denc = s.dictionary_encode() if not pa.types.is_dictionary(s.type) else s
+        codes = np.asarray(denc.indices)
+        cats = denc.dictionary.to_pylist()
+        nums = np.array(
+            [rates.get(c, default)[0] for c in cats], dtype=np.uint64
+        )
+        denoms = np.array(
+            [max(1, rates.get(c, default)[1]) for c in cats], dtype=np.uint64
+        )
+        keep = (h % denoms[codes]) < nums[codes]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def kmv_distinct(ds, key_col: str, *, k: int = 1024) -> dict:
     """KMV distinct-count estimate for ``key_col``.
 

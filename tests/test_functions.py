@@ -357,3 +357,78 @@ def test_bucket_pairs_ds_matches_per_bucket_reference():
         else:
             expect.update(combinations(members, 2))
     assert got == expect
+
+
+def test_heavy_hitters_exact_with_truncation():
+    """Sketch candidates survive aggressive per-batch truncation; exact
+    verify pass reproduces the brute-force top-k with a valid bound."""
+    from collections import Counter
+
+    from lsearch_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.RandomState(17)
+    # Zipf values over a 400-symbol universe, 40k rows
+    vals = [f"v{int(x) % 400:03d}" for x in rng.zipf(1.25, size=40_000)]
+    t = pa.table({"s": pa.array(vals, type=pa.large_string())})
+    table, info = heavy_hitters(
+        rd.from_arrow(t).repartition(8), "s", k=10, per_batch_cap=64
+    )
+    cnt = Counter(vals)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(table["value"].to_pylist(), table["n"].to_pylist()))
+    assert got == [(v, c) for v, c in want]
+    assert info["provably_exact"] is True
+
+
+def test_exact_quantiles_match_numpy():
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(23)
+    # lognormal with heavy ties sprinkled in to stress bucket collapse
+    vals = np.concatenate(
+        [rng.lognormal(0, 2, size=30_000), np.full(5_000, 3.25)]
+    )
+    t = pa.table({"value": pa.array(vals, type=pa.float64())})
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    out = exact_quantiles(
+        rd.from_arrow(t).repartition(6),
+        "value",
+        qs,
+        n_buckets=64,
+        collect_limit=500,
+    )
+    s = np.sort(vals)
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        k = int(np.floor(q * (len(s) - 1)))
+        assert v == s[k], (q, v, s[k])
+
+
+def test_stratified_hash_sample_matches_reference():
+    from lsearch_ray.functions.sampling import _key_hash63, stratified_hash_sample
+
+    n = 5000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(
+                [["click", "view", "error"][i % 3] for i in range(n)]
+            ),
+        }
+    )
+    out = stratified_hash_sample(
+        rd.from_arrow(t).repartition(4),
+        "event_id",
+        "event_type",
+        {"click": (1, 2), "view": (1, 10)},
+    ).take_all()
+    # int(): a numpy uint64 SCALAR % python int promotes to float64 and
+    # loses low bits at 2^62 — python-int arithmetic is the exact reference
+    h = [int(x) for x in _key_hash63(t["event_id"])]
+    want = set()
+    for i in range(n):
+        et = ["click", "view", "error"][i % 3]
+        if et == "click" and h[i] % 2 < 1:
+            want.add(i)
+        elif et == "view" and h[i] % 10 < 1:
+            want.add(i)
+    assert {r["event_id"] for r in out} == want
