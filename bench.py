@@ -202,7 +202,9 @@ def _stream_queries(queries: list[str], *, routed: bool) -> tuple[float, int]:
     )
     ds = rd.from_arrow(qt).repartition(8)  # ONE block would serialize the pool
     if routed:
-        ds = route_queries_by_head_term(ds, num_routes=8)
+        ds = route_queries_by_head_term(
+            ds, num_routes=32, index_dir=INDEX_DIR
+        )
     t0 = time.monotonic()
     n = ds.map_batches(
         BatchSearcher,
@@ -269,6 +271,8 @@ def run_default(index_only: bool = False) -> dict:
         st = bench_query_stream()
         queries["query_stream"] = round(st["sec"], 3)
         result["query_stream_qps"] = round(st["qps"], 1)
+        result["zipf_qps_unrouted"] = round(st["zipf_qps_unrouted"], 1)
+        result["zipf_qps_routed"] = round(st["zipf_qps_routed"], 1)
         for k, v in bench_generic().items():
             queries[k] = round(v, 3)
     result["queries"] = queries

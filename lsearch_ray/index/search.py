@@ -1229,35 +1229,79 @@ class BatchSearcher:
         )
 
 
-def route_queries_by_head_term(queries_ds, *, num_routes: int = 8, query_col: str = "query"):
+def route_queries_by_head_term(
+    queries_ds,
+    *,
+    num_routes: int = 8,
+    query_col: str = "query",
+    index_dir: str | None = None,
+    hot_df_fraction: float = 0.01,
+):
     """Term-affinity routing for the streaming BatchSearcher path.
 
-    Without routing, a hot term's postings (and its per-term contribution
-    cache) are re-loaded and re-computed in EVERY actor of the pool —
-    with N actors a Zipf head term costs N loads. This stage keys each
-    query by the hash of its head term and sorts the query stream on that
-    key: queries sharing a head term become contiguous, so they land in
-    the same batches and therefore the same actor, and each actor's
-    caches cover a disjoint-ish slice of the hot-term space instead of
-    all of it.
+    Without routing, a tail term's postings (and its per-term
+    contribution cache) are re-loaded and re-computed in EVERY actor of
+    the pool — with N actors each term costs up to N loads. This stage
+    keys each query by the hash of its head term and sorts the query
+    stream on that key: queries sharing a head term become contiguous,
+    land in the same batches and therefore the same actor, and each
+    actor's caches cover a slice of the term space instead of all of it.
 
-    The sort is a shuffle of the QUERY table only (tiny rows — never the
-    index), and per-query results are unchanged (rank-identity is
+    Skew guard (measured: naive head-term routing is 2× SLOWER on a
+    Zipf workload — the hot heads concentrate most of the stream onto
+    one actor): when ``index_dir`` is given, terms whose df exceeds
+    ``hot_df_fraction`` of the corpus are classed HOT and their queries
+    are spread round-robin by query hash instead — a hot term's
+    postings end up cached in every actor regardless, so spreading them
+    loses no affinity while removing the straggler. Tail terms (the
+    actual re-load cost) keep affinity.
+
+    The sort is a shuffle of the QUERY table only (tiny rows — never
+    the index), and per-query results are unchanged (rank-identity is
     pytest-gated); only the stream order differs, which ``query_id``
     already disambiguates. Compose as::
 
-        route_queries_by_head_term(queries_ds, num_routes=pool_size)
+        route_queries_by_head_term(queries_ds, num_routes=pool_size,
+                                   index_dir=index_dir)
             .map_batches(BatchSearcher, ...)
     """
     from lsearch_ray.corpus import fnv1a64
 
+    hot: set[str] = set()
+    if index_dir is not None:
+        meta = IndexMeta.load(index_dir)
+        ts = pq.read_table(
+            os.path.join(index_dir, "termstats"), columns=["term", "df"]
+        )
+        dfs = ts["df"].to_numpy(zero_copy_only=False)
+        thresh = max(1.0, hot_df_fraction * meta.n_docs)
+        hot = set(
+            ts["term"].combine_chunks().filter(pa.array(dfs >= thresh)).to_pylist()
+        )
+
     def add_route(b: pa.Table) -> pa.Table:
         heads = []
-        for q in b[query_col].to_pylist():
+        spread = np.zeros(b.num_rows, dtype=bool)
+        for i, q in enumerate(b[query_col].to_pylist()):
             inc, exc = parse_query(q)
             toks = inc or exc
-            heads.append(toks[0] if toks else "")
+            head = toks[0] if toks else ""
+            heads.append(head)
+            if head in hot:
+                spread[i] = True
         h = fnv1a64(pa.array(heads, type=pa.large_string())).astype(np.uint64)
+        if spread.any():
+            # spread key: query_id when present (duplicate hot queries
+            # then spread too), else the query string's hash
+            if "query_id" in b.column_names:
+                qid = fnv1a64(
+                    pc.cast(b["query_id"], pa.large_string())
+                ).astype(np.uint64)
+            else:
+                qid = fnv1a64(
+                    pc.cast(b[query_col], pa.large_string())
+                ).astype(np.uint64)
+            h = np.where(spread, qid, h)
         return b.append_column(
             "__route",
             pa.array((h % np.uint64(num_routes)).astype(np.int64)),

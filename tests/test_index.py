@@ -299,7 +299,10 @@ def test_routed_stream_rank_identical(built):
     def run(routed: bool):
         ds = rd.from_arrow(qt).repartition(4)
         if routed:
-            ds = route_queries_by_head_term(ds, num_routes=4)
+            # index_dir engages the hot-term spread path (skew guard)
+            ds = route_queries_by_head_term(
+                ds, num_routes=4, index_dir=built[0], hot_df_fraction=0.01
+            )
         rows = ds.map_batches(
             BatchSearcher,
             fn_constructor_kwargs={"index_dir": built[0], "k": 10},
