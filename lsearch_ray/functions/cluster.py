@@ -81,18 +81,12 @@ def bucket_pairs_ds(
     mergesort by (bucket..., id) and one vectorized
     :func:`_emit_pairs_sorted` pass over the bucket runs. Size
     ``num_partitions`` ≈ cluster cores × 4 at scale."""
-    from lsearch_ray.functions.dedup import _col_hash64
-
-    mult = np.uint64(0x100000001B3)
+    from lsearch_ray.functions.dedup import partition_ids
 
     def add_part(b: pa.Table) -> pa.Table:
-        h = np.full(b.num_rows, 0xCBF29CE484222325, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in bucket_cols:
-                h = (h ^ _col_hash64(b[c])) * mult
         cols = {c: b[c] for c in (*bucket_cols, id_col)}
         cols["__part"] = pa.array(
-            (h % np.uint64(num_partitions)).astype(np.int64)
+            partition_ids(b, list(bucket_cols), num_partitions)
         )
         return pa.table(cols)
 

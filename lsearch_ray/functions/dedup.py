@@ -37,6 +37,19 @@ def _col_hash64(col) -> np.ndarray:
     return fnv1a64(pc.cast(col, pa.string())).astype(np.uint64)
 
 
+def partition_ids(batch: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
+    """FNV-fold hash-partition id per row over ``key_cols`` — THE shared
+    partitioning arithmetic for every hash-partition-then-vectorize
+    operator (exact_dedup, sessionize, bucket_pairs_ds). One definition
+    so a change to the mixing lands everywhere at once."""
+    mult = np.uint64(0x100000001B3)
+    h = np.full(batch.num_rows, 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            h = (h ^ _col_hash64(batch[c])) * mult
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
 def exact_dedup(
     ds, key_cols: list[str], order_cols: list[str], *, num_partitions: int = 64
 ):
@@ -50,15 +63,10 @@ def exact_dedup(
     no per-group Python. Size ``num_partitions`` ≈ cluster cores × 4 at
     scale so a partition fits a worker's heap.
     """
-    mult = np.uint64(0x100000001B3)
 
     def add_part(b: pa.Table) -> pa.Table:
-        h = np.full(b.num_rows, 0xCBF29CE484222325, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in key_cols:
-                h = (h ^ _col_hash64(b[c])) * mult
         return b.append_column(
-            "__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+            "__part", pa.array(partition_ids(b, key_cols, num_partitions))
         )
 
     def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:

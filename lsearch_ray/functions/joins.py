@@ -314,20 +314,15 @@ def sessionize(
     ≈ cluster cores × 4 at scale so a partition fits a worker's heap.
     """
 
-    from lsearch_ray.functions.dedup import _col_hash64
+    from lsearch_ray.functions.dedup import partition_ids
 
     gap_ns = int(round(gap_seconds * 1e9))
-    mult = np.uint64(0x100000001B3)
 
     def add_part(b: pa.Table) -> pa.Table:
-        with np.errstate(over="ignore"):
-            part = (
-                (_col_hash64(b[key_col]) * mult) % np.uint64(num_partitions)
-            ).astype(np.int64)
         cols = {key_col: b[key_col], ts_col: b[ts_col]}
         for c in order_cols:
             cols[c] = b[c]
-        cols["__part"] = pa.array(part)
+        cols["__part"] = pa.array(partition_ids(b, [key_col], num_partitions))
         return pa.table(cols)
 
     def sess_partition(g: pd.DataFrame) -> pd.DataFrame:

@@ -6,18 +6,22 @@ the whole column; this operator instead finds the EXACT order statistic
 with a few streaming passes whose driver state is one histogram:
 
 1. one aggregate pass for (count, min, max);
-2. each round, a ``map_batches`` partial-histogram pass over
-   ``n_buckets`` equal-width buckets of the current [lo, hi] range +
-   a tiny groupby-sum; the bucket containing the target rank becomes
-   the next range (rank rebased by the mass below it);
-3. when the in-range row count ≤ ``collect_limit`` the survivors are
-   collected and the answer read off with one ``np.partition``.
+2. each round, active quantiles are grouped by their CURRENT [lo, hi]
+   range and one ``map_batches`` partial-histogram pass per DISTINCT
+   range serves every quantile in it (all qs start from the same global
+   range, so round 1 is always a single pass — not one per q) + a tiny
+   groupby-sum; each quantile's target bucket becomes its next range
+   (rank rebased by the mass below it);
+3. once a quantile's in-range row count ≤ ``collect_limit`` its
+   survivors are collected (again one pass per distinct range) and the
+   answer read off with one ``np.partition``.
 
-Convergence: each round shrinks the candidate row count to the largest
-single bucket's mass; for continuous-ish values 2-3 rounds reach the
-collect threshold. Constant-width rounds can stall only when one value
-repeats beyond ``collect_limit`` — detected (range collapses to a
-point) and answered exactly with that value.
+Convergence: each round shrinks a quantile's candidate row count to the
+largest single bucket's mass; for continuous-ish values 2-3 rounds reach
+the collect threshold. Constant-width rounds can stall only when one
+value repeats beyond ``collect_limit`` — detected (range stops
+shrinking with lo == hi impossible to split) and answered exactly with
+that value.
 
 The result is the value at 0-indexed rank ``floor(q * (n-1))`` of the
 sorted column (numpy ``'lower'`` convention) — tie-order-independent,
@@ -31,6 +35,42 @@ import math
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _histogram_pass(ds, col: str, edges: np.ndarray) -> np.ndarray:
+    """Bucket counts of ``col`` over ``edges`` (one streaming pass)."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = len(edges) - 1
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[(vals >= edges[0]) & (vals <= edges[-1])]
+        # bucket i covers [edges[i], edges[i+1]); last bucket closed
+        idx = np.clip(
+            np.searchsorted(edges, vals, side="right") - 1, 0, n_buckets - 1
+        )
+        uniq, cnt = np.unique(idx, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq.astype(np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        counts[int(r["bucket"])] = int(r["c"])
+    return counts
 
 
 def exact_quantiles(
@@ -49,73 +89,82 @@ def exact_quantiles(
     from ray.data.aggregate import Count, Max, Min
 
     agg = ds.aggregate(
-        Count(col, alias_name="n"), Min(col, alias_name="lo"), Max(col, alias_name="hi")
+        Count(col, alias_name="n"),
+        Min(col, alias_name="lo"),
+        Max(col, alias_name="hi"),
     )
     n = int(agg["n"] or 0)
-    out_q, out_v = [], []
-    for q in qs:
-        if n == 0:
-            out_q.append(float(q))
-            out_v.append(float("nan"))
-            continue
-        rank = int(math.floor(q * (n - 1)))  # 0-indexed target
-        lo, hi = float(agg["lo"]), float(agg["hi"])
-        below = 0  # rows strictly below lo
-        inside = n
-        for _ in range(max_rounds):
-            if inside <= collect_limit or lo == hi:
-                break
+    if n == 0:
+        return pa.table(
+            {
+                "q": pa.array([float(q) for q in qs], type=pa.float64()),
+                "value": pa.array([float("nan")] * len(qs), type=pa.float64()),
+            }
+        )
+    glo, ghi = float(agg["lo"]), float(agg["hi"])
+    # per-quantile state: target rank, current range, mass below lo,
+    # rows inside the range, resolved answer (None while active)
+    state = [
+        {
+            "rank": int(math.floor(q * (n - 1))),
+            "lo": glo,
+            "hi": ghi,
+            "below": 0,
+            "inside": n,
+            "answer": glo if glo == ghi else None,
+        }
+        for q in qs
+    ]
+
+    for _ in range(max_rounds):
+        active = [
+            s
+            for s in state
+            if s["answer"] is None and s["inside"] > collect_limit
+        ]
+        if not active:
+            break
+        # ONE histogram pass per DISTINCT range serves every quantile in
+        # it (round 1: all qs share the global range → a single pass)
+        by_range: dict[tuple[float, float], list[dict]] = {}
+        for s in active:
+            by_range.setdefault((s["lo"], s["hi"]), []).append(s)
+        progressed = False
+        for (lo, hi), members in by_range.items():
             edges = np.linspace(lo, hi, n_buckets + 1)
-
-            def hist_partial(b: pa.Table, edges=edges) -> pa.Table:
-                v = b[col]
-                if isinstance(v, pa.ChunkedArray):
-                    v = v.combine_chunks()
-                vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
-                vals = vals[(vals >= edges[0]) & (vals <= edges[-1])]
-                # bucket i covers [edges[i], edges[i+1]); last bucket closed
-                idx = np.clip(
-                    np.searchsorted(edges, vals, side="right") - 1,
-                    0,
-                    len(edges) - 2,
-                )
-                uniq, cnt = np.unique(idx, return_counts=True)
-                return pa.table(
-                    {
-                        "bucket": pa.array(uniq.astype(np.int64)),
-                        "c": pa.array(cnt.astype(np.int64)),
-                    }
-                )
-
-            from ray.data.aggregate import Sum
-
-            rows = (
-                ds.map_batches(hist_partial, batch_format="pyarrow")
-                .groupby("bucket")
-                .aggregate(Sum("c", alias_name="c"))
-                .take_all()
-            )
-            counts = np.zeros(n_buckets, dtype=np.int64)
-            for r in rows:
-                counts[int(r["bucket"])] = int(r["c"])
+            counts = _histogram_pass(ds, col, edges)
             cum = np.cumsum(counts)
-            tgt = rank - below  # rank within [lo, hi]
-            b_idx = int(np.searchsorted(cum, tgt + 1))
-            new_inside = int(counts[b_idx])
-            below += int(cum[b_idx - 1]) if b_idx > 0 else 0
-            new_lo, new_hi = float(edges[b_idx]), float(edges[b_idx + 1])
-            if new_inside == inside and new_lo == lo and new_hi == hi:
-                break  # cannot shrink further (mass concentrated)
-            lo, hi, inside = new_lo, new_hi, new_inside
-            if b_idx == n_buckets - 1:
-                pass  # last bucket is closed at hi; filter below handles it
+            for s in members:
+                tgt = s["rank"] - s["below"]
+                b_idx = int(np.searchsorted(cum, tgt + 1))
+                new_inside = int(counts[b_idx])
+                new_below = s["below"] + (int(cum[b_idx - 1]) if b_idx else 0)
+                new_lo = float(edges[b_idx])
+                new_hi = float(edges[b_idx + 1])
+                if new_lo == new_hi or (
+                    new_inside == s["inside"]
+                    and new_lo == s["lo"]
+                    and new_hi == s["hi"]
+                ):
+                    # range cannot split further: the mass is one
+                    # repeated value — that value IS the answer
+                    if new_lo == new_hi:
+                        s["answer"] = new_lo
+                        progressed = True
+                    continue
+                s["lo"], s["hi"] = new_lo, new_hi
+                s["below"], s["inside"] = new_below, new_inside
+                progressed = True
+        if not progressed:
+            break
 
-        if lo == hi:
-            out_q.append(float(q))
-            out_v.append(lo)
-            continue
-
-        last = hi == float(agg["hi"])
+    # collect pass: again one pass per distinct remaining range
+    pending: dict[tuple[float, float], list[dict]] = {}
+    for s in state:
+        if s["answer"] is None:
+            pending.setdefault((s["lo"], s["hi"]), []).append(s)
+    for (lo, hi), members in pending.items():
+        last = hi == ghi  # last bucket is closed at the global max
 
         def in_range(b: pa.Table, lo=lo, hi=hi, last=last) -> pa.Table:
             m = pc.and_(
@@ -132,12 +181,15 @@ def exact_quantiles(
             .to_numpy()
             .astype(np.float64)
         )
-        k_in = rank - below
-        out_q.append(float(q))
-        out_v.append(float(np.partition(vals, k_in)[k_in]))
+        for s in members:
+            k_in = s["rank"] - s["below"]
+            s["answer"] = float(np.partition(vals, k_in)[k_in])
+
     return pa.table(
         {
-            "q": pa.array(out_q, type=pa.float64()),
-            "value": pa.array(out_v, type=pa.float64()),
+            "q": pa.array([float(q) for q in qs], type=pa.float64()),
+            "value": pa.array(
+                [s["answer"] for s in state], type=pa.float64()
+            ),
         }
     )

@@ -81,13 +81,20 @@ def stratified_hash_sample(
         if isinstance(s, pa.ChunkedArray):
             s = s.combine_chunks()
         denc = s.dictionary_encode() if not pa.types.is_dictionary(s.type) else s
-        codes = np.asarray(denc.indices)
+        # null strata: null indices would surface as NaN through
+        # np.asarray — route them to a sentinel slot carrying `default`
         cats = denc.dictionary.to_pylist()
+        codes = np.asarray(
+            pc.fill_null(denc.indices, len(cats)).cast(pa.int64())
+        )
         nums = np.array(
-            [rates.get(c, default)[0] for c in cats], dtype=np.uint64
+            [rates.get(c, default)[0] for c in cats] + [default[0]],
+            dtype=np.uint64,
         )
         denoms = np.array(
-            [max(1, rates.get(c, default)[1]) for c in cats], dtype=np.uint64
+            [max(1, rates.get(c, default)[1]) for c in cats]
+            + [max(1, default[1])],
+            dtype=np.uint64,
         )
         keep = (h % denoms[codes]) < nums[codes]
         return b.filter(pa.array(keep))

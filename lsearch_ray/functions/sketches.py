@@ -8,11 +8,14 @@ candidate generator — each batch keeps only its ``per_batch_cap`` most
 frequent values, so driver/shuffle state is bounded no matter how large
 the value universe is. A value outside a batch's kept set has, in that
 batch, a count ≤ the batch's cap-th count; summing those cap-th counts
-over all batches gives a global undercount bound B for every
-non-candidate. A second broadcast-filtered pass then counts the
-candidates EXACTLY, and if the k-th exact count exceeds B the top-k is
-provably exact — the sketch buys bounded memory, the verify pass buys
-back exactness (which is what makes a SQL oracle possible).
+over all batches gives a global undercount bound B, and a value cut
+from a FULL candidate list additionally carries at most the smallest
+kept approx count — so U = B + min_kept_approx (when the list is full)
+bounds the true count of EVERY non-candidate. A second
+broadcast-filtered pass counts the candidates EXACTLY, and if the k-th
+exact count exceeds U the top-k is provably exact — the sketch buys
+bounded memory, the verify pass buys back exactness (which is what
+makes a SQL oracle possible).
 """
 
 from __future__ import annotations
@@ -46,7 +49,8 @@ def heavy_hitters(
     Returns ``(table(value, n) sorted by (n desc, value), info)`` where
     ``info['provably_exact']`` certifies that no value outside the
     candidate set can displace the reported top-k (k-th exact count >
-    undercount bound B) and ``info['bound']`` is B.
+    the non-candidate bound U — see module docstring) and
+    ``info['bound']`` is U.
     """
     if (col is None) == (values_fn is None):
         raise ValueError("heavy_hitters: pass exactly one of col / values_fn")
@@ -98,6 +102,14 @@ def heavy_hitters(
         .take_all()
     )
     cand = pa.array([r["v"] for r in approx], type=pa.large_string())
+    # sound undercount bound U for ANY value outside the candidate set:
+    # true(v) ≤ approx(v) + B (each batch undercounts v by ≤ its cap-th
+    # count), and if the candidate list is FULL, an excluded v lost the
+    # approx top-cand_cap sort, so approx(v) ≤ the smallest kept approx.
+    # A non-full candidate list means nothing was cut there (approx(v)=0).
+    cand_full = len(approx) == cand_cap
+    min_approx = int(approx[-1]["c_approx"]) if approx else 0
+    U = B + (min_approx if cand_full else 0)
     if len(cand) == 0:
         empty = pa.table(
             {
@@ -105,7 +117,7 @@ def heavy_hitters(
                 "n": pa.array([], type=pa.int64()),
             }
         )
-        return empty, {"provably_exact": True, "bound": B}
+        return empty, {"provably_exact": U == 0, "bound": U}
 
     # exact recount of the candidates only (broadcast value-set filter)
     def exact_partial(b: pa.Table) -> pa.Table:
@@ -137,4 +149,11 @@ def heavy_hitters(
         }
     )
     kth = int(exact["n"].iloc[-1]) if len(exact) else 0
-    return table, {"provably_exact": len(exact) < k or kth > B, "bound": B}
+    # U == 0 ⇒ no batch ever truncated AND the candidate list wasn't cut:
+    # the candidates ARE the complete value universe — exact regardless of
+    # how many rows came back. Otherwise a full k rows whose k-th exact
+    # count beats U certifies that no outside value can displace them.
+    # (A previous form compared kth > B only, ignoring the approx mass a
+    # cut candidate could carry — an unsound certificate.)
+    provable = (U == 0) or (len(exact) == k and kth > U)
+    return table, {"provably_exact": provable, "bound": U}

@@ -432,3 +432,51 @@ def test_stratified_hash_sample_matches_reference():
         elif et == "view" and h[i] % 10 < 1:
             want.add(i)
     assert {r["event_id"] for r in out} == want
+
+
+def test_heavy_hitters_certificate_refuses_adversarial_split():
+    """Review repro: a value whose mass is spread thin across batches
+    (so per-batch truncation hides it) while solid values concentrate
+    must NOT be certified exact when it can't be ruled out. The sound
+    certificate U = B + min_kept_approx refuses."""
+    from lsearch_ray.functions.sketches import heavy_hitters
+
+    # 25 solid values: 7000 rows each, one per batch (never truncated).
+    # 'eee' has 8000 rows spread over all 25 batches (320 each) — below
+    # every batch's cap-th count, so most of its mass is truncated away.
+    batches = []
+    for i in range(25):
+        rows = [f"solid{i:02d}"] * 7000 + ["eee"] * 320
+        # per-batch filler to force truncation pressure at cap=8
+        for j in range(12):
+            rows += [f"fill{i:02d}_{j}"] * 400
+        batches.append(pa.table({"s": pa.array(rows, type=pa.large_string())}))
+    ds = rd.from_arrow(batches)
+    table, info = heavy_hitters(
+        ds, "s", k=20, per_batch_cap=8, candidate_cap=25
+    )
+    # the true #1 value is 'eee' (8000); if it is missing from the
+    # reported top-k the certificate MUST be False
+    got = dict(zip(table["value"].to_pylist(), table["n"].to_pylist()))
+    if "eee" not in got:
+        assert info["provably_exact"] is False
+    else:
+        assert got["eee"] == 8000
+
+
+def test_stratified_hash_sample_null_strata_dropped():
+    from lsearch_ray.functions.sampling import stratified_hash_sample
+
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(6, dtype=np.int64)),
+            "event_type": pa.array(
+                ["click", None, "click", None, "view", "click"]
+            ),
+        }
+    )
+    out = stratified_hash_sample(
+        rd.from_arrow(t), "event_id", "event_type", {"click": (1, 1)}
+    ).take_all()
+    # nulls and unlisted strata fall through to default=(0,1) → dropped
+    assert {r["event_id"] for r in out} == {0, 2, 5}
