@@ -1,13 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-``DecodeImage(fake=False)`` really decodes: uncompressed PPM (P6) and
-24-bit BMP natively in numpy, any PIL-supported format when PIL is
-importable (gated import). ``fake=True`` keeps the deterministic
-no-dependency stand-in for pipeline tests. Video frame sampling and the
-feature extractor remain declared fakes (no ffmpeg / model runtime in
-this environment); everything Ray-side — schema handling, actor-pool
-stage shape, batch sizing for wide binary rows — is real and tested.
+Real decode paths (``fake=False``), all pure numpy, no media libraries:
+
+- ``DecodeImage`` — uncompressed PPM (P6) and 24-bit BMP natively; any
+  PIL-supported format when PIL is importable (gated import).
+- ``DecodeAudio`` — RIFF/WAVE PCM 8/16-bit (chunk walk incl. odd-size
+  padding), emitting int16 frame-major sample blobs.
+- ``SampleFrames`` — YUV4MPEG2 (Y4M, 4:2:0) streams: header parse +
+  fixed-stride frame walk, raw planar YUV frames at source indices.
+
+Compressed containers (JPEG without PIL, MP3, MP4, ...) raise
+``ValueError`` naming the missing dependency — never a silent fake.
+``fake=True`` keeps deterministic no-dependency stand-ins for
+pipeline-shape tests; the feature extractor (``embed_fake``) remains a
+declared fake (no model runtime here). Everything Ray-side — schema
+handling, actor-pool stage shape, batch sizing for wide binary rows —
+is real and tested.
 
 Scale notes: binary payloads make rows wide — size ``batch_size`` small
 (``suggest_batch_size``) and keep stages in ``batch_format="pyarrow"``
@@ -138,14 +147,130 @@ class DecodeImage:
         )
 
 
+def _decode_wav_pcm(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy decode of RIFF/WAVE PCM (8/16-bit): returns
+    ``(sample_rate, n_channels, samples int16 [frame, channel])``.
+    8-bit unsigned samples are widened to int16 (centered, ×256)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int(np.frombuffer(raw, dtype="<u4", count=1, offset=pos + 4)[0])
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int(np.frombuffer(fmt, dtype="<u2", count=1)[0])
+    n_channels = int(np.frombuffer(fmt, dtype="<u2", count=1, offset=2)[0])
+    sample_rate = int(np.frombuffer(fmt, dtype="<u4", count=1, offset=4)[0])
+    bits = int(np.frombuffer(fmt, dtype="<u2", count=1, offset=14)[0])
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"WAV format={audio_format} bits={bits} unsupported (PCM 8/16 only)")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        ) * 256
+    n_frames = len(samples) // n_channels
+    return sample_rate, n_channels, samples[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+class DecodeAudio:
+    """Actor-pool stage: ``audio:binary`` → ``sample_rate/n_channels/
+    n_samples`` + ``samples:binary`` (int16 LE, frame-major).
+
+    ``fake=False`` REALLY decodes RIFF/WAVE PCM (8/16-bit) in pure numpy
+    — no audio library needed; other containers raise ``ValueError``
+    naming the gap. ``fake=True`` keeps the deterministic no-dependency
+    stand-in for pipeline-shape tests."""
+
+    def __init__(self, audio_col: str = "audio", fake: bool = True):
+        self.audio_col = audio_col
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.audio_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rates, chans, counts, blobs = [], [], [], []
+        for v in col:
+            raw = v.as_py() or b""
+            if self.fake:
+                rate, nch = 8000, 1 + (raw[0] if raw else 0) % 2
+                rng = np.random.RandomState(len(raw) % 2**31)
+                samples = rng.randint(
+                    -(2**15), 2**15, size=(8, nch)
+                ).astype(np.int16)
+            else:
+                rate, nch, samples = _decode_wav_pcm(raw)
+            rates.append(rate)
+            chans.append(nch)
+            counts.append(samples.shape[0])
+            blobs.append(samples.astype("<i2").tobytes())
+        return (
+            batch.append_column("sample_rate", pa.array(rates, type=pa.int32()))
+            .append_column("n_channels", pa.array(chans, type=pa.int32()))
+            .append_column("n_samples", pa.array(counts, type=pa.int64()))
+            .append_column("samples", pa.array(blobs, type=pa.large_binary()))
+        )
+
+
+def _y4m_frames(raw: bytes) -> tuple[int, int, list[bytes]]:
+    """Pure-numpy frame split of a YUV4MPEG2 (Y4M) stream, 4:2:0 chroma:
+    returns ``(width, height, [frame bytes])`` where each frame is the
+    raw planar YUV420 payload (w*h*3/2 bytes)."""
+    nl = raw.index(b"\n")
+    header = raw[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise ValueError(f"Y4M chroma {tok!r} unsupported (420 only)")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes = w * h * 3 // 2
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        body = raw[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        frames.append(body)
+        pos = fnl + 1 + frame_bytes
+    return w, h, frames
+
+
 class SampleFrames:
     """Actor-pool stage: ``video:binary`` → one row per sampled frame
-    (``frame_idx``, ``frame:binary``). Deterministic fake sampler; the
-    real ffmpeg-backed implementation replaces ``_frames``."""
+    (``frame_idx``, ``frame:binary``).
 
-    def __init__(self, video_col: str = "video", every_n: int = 10):
+    ``fake=False`` REALLY splits YUV4MPEG2 (Y4M, 4:2:0) streams in pure
+    numpy — header parse + fixed-stride frame walk, each sampled frame
+    emitted as its raw planar YUV420 payload with ``frame_w/frame_h``
+    columns; compressed containers (mp4/webm) would need ffmpeg, which
+    this environment lacks, and raise ``ValueError`` saying so.
+    ``fake=True`` keeps the deterministic stand-in."""
+
+    def __init__(self, video_col: str = "video", every_n: int = 10, fake: bool = True):
         self.video_col = video_col
         self.every_n = every_n
+        self.fake = fake
 
     def _frames(self, raw: bytes) -> list[bytes]:
         n_frames = 1 + len(raw) % 5
@@ -155,25 +280,38 @@ class SampleFrames:
         col = batch[self.video_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        step = max(1, self.every_n)
         out_parent, out_idx, out_frame = [], [], []
+        out_w, out_h = [], []
         for row, v in enumerate(col):
-            frames = self._frames(v.as_py() or b"")[:: max(1, self.every_n)]
-            for i, f in enumerate(frames):
+            raw = v.as_py() or b""
+            if self.fake:
+                w = h = 0
+                frames = self._frames(raw)
+            else:
+                w, h, frames = _y4m_frames(raw)
+            # frame_idx is the index IN THE SOURCE stream (not the
+            # sample ordinal) so a sampled frame stays addressable
+            for src_i in range(0, len(frames), step):
                 out_parent.append(row)
-                out_idx.append(i)
-                out_frame.append(f)
+                out_idx.append(src_i)
+                out_frame.append(frames[src_i])
+                out_w.append(w)
+                out_h.append(h)
         parent_cols = {
             name: batch[name].take(pa.array(out_parent, type=pa.int64()))
             for name in batch.column_names
             if name != self.video_col
         }
-        return pa.table(
-            {
-                **parent_cols,
-                "frame_idx": pa.array(out_idx, type=pa.int32()),
-                "frame": pa.array(out_frame, type=pa.large_binary()),
-            }
-        )
+        cols = {
+            **parent_cols,
+            "frame_idx": pa.array(out_idx, type=pa.int32()),
+            "frame": pa.array(out_frame, type=pa.large_binary()),
+        }
+        if not self.fake:
+            cols["frame_w"] = pa.array(out_w, type=pa.int32())
+            cols["frame_h"] = pa.array(out_h, type=pa.int32())
+        return pa.table(cols)
 
 
 def embed_fake(batch: pa.Table, payload_col: str = "pixels", dim: int = 16) -> pa.Table:
