@@ -186,7 +186,7 @@ def asof_join(
     (left+right)/num_partitions, same reducer shape as any groupby.
     Precondition: right (key, ts) pairs unique (dedupe upstream
     otherwise — ties would make the winner engine-defined)."""
-    from lsearch_ray.functions.dedup import _col_hash64
+    from lsearch_ray.functions.dedup import partition_ids
 
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
@@ -205,18 +205,11 @@ def asof_join(
             f"asof_join: suffixed right columns {sorted(clash)} collide "
             "with left-table columns — rename one side or change suffix"
         )
-    mult = np.uint64(0x100000001B3)
-
     def tag(side: int):
         def f(b: pa.Table) -> pa.Table:
             n = b.num_rows
-            with np.errstate(over="ignore"):
-                part = (
-                    (_col_hash64(b[key_col]) * mult)
-                    % np.uint64(num_partitions)
-                ).astype(np.int64)
             cols = {
-                "__part": pa.array(part),
+                "__part": pa.array(partition_ids(b, [key_col], num_partitions)),
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
                 key_col: b[key_col],
                 ts_col: b[ts_col],

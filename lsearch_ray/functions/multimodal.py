@@ -158,6 +158,13 @@ def _decode_wav_pcm(raw: bytes) -> tuple[int, int, np.ndarray]:
         cid = raw[pos : pos + 4]
         size = int(np.frombuffer(raw, dtype="<u4", count=1, offset=pos + 4)[0])
         body = raw[pos + 8 : pos + 8 + size]
+        if cid in (b"fmt ", b"data") and len(body) != size:
+            # never trust the declared size over the actual bytes —
+            # silent truncation is data loss, not a decode
+            raise ValueError(
+                f"truncated WAV {cid.decode(errors='replace').strip()} chunk "
+                f"({len(body)} of {size} bytes)"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -171,6 +178,8 @@ def _decode_wav_pcm(raw: bytes) -> tuple[int, int, np.ndarray]:
     bits = int(np.frombuffer(fmt, dtype="<u2", count=1, offset=14)[0])
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"WAV format={audio_format} bits={bits} unsupported (PCM 8/16 only)")
+    if n_channels < 1:
+        raise ValueError(f"WAV n_channels={n_channels} invalid")
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2")
     else:
@@ -227,10 +236,15 @@ def _y4m_frames(raw: bytes) -> tuple[int, int, list[bytes]]:
     """Pure-numpy frame split of a YUV4MPEG2 (Y4M) stream, 4:2:0 chroma:
     returns ``(width, height, [frame bytes])`` where each frame is the
     raw planar YUV420 payload (w*h*3/2 bytes)."""
-    nl = raw.index(b"\n")
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            "not a YUV4MPEG2 stream (compressed containers like mp4/webm "
+            "need ffmpeg, which is not available here)"
+        )
+    nl = raw.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M header newline missing")
     header = raw[:nl].split(b" ")
-    if header[0] != b"YUV4MPEG2":
-        raise ValueError("not a YUV4MPEG2 stream")
     w = h = None
     for tok in header[1:]:
         if tok[:1] == b"W":
@@ -245,8 +259,8 @@ def _y4m_frames(raw: bytes) -> tuple[int, int, list[bytes]]:
     frames: list[bytes] = []
     pos = nl + 1
     while pos < len(raw):
-        fnl = raw.index(b"\n", pos)
-        if raw[pos : pos + 5] != b"FRAME":
+        fnl = raw.find(b"\n", pos)
+        if fnl < 0 or raw[pos : pos + 5] != b"FRAME":
             raise ValueError("Y4M frame marker missing")
         body = raw[fnl + 1 : fnl + 1 + frame_bytes]
         if len(body) != frame_bytes:

@@ -86,12 +86,33 @@ def exact_quantiles(
 
     Returns a table (q: float64, value: float64) in input q order.
     """
-    from ray.data.aggregate import Count, Max, Min
+    # NaN-aware (count, min, max) in ONE streaming pass: Ray's Count
+    # counts NaN rows (they are not null) and Min/Max can propagate NaN,
+    # which would desynchronize n from the histogram passes (those filter
+    # NaN via the range predicate) and index past the histogram. The
+    # contract: quantiles are over the column's FINITE values.
+    def stats_partial(b: pa.Table) -> pa.Table:
+        v = b[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[np.isfinite(vals)]
+        return pa.table(
+            {
+                "n": pa.array([len(vals)], type=pa.int64()),
+                "lo": pa.array(
+                    [float(vals.min()) if len(vals) else np.inf]
+                ),
+                "hi": pa.array(
+                    [float(vals.max()) if len(vals) else -np.inf]
+                ),
+            }
+        )
 
-    agg = ds.aggregate(
-        Count(col, alias_name="n"),
-        Min(col, alias_name="lo"),
-        Max(col, alias_name="hi"),
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Min("lo", alias_name="lo"), Max("hi", alias_name="hi")
     )
     n = int(agg["n"] or 0)
     if n == 0:
@@ -103,7 +124,9 @@ def exact_quantiles(
         )
     glo, ghi = float(agg["lo"]), float(agg["hi"])
     # per-quantile state: target rank, current range, mass below lo,
-    # rows inside the range, resolved answer (None while active)
+    # rows inside the range, resolved answer (None while active);
+    # "give_up" marks ranges refinement cannot shrink (repeated value
+    # wider than a point) so they stop burning histogram passes
     state = [
         {
             "rank": int(math.floor(q * (n - 1))),
@@ -112,15 +135,40 @@ def exact_quantiles(
             "below": 0,
             "inside": n,
             "answer": glo if glo == ghi else None,
+            "give_up": False,
         }
         for q in qs
     ]
+
+    def minmax_in_range(lo: float, hi: float, last: bool) -> tuple[float, float]:
+        """(min, max) of the finite values in [lo, hi) — the stall probe."""
+
+        def mm(b: pa.Table) -> pa.Table:
+            v = b[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+            m = (vals >= lo) & ((vals <= hi) if last else (vals < hi))
+            vals = vals[m & np.isfinite(vals)]
+            return pa.table(
+                {
+                    "lo": pa.array([float(vals.min()) if len(vals) else np.inf]),
+                    "hi": pa.array([float(vals.max()) if len(vals) else -np.inf]),
+                }
+            )
+
+        a = ds.map_batches(mm, batch_format="pyarrow").aggregate(
+            Min("lo", alias_name="lo"), Max("hi", alias_name="hi")
+        )
+        return float(a["lo"]), float(a["hi"])
 
     for _ in range(max_rounds):
         active = [
             s
             for s in state
-            if s["answer"] is None and s["inside"] > collect_limit
+            if s["answer"] is None
+            and not s["give_up"]
+            and s["inside"] > collect_limit
         ]
         if not active:
             break
@@ -129,7 +177,6 @@ def exact_quantiles(
         by_range: dict[tuple[float, float], list[dict]] = {}
         for s in active:
             by_range.setdefault((s["lo"], s["hi"]), []).append(s)
-        progressed = False
         for (lo, hi), members in by_range.items():
             edges = np.linspace(lo, hi, n_buckets + 1)
             counts = _histogram_pass(ds, col, edges)
@@ -141,22 +188,35 @@ def exact_quantiles(
                 new_below = s["below"] + (int(cum[b_idx - 1]) if b_idx else 0)
                 new_lo = float(edges[b_idx])
                 new_hi = float(edges[b_idx + 1])
-                if new_lo == new_hi or (
+                if new_lo == new_hi:
+                    # zero-width bucket: only one representable value
+                    s["answer"] = new_lo
+                    continue
+                stalled = (
                     new_inside == s["inside"]
                     and new_lo == s["lo"]
                     and new_hi == s["hi"]
-                ):
-                    # range cannot split further: the mass is one
-                    # repeated value — that value IS the answer
-                    if new_lo == new_hi:
-                        s["answer"] = new_lo
-                        progressed = True
-                    continue
+                )
                 s["lo"], s["hi"] = new_lo, new_hi
                 s["below"], s["inside"] = new_below, new_inside
-                progressed = True
-        if not progressed:
-            break
+                if stalled:
+                    # mass concentrated: probe the ACTUAL value range in
+                    # the bucket — a point mass answers immediately, a
+                    # tighter span keeps refining, no tightening means
+                    # refinement is done (rare; falls to collect, which
+                    # may exceed collect_limit — the honest fallback)
+                    mn, mx = minmax_in_range(
+                        s["lo"], s["hi"], s["hi"] == ghi
+                    )
+                    if mn == mx:
+                        s["answer"] = mn
+                        continue
+                    # half-open upper bound that still contains mx
+                    tight = (mn, float(np.nextafter(mx, np.inf)))
+                    if tight == (s["lo"], s["hi"]):
+                        s["give_up"] = True
+                    else:
+                        s["lo"], s["hi"] = tight
 
     # collect pass: again one pass per distinct remaining range
     pending: dict[tuple[float, float], list[dict]] = {}

@@ -82,10 +82,13 @@ def stratified_hash_sample(
             s = s.combine_chunks()
         denc = s.dictionary_encode() if not pa.types.is_dictionary(s.type) else s
         # null strata: null indices would surface as NaN through
-        # np.asarray — route them to a sentinel slot carrying `default`
+        # np.asarray — route them to a sentinel slot carrying `default`.
+        # Cast to int64 BEFORE fill_null: an already-dictionary-encoded
+        # column (parquet/pandas categorical) can arrive with int8
+        # indices, where the sentinel len(cats) overflows the index type
         cats = denc.dictionary.to_pylist()
         codes = np.asarray(
-            pc.fill_null(denc.indices, len(cats)).cast(pa.int64())
+            pc.fill_null(denc.indices.cast(pa.int64()), len(cats))
         )
         nums = np.array(
             [rates.get(c, default)[0] for c in cats] + [default[0]],

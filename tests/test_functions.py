@@ -480,3 +480,88 @@ def test_stratified_hash_sample_null_strata_dropped():
     ).take_all()
     # nulls and unlisted strata fall through to default=(0,1) → dropped
     assert {r["event_id"] for r in out} == {0, 2, 5}
+
+
+def test_quantiles_repeated_value_resolves_without_huge_collect():
+    """Review repro: a point mass at the LOWER bucket edge used to stall
+    the refinement and fall through to collecting the entire repeated
+    mass; the stall probe must answer it exactly instead."""
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(31)
+    vals = np.concatenate(
+        [np.full(50_000, 3.25), rng.lognormal(2, 1, size=10_000) + 10.0]
+    )
+    t = pa.table({"value": pa.array(vals, type=pa.float64())})
+    out = exact_quantiles(
+        rd.from_arrow(t).repartition(4),
+        "value",
+        [0.3, 0.95],
+        n_buckets=32,
+        collect_limit=2_000,  # far below the 50k point mass
+    )
+    s = np.sort(vals)
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        assert v == s[int(np.floor(q * (len(s) - 1)))], q
+
+
+def test_quantiles_ignore_nan():
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    vals = np.array([1.0, np.nan, 3.0, np.nan, 2.0, 4.0])
+    t = pa.table({"value": pa.array(vals, type=pa.float64())})
+    out = exact_quantiles(rd.from_arrow(t), "value", [0.0, 0.5, 1.0], n_buckets=8)
+    assert out["value"].to_pylist() == [1.0, 2.0, 4.0]
+    allnan = pa.table({"value": pa.array([np.nan, np.nan], type=pa.float64())})
+    out2 = exact_quantiles(rd.from_arrow(allnan), "value", [0.5], n_buckets=8)
+    assert np.isnan(out2["value"][0].as_py())
+
+
+def test_stratified_sample_int8_dictionary_input():
+    """Already-dictionary-encoded strata (int8 indices, full range) must
+    not overflow on the null sentinel."""
+    from lsearch_ray.functions.sampling import stratified_hash_sample
+
+    cats = [f"s{i}" for i in range(128)]
+    idx = pa.array(np.arange(200, dtype=np.int8) % 128, type=pa.int8())
+    strata = pa.DictionaryArray.from_arrays(idx, pa.array(cats))
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(200, dtype=np.int64)),
+            "event_type": strata,
+        }
+    )
+    out = stratified_hash_sample(
+        rd.from_arrow(t), "event_id", "event_type", {"s0": (1, 1)}
+    ).take_all()
+    assert {r["event_id"] for r in out} == {0, 128}  # the two s0 rows
+
+
+def test_wav_decoder_rejects_corruption():
+    import io
+    import wave
+
+    from lsearch_ray.functions.multimodal import _decode_wav_pcm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(100, dtype="<i2").tobytes())
+    raw = buf.getvalue()
+    with pytest.raises(ValueError, match="truncated WAV"):
+        _decode_wav_pcm(raw[:-50])
+    bad_ch = bytearray(raw)
+    bad_ch[22:24] = (0).to_bytes(2, "little")  # n_channels = 0
+    with pytest.raises(ValueError, match="n_channels"):
+        _decode_wav_pcm(bytes(bad_ch))
+
+
+def test_y4m_errors_name_the_gap():
+    from lsearch_ray.functions.multimodal import _y4m_frames
+
+    with pytest.raises(ValueError, match="ffmpeg"):
+        _y4m_frames(b"\x00\x00\x00 ftypmp42")
+    with pytest.raises(ValueError, match="ffmpeg"):
+        _y4m_frames(b"")
