@@ -221,3 +221,77 @@ def test_term_counts_positions_fuzz(texts):
         want = term_positions(text)
         mine = {t_: p for (dd, t_), p in got.items() if dd == d}
         assert mine == want, (d, text)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_buckets=st.sampled_from([8, 32, 256]),
+    collect_limit=st.sampled_from([10, 200]),
+)
+@settings(max_examples=12, deadline=None)
+def test_exact_quantiles_fuzz_vs_numpy(seed, n_buckets, collect_limit):
+    """exact_quantiles == numpy sorted-order statistic on random mixes of
+    point masses, ties, heavy tails and NaNs, for any bucket/collect
+    configuration (exercises the refinement AND the stall probe)."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(seed)
+    parts = [rng.lognormal(0, 2, size=rng.randint(1, 800))]
+    for _ in range(rng.randint(0, 3)):
+        parts.append(np.full(rng.randint(1, 1200), float(rng.randint(-5, 6))))
+    if rng.rand() < 0.5:
+        parts.append(np.full(rng.randint(1, 50), np.nan))
+    vals = np.concatenate(parts)
+    rng.shuffle(vals)
+    qs = sorted(rng.rand(rng.randint(1, 4)).round(3).tolist())
+    t = pa.table({"value": pa.array(vals, type=pa.float64())})
+    out = exact_quantiles(
+        rd.from_arrow(t).repartition(int(rng.randint(1, 5))),
+        "value",
+        qs,
+        n_buckets=n_buckets,
+        collect_limit=collect_limit,
+    )
+    finite = np.sort(vals[np.isfinite(vals)])
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        want = finite[int(np.floor(q * (len(finite) - 1)))]
+        assert v == want, (q, v, want, seed)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    cap=st.sampled_from([2, 8, 64]),
+    cand_cap=st.sampled_from([3, 10, 100]),
+)
+@settings(max_examples=12, deadline=None)
+def test_heavy_hitters_certificate_sound_fuzz(seed, cap, cand_cap):
+    """Soundness: WHENEVER heavy_hitters claims provably_exact, the
+    result equals the brute-force top-k — across random Zipf multisets,
+    random batch splits and aggressive truncation settings."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.RandomState(seed)
+    vals = [f"v{int(x) % 60:02d}" for x in rng.zipf(1.3, size=int(rng.randint(50, 3000)))]
+    k = int(rng.randint(1, 12))
+    # random batch split: emit as multiple blocks
+    cut = sorted(rng.choice(len(vals), size=min(3, len(vals) - 1), replace=False).tolist())
+    bounds = [0] + cut + [len(vals)]
+    tables = [
+        pa.table({"s": pa.array(vals[a:b], type=pa.large_string())})
+        for a, b in zip(bounds[:-1], bounds[1:])
+        if b > a
+    ]
+    table, info = heavy_hitters(
+        rd.from_arrow(tables), "s", k=k, per_batch_cap=cap, candidate_cap=cand_cap
+    )
+    if info["provably_exact"]:
+        cnt = Counter(vals)
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        got = list(zip(table["value"].to_pylist(), table["n"].to_pylist()))
+        assert got == [(v, c) for v, c in want], (seed, cap, cand_cap, k)
