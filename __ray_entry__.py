@@ -1255,10 +1255,13 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_value": (
             # order statistic at 0-indexed rank floor(q*(n-1)) — the
             # engine's histogram-refinement contract; tie-order-free
-            # because only the VALUE at the rank is returned
-            "WITH s AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn "
-            "           FROM events), "
-            "n AS (SELECT count(*) AS c FROM events) "
+            # because only the VALUE at the rank is returned. isfinite:
+            # the engine's contract is quantiles over FINITE values
+            # (NaN/inf rows excluded from both n and the ranks)
+            "WITH f AS (SELECT value FROM events WHERE isfinite(value)), "
+            "s AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn "
+            "      FROM f), "
+            "n AS (SELECT count(*) AS c FROM f) "
             "SELECT qs.q, s.value FROM (VALUES (0.5), (0.9), (0.99)) qs(q) "
             "JOIN s ON s.rn = CAST(floor(qs.q * ((SELECT c FROM n) - 1)) AS BIGINT)"
         ),

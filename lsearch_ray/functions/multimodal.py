@@ -157,6 +157,10 @@ def _decode_wav_pcm(raw: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
         size = int(np.frombuffer(raw, dtype="<u4", count=1, offset=pos + 4)[0])
+        if cid == b"data" and size == 0xFFFFFFFF:
+            # streaming-writer sentinel (length unknown at header time):
+            # the data chunk is the rest of the file
+            size = len(raw) - (pos + 8)
         body = raw[pos + 8 : pos + 8 + size]
         if cid in (b"fmt ", b"data") and len(body) != size:
             # never trust the declared size over the actual bytes —

@@ -37,6 +37,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _finite_f64(batch: pa.Table, col: str) -> np.ndarray:
+    """The shared column prologue: ``col`` as a float64 ndarray with
+    non-finite values (NaN/±inf) dropped — the operator's value domain."""
+    v = batch[col]
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals[np.isfinite(vals)]
+
+
+def _minmax_table(vals: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "lo": pa.array([float(vals.min()) if len(vals) else np.inf]),
+            "hi": pa.array([float(vals.max()) if len(vals) else -np.inf]),
+        }
+    )
+
+
+def _split_edges(lo: float, hi: float, n_buckets: int) -> np.ndarray:
+    """Bucket edges over [lo, hi]; when the width overflows float64
+    (lo=-1e308, hi=1e308 → linspace yields nan/inf edges), fall back to
+    one overflow-free bisection (mid = lo/2 + hi/2) — coarser, but the
+    next round's range is finite-width and refines normally."""
+    edges = np.linspace(lo, hi, n_buckets + 1)
+    if np.isfinite(edges).all():
+        return edges
+    return np.array([lo, lo / 2.0 + hi / 2.0, hi], dtype=np.float64)
+
+
 def _histogram_pass(ds, col: str, edges: np.ndarray) -> np.ndarray:
     """Bucket counts of ``col`` over ``edges`` (one streaming pass)."""
     from ray.data.aggregate import Sum
@@ -44,10 +74,7 @@ def _histogram_pass(ds, col: str, edges: np.ndarray) -> np.ndarray:
     n_buckets = len(edges) - 1
 
     def hist_partial(b: pa.Table) -> pa.Table:
-        v = b[col]
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = _finite_f64(b, col)
         vals = vals[(vals >= edges[0]) & (vals <= edges[-1])]
         # bucket i covers [edges[i], edges[i+1]); last bucket closed
         idx = np.clip(
@@ -92,21 +119,9 @@ def exact_quantiles(
     # NaN via the range predicate) and index past the histogram. The
     # contract: quantiles are over the column's FINITE values.
     def stats_partial(b: pa.Table) -> pa.Table:
-        v = b[col]
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = vals[np.isfinite(vals)]
-        return pa.table(
-            {
-                "n": pa.array([len(vals)], type=pa.int64()),
-                "lo": pa.array(
-                    [float(vals.min()) if len(vals) else np.inf]
-                ),
-                "hi": pa.array(
-                    [float(vals.max()) if len(vals) else -np.inf]
-                ),
-            }
+        vals = _finite_f64(b, col)
+        return _minmax_table(vals).append_column(
+            "n", pa.array([len(vals)], type=pa.int64())
         )
 
     from ray.data.aggregate import Max, Min, Sum
@@ -144,18 +159,9 @@ def exact_quantiles(
         """(min, max) of the finite values in [lo, hi) — the stall probe."""
 
         def mm(b: pa.Table) -> pa.Table:
-            v = b[col]
-            if isinstance(v, pa.ChunkedArray):
-                v = v.combine_chunks()
-            vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+            vals = _finite_f64(b, col)
             m = (vals >= lo) & ((vals <= hi) if last else (vals < hi))
-            vals = vals[m & np.isfinite(vals)]
-            return pa.table(
-                {
-                    "lo": pa.array([float(vals.min()) if len(vals) else np.inf]),
-                    "hi": pa.array([float(vals.max()) if len(vals) else -np.inf]),
-                }
-            )
+            return _minmax_table(vals[m])
 
         a = ds.map_batches(mm, batch_format="pyarrow").aggregate(
             Min("lo", alias_name="lo"), Max("hi", alias_name="hi")
@@ -177,8 +183,12 @@ def exact_quantiles(
         by_range: dict[tuple[float, float], list[dict]] = {}
         for s in active:
             by_range.setdefault((s["lo"], s["hi"]), []).append(s)
+        # stalled members queue up per DISTINCT range so the stall probe
+        # (a full streaming pass) runs once per range, shared — the same
+        # dedup the histogram pass gets
+        stalled_by_range: dict[tuple[float, float], list[dict]] = {}
         for (lo, hi), members in by_range.items():
-            edges = np.linspace(lo, hi, n_buckets + 1)
+            edges = _split_edges(lo, hi, n_buckets)
             counts = _histogram_pass(ds, col, edges)
             cum = np.cumsum(counts)
             for s in members:
@@ -200,23 +210,31 @@ def exact_quantiles(
                 s["lo"], s["hi"] = new_lo, new_hi
                 s["below"], s["inside"] = new_below, new_inside
                 if stalled:
-                    # mass concentrated: probe the ACTUAL value range in
-                    # the bucket — a point mass answers immediately, a
-                    # tighter span keeps refining, no tightening means
-                    # refinement is done (rare; falls to collect, which
-                    # may exceed collect_limit — the honest fallback)
-                    mn, mx = minmax_in_range(
-                        s["lo"], s["hi"], s["hi"] == ghi
-                    )
-                    if mn == mx:
-                        s["answer"] = mn
-                        continue
-                    # half-open upper bound that still contains mx
-                    tight = (mn, float(np.nextafter(mx, np.inf)))
-                    if tight == (s["lo"], s["hi"]):
-                        s["give_up"] = True
-                    else:
-                        s["lo"], s["hi"] = tight
+                    stalled_by_range.setdefault(
+                        (s["lo"], s["hi"]), []
+                    ).append(s)
+        for (lo, hi), members in stalled_by_range.items():
+            # mass concentrated: probe the ACTUAL value range in the
+            # bucket — a point mass answers immediately, a tighter span
+            # keeps refining, no tightening means refinement is done
+            # (rare; falls to collect, which may exceed collect_limit —
+            # the honest fallback)
+            mn, mx = minmax_in_range(lo, hi, hi == ghi)
+            if mn == mx:
+                for s in members:
+                    s["answer"] = mn
+                continue
+            # half-open upper bound that still contains mx; clamp the
+            # max-float edge case where nextafter overflows to inf
+            th = float(np.nextafter(mx, np.inf))
+            if not np.isfinite(th):
+                th = ghi  # hi == ghi → the collect/probe treat it closed
+            tight = (mn, th)
+            for s in members:
+                if tight == (s["lo"], s["hi"]):
+                    s["give_up"] = True
+                else:
+                    s["lo"], s["hi"] = tight
 
     # collect pass: again one pass per distinct remaining range
     pending: dict[tuple[float, float], list[dict]] = {}

@@ -565,3 +565,21 @@ def test_y4m_errors_name_the_gap():
         _y4m_frames(b"\x00\x00\x00 ftypmp42")
     with pytest.raises(ValueError, match="ffmpeg"):
         _y4m_frames(b"")
+
+
+def test_quantiles_extreme_range_no_overflow():
+    """±1e308 values make the range width overflow float64 — edges must
+    stay finite (bisection fallback), not crash with IndexError."""
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(41)
+    vals = np.concatenate(
+        [np.array([-1e308, 1e308]), rng.lognormal(0, 1, size=5000)]
+    )
+    t = pa.table({"value": pa.array(vals, type=pa.float64())})
+    out = exact_quantiles(
+        rd.from_arrow(t), "value", [0.0, 0.5, 1.0], n_buckets=64, collect_limit=100
+    )
+    s = np.sort(vals)
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        assert v == s[int(np.floor(q * (len(s) - 1)))], q

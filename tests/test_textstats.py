@@ -380,3 +380,25 @@ def test_sample_frames_real_y4m():
 
     with _pytest.raises(ValueError):
         SampleFrames(fake=False)(bad)
+
+
+def test_wav_streaming_size_sentinel():
+    """data chunk size 0xFFFFFFFF (streaming writers) means rest-of-file."""
+    import io
+    import wave
+
+    from lsearch_ray.functions.multimodal import _decode_wav_pcm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.arange(64, dtype="<i2").tobytes())
+    raw = bytearray(buf.getvalue())
+    # find the data chunk header and poison its size with the sentinel
+    di = bytes(raw).index(b"data")
+    raw[di + 4 : di + 8] = (0xFFFFFFFF).to_bytes(4, "little")
+    rate, nch, samples = _decode_wav_pcm(bytes(raw))
+    assert (rate, nch) == (8000, 1)
+    assert np.array_equal(samples[:, 0], np.arange(64, dtype=np.int16))
