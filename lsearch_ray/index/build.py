@@ -271,6 +271,9 @@ def encode_shard_table(
     fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
     sdir = fsio.join(idx_path, f"shard={shard:05d}")
     fsio.makedirs(fs, sdir)
+    # the ordinal → raw-id doc table rides INSIDE postings.parquet (row 0
+    # of docs_tab) — one file stays the unit of atomic replacement, so
+    # compaction/merge can never pair a new table with old blobs
     fsio.write_table(fs, fsio.join(sdir, "postings.parquet"), postings)
     manifest = {
         "shard": shard,

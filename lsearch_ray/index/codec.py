@@ -129,6 +129,60 @@ def _grouped_undelta(deltas: np.ndarray, group_starts: np.ndarray) -> np.ndarray
         return cs - np.repeat(sub, lengths)
 
 
+def build_doc_table(doc_ids: np.ndarray) -> np.ndarray:
+    """Sorted unique doc ids of a shard — the ordinal → id mapping the
+    docs blobs reference (see :func:`encode_shard_postings`)."""
+    return np.unique(np.asarray(doc_ids, dtype=np.int64))
+
+
+def _doc_table_column(doc_table: np.ndarray, n_terms: int) -> pa.Array:
+    """The embedded-doc-table column: row 0 = the whole table as
+    little-endian int64 bytes, rows 1..n null. Built from offsets + a
+    validity bitmap so no n_terms-long Python list is materialized."""
+    blob = np.ascontiguousarray(doc_table, dtype="<i8").view(np.uint8)
+    offsets = np.full(n_terms + 1, len(blob), dtype=np.int64)
+    offsets[0] = 0
+    validity = np.zeros((n_terms + 7) // 8, dtype=np.uint8)
+    if n_terms:
+        validity[0] = 1  # only row 0 is set (LSB bit order)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n_terms,
+        [
+            pa.py_buffer(validity.tobytes()),
+            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(blob.tobytes()),
+        ],
+        null_count=max(n_terms - 1, 0),
+    )
+
+
+def doc_table_from_postings(table: pa.Table) -> np.ndarray:
+    """The shard doc table embedded in a postings table (row 0 of the
+    ``docs_tab`` column; see :func:`encode_shard_postings`)."""
+    if table.num_rows == 0 or "docs_tab" not in table.column_names:
+        return np.empty(0, dtype=np.int64)
+    blob = table["docs_tab"][0].as_py()
+    if not blob:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(blob, dtype="<i8").astype(np.int64, copy=False)
+
+
+def _block_starts_flat(df: np.ndarray, block_size: int) -> np.ndarray:
+    """Flat posting-row indices of every block start of every term (term
+    starts are each term's block 0) — the docs delta-chain reset points."""
+    df = np.asarray(df, dtype=np.int64)
+    n_blocks_per_term = (df + block_size - 1) // block_size
+    total_blocks = int(n_blocks_per_term.sum())
+    term_of_block = np.repeat(np.arange(len(df)), n_blocks_per_term)
+    block_ordinal = np.arange(total_blocks) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_blocks_per_term)[:-1])),
+        n_blocks_per_term,
+    )
+    term_first = np.concatenate(([0], np.cumsum(df)))[:-1]
+    return term_first[term_of_block] + block_ordinal * block_size
+
+
 def _binary_from_offsets(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
     """Zero-copy build of a large_binary Arrow array from flat bytes +
     int64 offsets."""
@@ -152,6 +206,7 @@ def encode_shard_postings(
     dls: np.ndarray,
     block_size: int = DEFAULT_BLOCK_SIZE,
     positions: np.ndarray | None = None,
+    doc_table: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode ALL posting lists of one shard in one vectorized pass.
 
@@ -159,6 +214,27 @@ def encode_shard_postings(
     ``terms`` is the per-row term (dictionary-encoded ok). Output: one row
     per term with columns ``term, df, docs, tfs, dls, skip_last,
     skip_doff, skip_toff, skip_loff, skip_max_tf, skip_min_dl``.
+
+    **Ordinal docs encoding**: the ``docs`` blob stores varints of each
+    posting's ORDINAL in the shard's sorted-unique doc table
+    (``doc_table``; built with :func:`build_doc_table` when not given).
+    Raw doc-hash ids are ~47-bit apart (≈7-byte varint deltas carrying
+    irreducible entropy); ordinals are dense, so deltas shrink to 1-2
+    bytes — the docs blob drops ~4× and both encode and block decode
+    speed up. The delta chain resets at EVERY block start (each block's
+    first varint is an absolute ordinal), so a block decodes
+    self-contained with no cross-block rebase. ``skip_last`` keeps RAW
+    ids — block-range pruning compares candidate doc ids without
+    touching the table.
+
+    The doc table itself is EMBEDDED in the output as the ``docs_tab``
+    column: row 0 holds the whole table as little-endian int64 bytes,
+    every other row is null. One file stays the unit of atomic
+    replacement — compaction/merge rewrite postings+table in a single
+    ``os.replace`` (or object PUT), so no crash or concurrent reader can
+    ever pair a new table with old blobs. Term-filtered reads never pay
+    for it (column pruning); loaders fetch it via
+    :func:`doc_table_from_postings` on row group 0.
 
     ``positions``: optional flat int array of within-doc token positions,
     concatenated in triple-row order (``len == tfs.sum()``; posting i owns
@@ -180,7 +256,22 @@ def encode_shard_postings(
     df = ends - starts
     uniq_terms = denc.dictionary.take(pa.array(codes[starts]))
 
-    deltas = _grouped_delta(doc_ids.astype(np.uint64), starts)
+    # ---- block structure (needed before docs encoding: the docs delta
+    # chain resets at every block start) ----
+    n_blocks_per_term = (df + block_size - 1) // block_size
+    total_blocks = int(n_blocks_per_term.sum())
+    # global row index of each block's first posting
+    term_of_block = np.repeat(np.arange(len(df)), n_blocks_per_term)
+    block_ordinal = np.arange(total_blocks) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_blocks_per_term)[:-1])), n_blocks_per_term
+    )
+    blk_start = starts[term_of_block] + block_ordinal * block_size
+    blk_end = np.minimum(blk_start + block_size, ends[term_of_block])
+
+    if doc_table is None:
+        doc_table = build_doc_table(doc_ids)
+    ords = np.searchsorted(doc_table, np.asarray(doc_ids, dtype=np.int64))
+    deltas = _grouped_delta(ords.astype(np.uint64), blk_start)
     d_data, d_len = varint_encode(deltas)
     t_data, t_len = varint_encode(tfs.astype(np.uint64))
     l_data, l_len = varint_encode(dls.astype(np.uint64))
@@ -191,17 +282,6 @@ def encode_shard_postings(
     docs_col = _binary_from_offsets(d_data, d_off[np.concatenate((starts, [n]))])
     tfs_col = _binary_from_offsets(t_data, t_off[np.concatenate((starts, [n]))])
     dls_col = _binary_from_offsets(l_data, l_off[np.concatenate((starts, [n]))])
-
-    # ---- block skip metadata, vectorized across all terms ----
-    n_blocks_per_term = (df + block_size - 1) // block_size
-    total_blocks = int(n_blocks_per_term.sum())
-    # global row index of each block's first posting
-    term_of_block = np.repeat(np.arange(len(df)), n_blocks_per_term)
-    block_ordinal = np.arange(total_blocks) - np.repeat(
-        np.concatenate(([0], np.cumsum(n_blocks_per_term)[:-1])), n_blocks_per_term
-    )
-    blk_start = starts[term_of_block] + block_ordinal * block_size
-    blk_end = np.minimum(blk_start + block_size, ends[term_of_block])
 
     skip_last = doc_ids[blk_end - 1].astype(np.int64)
     # per-block max tf / min dl via ufunc.reduceat on block starts
@@ -229,6 +309,7 @@ def encode_shard_postings(
         "skip_loff": lst(skip_loff, pa.int64()),
         "skip_max_tf": lst(skip_max_tf, pa.int64()),
         "skip_min_dl": lst(skip_min_dl, pa.int64()),
+        "docs_tab": _doc_table_column(doc_table, len(df)),
     }
     if positions is not None:
         # value index of each posting's first position (row → value space)
@@ -265,6 +346,7 @@ def _empty_postings_table(positions: bool = False) -> pa.Table:
         "skip_loff": pa.array([], type=i64list),
         "skip_max_tf": pa.array([], type=i64list),
         "skip_min_dl": pa.array([], type=i64list),
+        "docs_tab": pa.array([], type=pa.large_binary()),
     }
     if positions:
         cols["poss"] = pa.array([], type=pa.large_binary())
@@ -288,13 +370,23 @@ def decode_positions_column(
 
 
 def decode_posting_column(
-    docs_blob: bytes, tfs_blob: bytes, dls_blob: bytes
+    docs_blob: bytes,
+    tfs_blob: bytes,
+    dls_blob: bytes,
+    doc_table: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one term's blobs back to (doc_ids, tfs, dls)."""
-    deltas = varint_decode(np.frombuffer(docs_blob, dtype=np.uint8))
-    doc_ids = np.cumsum(deltas.astype(np.int64))
+    """Decode one term's blobs back to (doc_ids, tfs, dls).
+
+    ``doc_table``/``block_size`` must be the shard's table and the
+    index's block size: the docs blob stores ordinal deltas resetting at
+    every block start (see :func:`encode_shard_postings`)."""
     tfs = varint_decode(np.frombuffer(tfs_blob, dtype=np.uint8)).astype(np.int64)
     dls = varint_decode(np.frombuffer(dls_blob, dtype=np.uint8)).astype(np.int64)
+    deltas = varint_decode(np.frombuffer(docs_blob, dtype=np.uint8))
+    group_starts = np.arange(0, len(tfs), block_size, dtype=np.int64)
+    ords = _grouped_undelta(deltas, group_starts).astype(np.int64)
+    doc_ids = np.asarray(doc_table, dtype=np.int64)[ords]
     return doc_ids, tfs, dls
 
 
@@ -318,11 +410,11 @@ class LazyPostings:
 
     True skip-pointer decoding: ``decode_blocks`` varint-decodes only the
     requested blocks by slicing the three blobs at the codec's per-block
-    byte offsets; the doc-id delta chain restarts from ``skip_last`` of
-    the preceding block (deltas reset per TERM, so block b's running sum
-    re-bases on the previous block's last doc id). ``decode_all`` is the
-    memoized full decode for paths that need the whole list (θ lead term,
-    AND intersection, negation fallback).
+    byte offsets; the doc ORDINAL delta chain resets at every block
+    start (each block's first varint is an absolute ordinal into the
+    shard's ``doc_table``), so a block decodes self-contained.
+    ``decode_all`` is the memoized full decode for paths that need the
+    whole list (θ lead term, AND intersection, negation fallback).
     """
 
     __slots__ = (
@@ -337,6 +429,7 @@ class LazyPostings:
         "skip_min_dl",
         "df",
         "block_size",
+        "doc_table",
         "_all",
     )
 
@@ -353,6 +446,7 @@ class LazyPostings:
         skip_min_dl: np.ndarray,
         df: int,
         block_size: int,
+        doc_table: np.ndarray,
     ):
         self.docs_buf = np.frombuffer(docs_blob, dtype=np.uint8)
         self.tfs_buf = np.frombuffer(tfs_blob, dtype=np.uint8)
@@ -365,6 +459,7 @@ class LazyPostings:
         self.skip_min_dl = np.asarray(skip_min_dl, dtype=np.int64)
         self.df = int(df)
         self.block_size = int(block_size)
+        self.doc_table = np.asarray(doc_table, dtype=np.int64)
         self._all = None
 
     @property
@@ -392,6 +487,8 @@ class LazyPostings:
                 self.docs_buf.tobytes(),
                 self.tfs_buf.tobytes(),
                 self.dls_buf.tobytes(),
+                self.doc_table,
+                self.block_size,
             )
         return self._all
 
@@ -431,10 +528,7 @@ class LazyPostings:
         ).astype(np.int64)
         counts = self.block_counts()[sel]
         group_starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        sums = _grouped_undelta(deltas, group_starts)
-        bases = np.where(sel > 0, self.skip_last[np.maximum(sel - 1, 0)], 0)
-        with np.errstate(over="ignore"):
-            docs = (sums + np.repeat(bases.astype(np.uint64), counts)).astype(
-                np.int64
-            )
-        return docs, tfs, dls
+        # each block's chain restarts at an absolute ordinal — the
+        # selected blocks decode self-contained, no cross-block rebase
+        ords = _grouped_undelta(deltas, group_starts).astype(np.int64)
+        return self.doc_table[ords], tfs, dls

@@ -33,20 +33,33 @@ from lsearch_ray.index.build import (
 from lsearch_ray.index.codec import _grouped_undelta, varint_decode
 
 
-def decode_all_postings(table: pa.Table) -> pa.Table:
-    """Postings table (one row per term) → flat triples table.
+def decode_all_postings(
+    table: pa.Table, block_size: int, doc_table: np.ndarray | None = None
+) -> pa.Table:
+    """Postings table (one row per term) → flat triples table (RAW ids).
 
     Vectorized: one varint pass per blob column over the concatenated
-    bytes, delta-undone with per-term resets. A positional postings table
-    (``poss`` column) round-trips its per-posting position lists into a
-    ``pos`` list column, so merged/compacted positional shards re-encode
-    through the same path as the build.
+    bytes; the docs blobs hold ORDINAL deltas resetting at every block
+    start (codec), so the reset set is each term's block starts and the
+    ordinals map through the shard's doc table — taken from the table's
+    own embedded ``docs_tab`` column unless passed explicitly. A
+    positional postings table (``poss`` column) round-trips its
+    per-posting position lists into a ``pos`` list column, so
+    merged/compacted positional shards re-encode through the same path
+    as the build.
     """
+    from lsearch_ray.index.codec import (
+        _block_starts_flat,
+        doc_table_from_postings,
+    )
+
     n_terms = table.num_rows
     if n_terms == 0:
         from lsearch_ray.index.build import _empty_triples_table
 
         return _empty_triples_table()
+    if doc_table is None:
+        doc_table = doc_table_from_postings(table)
     df = table["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(df)))[:-1]
 
@@ -55,7 +68,10 @@ def decode_all_postings(table: pa.Table) -> pa.Table:
         return np.frombuffer(joined, dtype=np.uint8)
 
     deltas = varint_decode(blob_concat(table["docs"]))
-    doc_ids = _grouped_undelta(deltas, starts).astype(np.int64)
+    ords = _grouped_undelta(
+        deltas, _block_starts_flat(df, block_size)
+    ).astype(np.int64)
+    doc_ids = np.asarray(doc_table, dtype=np.int64)[ords]
     tfs = varint_decode(blob_concat(table["tfs"])).astype(np.int32)
     dls = varint_decode(blob_concat(table["dls"])).astype(np.int32)
 
@@ -124,7 +140,7 @@ def merge_indexes(
         from lsearch_ray.index.tombstones import load_tombstones_for_shard
 
         pa.set_cpu_count(1)
-        base_cols = ["term", "df", "docs", "tfs", "dls"]
+        base_cols = ["term", "df", "docs", "tfs", "dls", "docs_tab"]
         parts = []
         n_docs, dl_sum = 0, 0
         banned_parts, effective_parts = [], []
@@ -138,7 +154,7 @@ def merge_indexes(
                 ["poss"] if positions and "poss" in avail else []
             )
             t = pq.read_table(path, columns=cols)
-            parts.append(decode_all_postings(t))
+            parts.append(decode_all_postings(t, block_size))
             with open(os.path.join(_shard_dir(d, shard), "manifest.json")) as f:
                 m = json.load(f)
             n_docs += int(m["n_docs"])

@@ -52,6 +52,57 @@ def _postings_files(index_dir: str, num_shards: int) -> list[str]:
     ]
 
 
+# per-process cache of shard doc tables (the ordinal -> raw-id mapping the
+# docs blobs reference; embedded in postings.parquet row 0, docs_tab
+# column): one entry per postings path, invalidated by mtime+size so
+# compaction/merge rewrites are picked up — and coherent by construction,
+# since table and blobs live in the same atomically-replaced file
+_DOC_TABLE_CACHE: dict[str, tuple[tuple[int, int], np.ndarray]] = {}
+
+
+_BLOCK_SIZE_CACHE: dict[str, int] = {}
+
+
+def _block_size_for(postings_path: str) -> int:
+    """The index's block size (codec delta-reset stride) for a shard
+    file, from the index's meta.json (finalize-time); cached per dir."""
+    import json
+
+    idx_dir = os.path.dirname(os.path.dirname(postings_path))
+    bs = _BLOCK_SIZE_CACHE.get(idx_dir)
+    if bs is None:
+        from lsearch_ray.index.codec import DEFAULT_BLOCK_SIZE
+
+        meta_path = os.path.join(idx_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                bs = int(json.load(f)["block_size"])
+        else:
+            bs = DEFAULT_BLOCK_SIZE
+        _BLOCK_SIZE_CACHE[idx_dir] = bs
+    return bs
+
+
+def _doc_table_for(postings_path: str) -> np.ndarray:
+    from lsearch_ray.index.codec import doc_table_from_postings
+
+    st = os.stat(postings_path)
+    key = (st.st_mtime_ns, st.st_size)
+    ent = _DOC_TABLE_CACHE.get(postings_path)
+    if ent is None or ent[0] != key:
+        pf = pq.ParquetFile(postings_path)
+        if pf.metadata.num_rows == 0:
+            arr = np.empty(0, dtype=np.int64)
+        else:
+            # row 0 lives in row group 0 — read only that column chunk
+            arr = doc_table_from_postings(
+                pf.read_row_group(0, columns=["docs_tab"])
+            )
+        _DOC_TABLE_CACHE[postings_path] = (key, arr)
+        return arr
+    return ent[1]
+
+
 def load_postings_for_terms(
     files: list[str], terms: list[str]
 ) -> dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
@@ -70,11 +121,16 @@ def load_postings_for_terms(
             columns=["term", "docs", "tfs", "dls"],
             filters=pc.field("term").isin(tset),
         )
+        if t.num_rows == 0:
+            continue
+        dt = _doc_table_for(f)
+        bs = _block_size_for(f)
         for i in range(t.num_rows):
             term = t["term"][i].as_py()
             out.setdefault(term, []).append(
                 decode_posting_column(
-                    t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+                    t["docs"][i].as_py(), t["tfs"][i].as_py(),
+                    t["dls"][i].as_py(), dt, bs,
                 )
             )
     return out
@@ -98,10 +154,15 @@ def load_postings_with_skips(
     cols = ["term", "docs", "tfs", "dls", "skip_max_tf", "skip_min_dl"]
     for f in files:
         t = pq.read_table(f, columns=cols, filters=pc.field("term").isin(tset))
+        if t.num_rows == 0:
+            continue
+        dt = _doc_table_for(f)
+        bs = _block_size_for(f)
         for i in range(t.num_rows):
             term = t["term"][i].as_py()
             doc_ids, tfs, dls = decode_posting_column(
-                t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+                t["docs"][i].as_py(), t["tfs"][i].as_py(),
+                t["dls"][i].as_py(), dt, bs,
             )
             out.setdefault(term, []).append(
                 (
@@ -141,7 +202,12 @@ _LAZY_COLS = [
 ]
 
 
-def _lazy_rows(t: pa.Table, block_size: int, out: dict[str, list[LazyPostings]]):
+def _lazy_rows(
+    t: pa.Table,
+    block_size: int,
+    out: dict[str, list[LazyPostings]],
+    doc_table: np.ndarray,
+):
     for i in range(t.num_rows):
         out.setdefault(t["term"][i].as_py(), []).append(
             LazyPostings(
@@ -156,6 +222,7 @@ def _lazy_rows(t: pa.Table, block_size: int, out: dict[str, list[LazyPostings]])
                 np.asarray(t["skip_min_dl"][i].as_py(), dtype=np.int64),
                 int(t["df"][i].as_py()),
                 block_size,
+                doc_table,
             )
         )
 
@@ -171,7 +238,9 @@ def load_postings_lazy(
     tset = pa.array(sorted(set(terms)))
     for f in files:
         t = pq.read_table(f, columns=_LAZY_COLS, filters=pc.field("term").isin(tset))
-        _lazy_rows(t, block_size, out)
+        if t.num_rows == 0:
+            continue
+        _lazy_rows(t, block_size, out, _doc_table_for(f))
     return out
 
 
@@ -482,10 +551,15 @@ def load_postings_with_positions(
         if "poss" not in avail:
             continue  # empty shard encoded without the positions column
         t = pq.read_table(f, columns=cols, filters=pc.field("term").isin(tset))
+        if t.num_rows == 0:
+            continue
+        dt = _doc_table_for(f)
+        bs = _block_size_for(f)
         for i in range(t.num_rows):
             term = t["term"][i].as_py()
             doc_ids, tfs, dls = decode_posting_column(
-                t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+                t["docs"][i].as_py(), t["tfs"][i].as_py(),
+                t["dls"][i].as_py(), dt, bs,
             )
             from lsearch_ray.index.codec import decode_positions_column
 
@@ -1413,11 +1487,12 @@ class _ShardGroupSearcher:
         # and queries decode only the blocks their θ bound admits
         self.postings: dict[str, list[LazyPostings]] = {}
         for s in shard_ids:
-            t = pq.read_table(
-                os.path.join(_shard_dir(index_dir, s), "postings.parquet"),
-                columns=_LAZY_COLS,
-            )
-            _lazy_rows(t, self.meta.block_size, self.postings)
+            fpath = os.path.join(_shard_dir(index_dir, s), "postings.parquet")
+            t = pq.read_table(fpath, columns=_LAZY_COLS)
+            if t.num_rows:
+                _lazy_rows(
+                    t, self.meta.block_size, self.postings, _doc_table_for(fpath)
+                )
         ts = pq.read_table(os.path.join(index_dir, "termstats"))
         self.global_dfs_all: dict[str, int] = dict(
             zip(ts["term"].to_pylist(), ts["df"].to_pylist())

@@ -127,12 +127,14 @@ def compact_index(index_dir: str) -> IndexMeta:
         if len(effective) == 0 and not os.path.exists(pending_path):
             os.remove(_tombstone_path(index_dir, s))
             continue
-        cols = ["term", "df", "docs", "tfs", "dls"]
+        cols = ["term", "df", "docs", "tfs", "dls", "docs_tab"]
         path = os.path.join(_shard_dir(index_dir, s), "postings.parquet")
         avail = pq.ParquetFile(path).schema_arrow.names
         if "poss" in avail:
             cols.append("poss")
-        triples = decode_all_postings(pq.read_table(path, columns=cols))
+        triples = decode_all_postings(
+            pq.read_table(path, columns=cols), meta.block_size
+        )
         doc_ids = triples["doc_id"].to_numpy(zero_copy_only=False)
         # filter with the FULL banned set (idempotent over partial
         # states); dl adjustment only for effective ids still present

@@ -8,6 +8,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from lsearch_ray.index.codec import (
+    build_doc_table,
     decode_posting_column,
     encode_shard_postings,
     varint_decode,
@@ -68,6 +69,7 @@ def _make_shard(rng, n_terms=20, max_df=400):
 def test_shard_encode_roundtrip():
     rng = np.random.RandomState(7)
     rows, terms, doc_ids, tfs, dls = _make_shard(rng)
+    dt = build_doc_table(doc_ids)
     table = encode_shard_postings(terms, doc_ids, tfs, dls, block_size=64)
     assert table.num_rows == len(rows)
     by_term = {
@@ -77,7 +79,8 @@ def test_shard_encode_roundtrip():
         i = by_term[term]
         assert table["df"][i].as_py() == len(want_docs)
         got_docs, got_tfs, got_dls = decode_posting_column(
-            table["docs"][i].as_py(), table["tfs"][i].as_py(), table["dls"][i].as_py()
+            table["docs"][i].as_py(), table["tfs"][i].as_py(),
+            table["dls"][i].as_py(), dt, 64,
         )
         assert (got_docs == want_docs).all()
         assert (got_tfs == want_tfs).all()
@@ -120,7 +123,8 @@ def test_single_term_single_doc():
         np.array([10], dtype=np.int64),
     )
     d, tf, dl = decode_posting_column(
-        t["docs"][0].as_py(), t["tfs"][0].as_py(), t["dls"][0].as_py()
+        t["docs"][0].as_py(), t["tfs"][0].as_py(), t["dls"][0].as_py(),
+        np.array([123456789], dtype=np.int64),
     )
     assert list(d) == [123456789] and list(tf) == [3] and list(dl) == [10]
 
@@ -133,3 +137,40 @@ def test_empty_shard():
         np.empty(0, dtype=np.int64),
     )
     assert t.num_rows == 0
+
+
+def test_embedded_doc_table_layout(tmp_path):
+    """The shard doc table rides inside postings.parquet (docs_tab row 0):
+    single-file atomicity — a rewrite can never pair new table with old
+    blobs — and term-filtered reads never touch it (column pruning)."""
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.index.codec import doc_table_from_postings
+    from lsearch_ray.index.search import _DOC_TABLE_CACHE, _doc_table_for
+
+    rng = np.random.RandomState(11)
+    rows, terms, doc_ids, tfs, dls = _make_shard(rng, n_terms=8)
+    t = encode_shard_postings(terms, doc_ids, tfs, dls, block_size=64)
+    want = build_doc_table(doc_ids)
+
+    # layout: row 0 = LE int64 bytes of the table, all other rows null
+    col = t["docs_tab"]
+    assert col.null_count == t.num_rows - 1
+    got = np.frombuffer(col[0].as_py(), dtype="<i8")
+    assert (got == want).all()
+    assert (doc_table_from_postings(t) == want).all()
+
+    # loader path: row-group-0 read + (mtime,size)-keyed cache that picks
+    # up an atomic rewrite
+    p = str(tmp_path / "postings.parquet")
+    pq.write_table(t, p)
+    assert (_doc_table_for(p) == want).all()
+    rows2, terms2, doc_ids2, tfs2, dls2 = _make_shard(rng, n_terms=5)
+    t2 = encode_shard_postings(terms2, doc_ids2, tfs2, dls2, block_size=64)
+    tmp2 = str(tmp_path / "postings.parquet.tmp")
+    pq.write_table(t2, tmp2)
+    import os
+
+    os.replace(tmp2, p)
+    assert (_doc_table_for(p) == build_doc_table(doc_ids2)).all()
+    _DOC_TABLE_CACHE.clear()

@@ -58,7 +58,7 @@ def test_decode_all_postings_roundtrip(tmp_path):
     from lsearch_ray.index.build import encode_shard_table
 
     t = pq.read_table(os.path.join(d, "shard=00000", "postings.parquet"))
-    flat = decode_all_postings(t)
+    flat = decode_all_postings(t, 128)
     assert flat.num_rows == int(pa.compute.sum(t["df"]).as_py())
     # re-encoding the decoded triples reproduces the same postings
     re_dir = str(tmp_path / "re")

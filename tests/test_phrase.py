@@ -63,10 +63,14 @@ def test_positions_codec_roundtrip():
         block_size=64,
         positions=np.concatenate([r[4] for r in rows]),
     )
+    from lsearch_ray.index.codec import build_doc_table
+
+    dtab = build_doc_table(np.array([r[1] for r in rows], dtype=np.int64))
     for i in range(t.num_rows):
         term = t["term"][i].as_py()
         _, tf, _ = decode_posting_column(
-            t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+            t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py(),
+            dtab, 64,
         )
         offs, flat = decode_positions_column(t["poss"][i].as_py(), tf)
         want_rows = [r for r in rows if r[0] == term]

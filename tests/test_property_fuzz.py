@@ -58,6 +58,10 @@ def posting_lists(draw):
 @settings(max_examples=60, deadline=None)
 def test_codec_roundtrip_and_lazy_blocks(rows, block_size):
     rows.sort(key=lambda r: (r[0], r[1]))
+    from lsearch_ray.index.codec import build_doc_table
+
+    all_docs = np.array([r[1] for r in rows], dtype=np.int64)
+    dtab = build_doc_table(all_docs)
     t = encode_shard_postings(
         pa.array([r[0] for r in rows]),
         np.array([r[1] for r in rows], dtype=np.int64),
@@ -69,7 +73,8 @@ def test_codec_roundtrip_and_lazy_blocks(rows, block_size):
         term = t["term"][i].as_py()
         want = [(r[1], r[2], r[3]) for r in rows if r[0] == term]
         d, tf, dl = decode_posting_column(
-            t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py()
+            t["docs"][i].as_py(), t["tfs"][i].as_py(), t["dls"][i].as_py(),
+            dtab, block_size,
         )
         assert list(zip(d.tolist(), tf.tolist(), dl.tolist())) == want
         lp = LazyPostings(
@@ -84,6 +89,7 @@ def test_codec_roundtrip_and_lazy_blocks(rows, block_size):
             np.array(t["skip_min_dl"][i].as_py()),
             int(t["df"][i].as_py()),
             block_size,
+            dtab,
         )
         nb = lp.n_blocks
         # odd blocks only — a non-contiguous subset
@@ -140,8 +146,13 @@ def test_lazy_scorer_bit_identical_random_corpora(seed):
         avgdl=sum(dls.values()) / n_docs,
         block_size=4,
     )
+    from lsearch_ray.index.codec import build_doc_table
+
     lazy = {}
-    S._lazy_rows(tbl, 4, lazy)
+    S._lazy_rows(
+        tbl, 4, lazy,
+        build_doc_table(np.array([r[1] for r in rows], dtype=np.int64)),
+    )
     dfs = S.global_dfs_lazy(lazy)
     eager = S._eager5(lazy)
     old_cut, old_sparse = S.EXHAUSTIVE_CUTOFF, S.SPARSE_DECODE_LIMIT
