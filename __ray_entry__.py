@@ -769,6 +769,46 @@ def _q_web_flagship(sf_dir: str):
     return result
 
 
+_NGRAM_N = 3
+_NGRAM_K = 20
+_DECON_N = 8
+# docs with doc_id % mod == 0 act as the "benchmark" suite; 31 chosen so
+# the slice shares 8-grams with the corpus (near-dup pairs) at sf0.001
+# AND sf0.01 — a 0-hit query would gate nothing
+_DECON_MOD = 31
+
+
+def _q_ngram_counts(sf_dir: str):
+    from lsearch_ray.functions import ngram_counts_ds
+
+    return ngram_counts_ds(
+        _docs(sf_dir, ["doc_id", "text"]), n=_NGRAM_N, k=_NGRAM_K
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: a deterministic slice of the corpus
+    (doc_id % mod == 0) plays the eval suite; every other doc sharing an
+    8-token gram with it is flagged. Map-side only: the gram set is
+    broadcast, the corpus streams through once."""
+    from lsearch_ray.functions import benchmark_grams, decontaminate_ds
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _slice(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        mod = np.asarray(batch["doc_id"]) % _DECON_MOD == 0
+        return batch.filter(pa.array(mod if keep_bench else ~mod))
+
+    bench = docs.map_batches(
+        lambda b: _slice(b, True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        lambda b: _slice(b, False), batch_format="pyarrow"
+    )
+    grams = benchmark_grams(bench, _DECON_N)
+    return decontaminate_ds(corpus, grams, n=_DECON_N).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -812,6 +852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_oneshot": _q_ivf_ann_oneshot,
+        "ngram_counts": _q_ngram_counts,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -875,6 +917,20 @@ SELECT s.doc_id, round(s.score, 4) AS score
 FROM scores s JOIN phrase_docs p ON s.doc_id = p.doc_id
 ORDER BY s.score DESC, s.doc_id LIMIT 10
 """
+    )
+
+
+def _grams_sql(n: int) -> str:
+    """Word n-grams per document: same `[a-z0-9]+` token runs as _TOKS,
+    re-joined with single spaces (the engine renders GRAM_SEP as ' ').
+    DuckDB list slicing is 1-based and end-inclusive, hence [i : i+n-1]."""
+    return (
+        f"SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS gram "
+        "FROM (SELECT doc_id, "
+        "        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "                    t -> t <> '') AS toks "
+        "      FROM documents), "
+        f"     UNNEST(generate_series(1, len(toks) - {n} + 1)) AS g(i)"
     )
 
 
@@ -1326,5 +1382,20 @@ def oracle_sql() -> dict[str, str]:
             "         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts"
             "  FROM events"
             ") GROUP BY user_id"
+        ),
+        "ngram_counts": (
+            "WITH g AS (" + _grams_sql(_NGRAM_N) + "), "
+            "c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n "
+            "      FROM g GROUP BY gram) "
+            f"SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT {_NGRAM_K}"
+        ),
+        "decontaminate": (
+            "WITH g AS (" + _grams_sql(_DECON_N) + "), "
+            "bench AS (SELECT DISTINCT gram FROM g "
+            f"          WHERE doc_id % {_DECON_MOD} = 0) "
+            "SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared "
+            "FROM g JOIN bench USING (gram) "
+            f"WHERE g.doc_id % {_DECON_MOD} <> 0 "
+            "GROUP BY g.doc_id ORDER BY g.doc_id"
         ),
     }

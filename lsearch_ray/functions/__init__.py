@@ -36,6 +36,12 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
     minhash_dedup,
     ngram_jaccard_dedup,
 )
+from lsearch_ray.functions.ngrams import (  # noqa: F401
+    benchmark_grams,
+    decontaminate_ds,
+    doc_ngrams,
+    ngram_counts_ds,
+)
 from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
 from lsearch_ray.functions.sampling import hash_sample, kmv_distinct  # noqa: F401
 from lsearch_ray.functions.skew import salted_groupby_sum  # noqa: F401

@@ -1,0 +1,198 @@
+"""Word n-gram operators over a text column: corpus n-gram counts and
+benchmark decontamination.
+
+Training-data hygiene ops for a web-scale corpus (SURVEY.md §2.9 gap
+families — the reference engine has no n-gram surface). Both share one
+vectorized gram extractor built on ``analyzer.flat_tokens_arrow`` (the
+byte-level tokenizer already oracle-proven by ``tf_triples``): grams are
+formed by joining n zero-copy slices of the flat token array with
+``pyarrow.compute.binary_join_element_wise`` — no Python per-row loop.
+
+Scale design:
+
+- ``ngram_counts_ds``: per-batch ``value_counts`` partials (the combiner)
+  → one ``groupby(gram).sum`` shuffle over pre-aggregated rows → per-block
+  top-k prune → tiny global sort/limit. The all-to-all carries at most
+  one row per distinct gram per batch, never one per occurrence.
+- ``decontaminate_ds``: the benchmark side is SMALL BY NATURE (an eval
+  suite vs a 100-TB corpus), so its distinct grams are collected once and
+  broadcast into every task — membership is an exact Arrow ``is_in`` on
+  gram strings, no shuffle of the big side at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsearch_ray.analyzer import flat_tokens_arrow
+
+# joins tokens inside a gram; cannot appear in a token ([a-z0-9]+ runs)
+GRAM_SEP = "\x01"
+
+
+def doc_ngrams(
+    texts: pa.ChunkedArray | pa.Array, n: int
+) -> tuple[np.ndarray, pa.Array]:
+    """Word n-grams of each row of a string column.
+
+    Returns ``(parents, grams)``: gram i came from row ``parents[i]``;
+    grams are the n lowercase tokens joined with ``GRAM_SEP``. Rows with
+    fewer than n tokens contribute none. Vectorized: n zero-copy slices
+    of the flat token array joined element-wise, with a boundary mask
+    dropping windows that span two rows.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    parents, flat = flat_tokens_arrow(texts)
+    empty = (np.empty(0, dtype=np.int64), pa.array([], type=pa.large_string()))
+    m = len(flat) - n + 1
+    if m <= 0:
+        return empty
+    # window [i, i+n) stays inside one row iff its first and last tokens
+    # share a parent (parents is non-decreasing)
+    valid = parents[:m] == parents[n - 1 :]
+    if not valid.any():
+        return empty
+    joined = pc.binary_join_element_wise(
+        *[flat.slice(i, m) for i in range(n)],
+        pa.scalar(GRAM_SEP, type=pa.large_string()),
+    )
+    mask = pa.array(valid)
+    return parents[:m][valid], joined.filter(mask)
+
+
+def _count_partial(batch: pa.Table, n: int, text_col: str) -> pa.Table:
+    _, grams = doc_ngrams(batch[text_col], n)
+    if len(grams) == 0:
+        return pa.table(
+            {
+                "gram": pa.array([], type=pa.large_string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    vc = grams.value_counts()
+    return pa.table(
+        {"gram": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def _block_topk(t: pa.Table, k: int) -> pa.Table:
+    """Per-block top-k by (n desc, gram asc) — every global top-k row is
+    inside its own block's top-k, so pruning before the global sort is
+    lossless while cutting the final exchange to k rows per block."""
+    if t.num_rows <= k:
+        return t
+    idx = pc.sort_indices(
+        t, sort_keys=[("n", "descending"), ("gram", "ascending")]
+    )
+    return t.take(idx.slice(0, k))
+
+
+def ngram_counts_ds(
+    ds, n: int = 3, k: int = 20, text_col: str = "text"
+) -> pa.Table:
+    """Top-k most frequent word n-grams of a corpus.
+
+    Returns (gram, n) with grams rendered space-separated, ordered by
+    (count desc, gram asc) — a deterministic total order.
+    """
+    partials = ds.map_batches(
+        lambda b: _count_partial(b, n, text_col), batch_format="pyarrow"
+    )
+    agg = partials.groupby("gram").sum("n")
+    pruned = agg.map_batches(
+        lambda t: _block_topk(
+            pa.table({"gram": t["gram"], "n": t["sum(n)"]}), k
+        ),
+        batch_format="pyarrow",
+    )
+    top = (
+        pruned.sort(["n", "gram"], descending=[True, False]).limit(k).take_all()
+    )
+    grams = [r["gram"].replace(GRAM_SEP, " ") for r in top]
+    return pa.table(
+        {
+            "gram": pa.array(grams, type=pa.large_string()),
+            "n": pa.array([int(r["n"]) for r in top], type=pa.int64()),
+        }
+    )
+
+
+def benchmark_grams(bench_ds, n: int, text_col: str = "text") -> list[str]:
+    """Distinct n-grams of the (small) benchmark corpus, collected to the
+    driver for broadcast. Per-batch ``unique()`` keeps the exchange to
+    distinct grams only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, grams = doc_ngrams(batch[text_col], n)
+        return pa.table({"gram": grams.unique()})
+
+    return bench_ds.map_batches(partial, batch_format="pyarrow").unique("gram")
+
+
+class _MarkContaminated:
+    """map_batches combiner: per-doc count of DISTINCT grams shared with
+    the broadcast benchmark set. The gram set ships once per task via the
+    serialized instance (object-store broadcast), not per batch."""
+
+    def __init__(self, bench_grams: list[str], n: int, text_col: str, id_col: str):
+        self.value_set = pa.array(sorted(bench_grams), type=pa.large_string())
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+            }
+        )
+        parents, grams = doc_ngrams(batch[self.text_col], self.n)
+        if len(grams) == 0:
+            return empty
+        shared = pc.is_in(grams, value_set=self.value_set).to_numpy(
+            zero_copy_only=False
+        )
+        if not shared.any():
+            return empty
+        # distinct (doc, gram) pairs: dictionary-encode the shared grams,
+        # then unique over (parent, code) — a doc's rows never split
+        # across batches (one row per doc), so per-batch distinct is
+        # globally correct
+        codes = np.asarray(
+            grams.filter(pa.array(shared)).dictionary_encode().indices
+        ).astype(np.int64)
+        hit_parents = parents[shared]
+        pairs = np.unique(np.stack([hit_parents, codes], axis=1), axis=0)
+        docs, counts = np.unique(pairs[:, 0], return_counts=True)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)[docs]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, type=pa.int64()),
+                "n_shared": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def decontaminate_ds(
+    docs_ds,
+    bench_grams: list[str],
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Flag corpus documents sharing any word n-gram with a benchmark set.
+
+    Returns a Dataset of (id_col, n_shared) for CONTAMINATED documents
+    only — n_shared = number of distinct benchmark grams the document
+    contains. Pure map-side: the benchmark gram set is broadcast, the
+    corpus streams through once, nothing shuffles.
+    """
+    return docs_ds.map_batches(
+        _MarkContaminated(bench_grams, n, text_col, id_col),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,156 @@
+"""Word n-gram operators: gram extraction, corpus counts, decontamination.
+
+The reference engine has no n-gram surface (SURVEY.md §2.9 training-data
+gap families); semantics are pinned here against a pure-Python reference
+using the same tokenizer contract as the oracle-proven ``tf_triples``
+(`[a-z0-9]+` runs of the ASCII-lowered text).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsearch_ray.functions.ngrams import (
+    GRAM_SEP,
+    benchmark_grams,
+    decontaminate_ds,
+    doc_ngrams,
+    ngram_counts_ds,
+)
+
+
+def _pyref(s: str, n: int) -> list[str]:
+    toks = re.findall(r"[a-z0-9]+", s.lower())
+    return [GRAM_SEP.join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+TEXTS = [
+    "The quick brown fox",
+    "a b",
+    "",
+    "one",
+    "x1 y2 z3 w4",
+    "Hello, WORLD... hello;world hello",
+    "tabs\tand\nnewlines split too",
+    "café naïve résumé",  # non-ASCII bytes are separators
+]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5])
+def test_doc_ngrams_matches_python_reference(n):
+    parents, grams = doc_ngrams(pa.array(TEXTS), n)
+    got: dict[int, list[str]] = {}
+    for p, g in zip(parents, grams.to_pylist()):
+        got.setdefault(int(p), []).append(g)
+    for i, s in enumerate(TEXTS):
+        assert got.get(i, []) == _pyref(s, n), (n, i)
+
+
+def test_doc_ngrams_empty_and_short():
+    parents, grams = doc_ngrams(pa.array(["", "   ", "!!"]), 2)
+    assert len(parents) == 0 and len(grams) == 0
+    parents, grams = doc_ngrams(pa.array([], type=pa.string()), 3)
+    assert len(parents) == 0
+    with pytest.raises(ValueError):
+        doc_ngrams(pa.array(["x"]), 0)
+
+
+def test_doc_ngrams_no_cross_row_windows():
+    # adjacent rows ending/starting with tokens must not form grams
+    parents, grams = doc_ngrams(pa.array(["a b", "c d"]), 2)
+    assert grams.to_pylist() == [f"a{GRAM_SEP}b", f"c{GRAM_SEP}d"]
+    assert parents.tolist() == [0, 1]
+
+
+def test_doc_ngrams_sliced_batch_offset():
+    # Ray hands zero-copy block slices; the extractor must honor offsets
+    base = pa.array(["pad pad pad", "a b c", "d e f"])
+    sl = base.slice(1, 2)
+    parents, grams = doc_ngrams(sl, 2)
+    assert grams.to_pylist() == [
+        f"a{GRAM_SEP}b",
+        f"b{GRAM_SEP}c",
+        f"d{GRAM_SEP}e",
+        f"e{GRAM_SEP}f",
+    ]
+    assert parents.tolist() == [0, 0, 1, 1]
+
+
+def _count_ref(texts: list[str], n: int) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for s in texts:
+        for g in _pyref(s, n):
+            out[g.replace(GRAM_SEP, " ")] = out.get(g.replace(GRAM_SEP, " "), 0) + 1
+    return out
+
+
+def test_ngram_counts_ds():
+    texts = [
+        "big data big data big",
+        "data big data",
+        "small data set",
+        "big data wins",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(3)
+    top = ngram_counts_ds(ds, n=2, k=4)
+    ref = _count_ref(texts, 2)
+    expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(zip(top["gram"].to_pylist(), top["n"].to_pylist())) == expected
+
+
+def test_ngram_counts_k_larger_than_vocab():
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c"]}))
+    top = ngram_counts_ds(ds, n=2, k=100)
+    assert top["gram"].to_pylist() == ["a b", "b c"]
+    assert top["n"].to_pylist() == [1, 1]
+
+
+def test_decontaminate_ds():
+    bench_texts = ["the secret eval question about rayon", "unused probe"]
+    corpus_texts = [
+        "clean document with no overlap at all",
+        "contains the secret eval question about rayon verbatim",
+        "the secret eval is mentioned and also eval question about rayon",
+        "another clean one",
+    ]
+    bench = rd.from_arrow(pa.table({"doc_id": [100, 101], "text": bench_texts}))
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": list(range(4)), "text": corpus_texts})
+    ).repartition(2)
+    grams = benchmark_grams(bench, 3)
+    assert isinstance(grams, list)
+    out = decontaminate_ds(corpus, grams, n=3).sort("doc_id").take_all()
+    got = {r["doc_id"]: r["n_shared"] for r in out}
+
+    bench_set = {g for t in bench_texts for g in _pyref(t, 3)}
+    exp = {}
+    for i, t in enumerate(corpus_texts):
+        k = len(set(_pyref(t, 3)) & bench_set)
+        if k:
+            exp[i] = k
+    assert got == exp
+    assert 1 in got and 0 not in got and 3 not in got
+
+
+def test_decontaminate_counts_distinct_grams_once():
+    # the same benchmark gram repeated in a doc counts once
+    bench = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x y z"]}))
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": [7], "text": ["x y z and x y z and x y z"]})
+    )
+    grams = benchmark_grams(bench, 3)
+    out = decontaminate_ds(corpus, grams, n=3).take_all()
+    assert [(r["doc_id"], r["n_shared"]) for r in out] == [(7, 1)]
+
+
+def test_decontaminate_empty_gram_set():
+    corpus = rd.from_arrow(pa.table({"doc_id": [0], "text": ["some text here"]}))
+    out = decontaminate_ds(corpus, [], n=3).take_all()
+    assert out == []
