@@ -387,9 +387,12 @@ class IndexMeta:
     has_positions: bool = False
 
     @classmethod
-    def load(cls, index_dir: str) -> "IndexMeta":
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            d = json.load(f)
+    def load(cls, index_dir: str, filesystem=None) -> "IndexMeta":
+        if filesystem is None:
+            with open(os.path.join(index_dir, "meta.json")) as f:
+                d = json.load(f)
+        else:
+            d = fsio.read_json(filesystem, fsio.join(index_dir, "meta.json"))
         keys = ("num_shards", "n_docs", "avgdl", "block_size", "k1", "b")
         return cls(
             **{k: d[k] for k in keys},

@@ -94,6 +94,43 @@ def read_table(fs, paths, columns=None):
     return pq.read_table(paths, columns=columns, filesystem=fs)
 
 
+def pq_read(fs, path: str, columns=None, filters=None):
+    """Serving-side single-file read; ``fs=None`` means plain local
+    (identical to today's hot path — no wrapper in the way)."""
+    if fs is None or is_local(fs):
+        return pq.read_table(path, columns=columns, filters=filters)
+    return pq.read_table(path, columns=columns, filters=filters, filesystem=fs)
+
+
+def parquet_file(fs, path: str) -> pq.ParquetFile:
+    """ParquetFile handle for row-group-level reads through any fs."""
+    if fs is None or is_local(fs):
+        return pq.ParquetFile(path)
+    return pq.ParquetFile(fs.open_input_file(path))
+
+
+def file_key(fs, path: str) -> tuple[int, int]:
+    """(mtime_ns, size) freshness key for per-process caches."""
+    if fs is None or is_local(fs):
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    info = fs.get_file_info(path)
+    mt = info.mtime_ns
+    return (0 if mt is None else int(mt), int(info.size))
+
+
+def fs_cache_key(fs):
+    """Hashable component distinguishing filesystems in path-keyed
+    caches. ``None`` for the local default; a SubTreeFileSystem keys by
+    its base path, anything else by instance identity (one fs instance
+    per actor in practice — documented on the serving entry points)."""
+    if fs is None or is_local(fs):
+        return None
+    if isinstance(fs, pafs.SubTreeFileSystem):
+        return ("subtree", fs.base_path, fs_cache_key(fs.base_fs))
+    return (type(fs).__name__, id(fs))
+
+
 def parquet_num_rows(fs, path: str) -> int:
     if is_local(fs):
         return pq.ParquetFile(path).metadata.num_rows

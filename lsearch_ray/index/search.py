@@ -41,13 +41,19 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from lsearch_ray.analyzer import parse_query, parse_query_full, tokenize
+from lsearch_ray.index import fsio
 from lsearch_ray.index.build import IndexMeta, _shard_dir
 from lsearch_ray.index.codec import LazyPostings, decode_posting_column
 
 
-def _postings_files(index_dir: str, num_shards: int) -> list[str]:
+def _postings_files(index_dir: str, num_shards: int, fs=None) -> list[str]:
+    if fs is None:
+        return [
+            os.path.join(_shard_dir(index_dir, s), "postings.parquet")
+            for s in range(num_shards)
+        ]
     return [
-        os.path.join(_shard_dir(index_dir, s), "postings.parquet")
+        fsio.join(index_dir, f"shard={s:05d}", "postings.parquet")
         for s in range(num_shards)
     ]
 
@@ -57,40 +63,50 @@ def _postings_files(index_dir: str, num_shards: int) -> list[str]:
 # column): one entry per postings path, invalidated by mtime+size so
 # compaction/merge rewrites are picked up — and coherent by construction,
 # since table and blobs live in the same atomically-replaced file
-_DOC_TABLE_CACHE: dict[str, tuple[tuple[int, int], np.ndarray]] = {}
+_DOC_TABLE_CACHE: dict[tuple, tuple[tuple[int, int], np.ndarray]] = {}
 
 
-_BLOCK_SIZE_CACHE: dict[str, int] = {}
+_BLOCK_SIZE_CACHE: dict[tuple, int] = {}
 
 
-def _block_size_for(postings_path: str) -> int:
+def _block_size_for(postings_path: str, fs=None) -> int:
     """The index's block size (codec delta-reset stride) for a shard
     file, from the index's meta.json (finalize-time); cached per dir."""
     import json
 
     idx_dir = os.path.dirname(os.path.dirname(postings_path))
-    bs = _BLOCK_SIZE_CACHE.get(idx_dir)
+    cache_key = (fsio.fs_cache_key(fs), idx_dir)
+    bs = _BLOCK_SIZE_CACHE.get(cache_key)
     if bs is None:
         from lsearch_ray.index.codec import DEFAULT_BLOCK_SIZE
 
-        meta_path = os.path.join(idx_dir, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                bs = int(json.load(f)["block_size"])
+        meta_path = (
+            os.path.join(idx_dir, "meta.json")
+            if fs is None
+            else fsio.join(idx_dir, "meta.json")
+        )
+        if fs is None:
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    bs = int(json.load(f)["block_size"])
+            else:
+                bs = DEFAULT_BLOCK_SIZE
+        elif fsio.exists(fs, meta_path):
+            bs = int(fsio.read_json(fs, meta_path)["block_size"])
         else:
             bs = DEFAULT_BLOCK_SIZE
-        _BLOCK_SIZE_CACHE[idx_dir] = bs
+        _BLOCK_SIZE_CACHE[cache_key] = bs
     return bs
 
 
-def _doc_table_for(postings_path: str) -> np.ndarray:
+def _doc_table_for(postings_path: str, fs=None) -> np.ndarray:
     from lsearch_ray.index.codec import doc_table_from_postings
 
-    st = os.stat(postings_path)
-    key = (st.st_mtime_ns, st.st_size)
-    ent = _DOC_TABLE_CACHE.get(postings_path)
+    key = fsio.file_key(fs, postings_path)
+    cache_key = (fsio.fs_cache_key(fs), postings_path)
+    ent = _DOC_TABLE_CACHE.get(cache_key)
     if ent is None or ent[0] != key:
-        pf = pq.ParquetFile(postings_path)
+        pf = fsio.parquet_file(fs, postings_path)
         if pf.metadata.num_rows == 0:
             arr = np.empty(0, dtype=np.int64)
         else:
@@ -98,13 +114,13 @@ def _doc_table_for(postings_path: str) -> np.ndarray:
             arr = doc_table_from_postings(
                 pf.read_row_group(0, columns=["docs_tab"])
             )
-        _DOC_TABLE_CACHE[postings_path] = (key, arr)
+        _DOC_TABLE_CACHE[cache_key] = (key, arr)
         return arr
     return ent[1]
 
 
 def load_postings_for_terms(
-    files: list[str], terms: list[str]
+    files: list[str], terms: list[str], filesystem=None
 ) -> dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
     """Read only the query terms' rows (parquet filter pushdown), decode.
 
@@ -116,15 +132,16 @@ def load_postings_for_terms(
         return out
     tset = pa.array(sorted(set(terms)))
     for f in files:
-        t = pq.read_table(
+        t = fsio.pq_read(
+            filesystem,
             f,
             columns=["term", "docs", "tfs", "dls"],
             filters=pc.field("term").isin(tset),
         )
         if t.num_rows == 0:
             continue
-        dt = _doc_table_for(f)
-        bs = _block_size_for(f)
+        dt = _doc_table_for(f, filesystem)
+        bs = _block_size_for(f, filesystem)
         for i in range(t.num_rows):
             term = t["term"][i].as_py()
             out.setdefault(term, []).append(
@@ -143,7 +160,7 @@ def global_dfs(
 
 
 def load_postings_with_skips(
-    files: list[str], terms: list[str]
+    files: list[str], terms: list[str], filesystem=None
 ) -> dict[str, list[tuple]]:
     """Like :func:`load_postings_for_terms` but each fragment also carries
     the block-max skip arrays: (doc_ids, tfs, dls, skip_max_tf, skip_min_dl)."""
@@ -153,11 +170,13 @@ def load_postings_with_skips(
     tset = pa.array(sorted(set(terms)))
     cols = ["term", "docs", "tfs", "dls", "skip_max_tf", "skip_min_dl"]
     for f in files:
-        t = pq.read_table(f, columns=cols, filters=pc.field("term").isin(tset))
+        t = fsio.pq_read(
+            filesystem, f, columns=cols, filters=pc.field("term").isin(tset)
+        )
         if t.num_rows == 0:
             continue
-        dt = _doc_table_for(f)
-        bs = _block_size_for(f)
+        dt = _doc_table_for(f, filesystem)
+        bs = _block_size_for(f, filesystem)
         for i in range(t.num_rows):
             term = t["term"][i].as_py()
             doc_ids, tfs, dls = decode_posting_column(
@@ -228,7 +247,7 @@ def _lazy_rows(
 
 
 def load_postings_lazy(
-    files: list[str], terms: list[str], block_size: int
+    files: list[str], terms: list[str], block_size: int, filesystem=None
 ) -> dict[str, list[LazyPostings]]:
     """Pushdown-read the query terms' rows, kept ENCODED: fragments decode
     per block on demand (true skip-pointer decoding)."""
@@ -237,10 +256,12 @@ def load_postings_lazy(
         return out
     tset = pa.array(sorted(set(terms)))
     for f in files:
-        t = pq.read_table(f, columns=_LAZY_COLS, filters=pc.field("term").isin(tset))
+        t = fsio.pq_read(
+            filesystem, f, columns=_LAZY_COLS, filters=pc.field("term").isin(tset)
+        )
         if t.num_rows == 0:
             continue
-        _lazy_rows(t, block_size, out, _doc_table_for(f))
+        _lazy_rows(t, block_size, out, _doc_table_for(f, filesystem))
     return out
 
 
@@ -537,7 +558,7 @@ class TermPositions:
 
 
 def load_postings_with_positions(
-    files: list[str], terms: list[str]
+    files: list[str], terms: list[str], filesystem=None
 ) -> dict[str, TermPositions]:
     """Pushdown-read the terms' postings INCLUDING the positions blob;
     returns one merged :class:`TermPositions` per present term."""
@@ -547,14 +568,16 @@ def load_postings_with_positions(
     tset = pa.array(sorted(set(terms)))
     cols = ["term", "docs", "tfs", "dls", "poss"]
     for f in files:
-        avail = pq.ParquetFile(f).schema_arrow.names
+        avail = fsio.parquet_file(filesystem, f).schema_arrow.names
         if "poss" not in avail:
             continue  # empty shard encoded without the positions column
-        t = pq.read_table(f, columns=cols, filters=pc.field("term").isin(tset))
+        t = fsio.pq_read(
+            filesystem, f, columns=cols, filters=pc.field("term").isin(tset)
+        )
         if t.num_rows == 0:
             continue
-        dt = _doc_table_for(f)
-        bs = _block_size_for(f)
+        dt = _doc_table_for(f, filesystem)
+        bs = _block_size_for(f, filesystem)
         for i in range(t.num_rows):
             term = t["term"][i].as_py()
             doc_ids, tfs, dls = decode_posting_column(
@@ -569,7 +592,7 @@ def load_postings_with_positions(
 
 
 def phrase_search(
-    index_dir: str, phrase: str, k: int = 10
+    index_dir: str, phrase: str, k: int = 10, filesystem=None
 ) -> pa.Table:
     """Top-k docs CONTAINING the exact phrase (adjacent analyzer tokens),
     ranked by BM25 over the phrase's terms — rank- and score-identical to
@@ -581,7 +604,7 @@ def phrase_search(
     the survivors' position lists (chained sorted-intersects), then score
     the matched docs with the standard deterministic accumulation.
     """
-    meta = IndexMeta.load(index_dir)
+    meta = IndexMeta.load(index_dir, filesystem=filesystem)
     if not meta.has_positions:
         raise ValueError(
             "phrase_search needs a positional index: build_index(..., positions=True)"
@@ -589,11 +612,13 @@ def phrase_search(
     phrase_terms = tokenize(phrase)
     if not phrase_terms:
         return _empty_phrase_result()
-    files = _postings_files(index_dir, meta.num_shards)
-    tp = load_postings_with_positions(files, sorted(set(phrase_terms)))
+    files = _postings_files(index_dir, meta.num_shards, filesystem)
+    tp = load_postings_with_positions(
+        files, sorted(set(phrase_terms)), filesystem
+    )
     from lsearch_ray.index.tombstones import load_tombstones
 
-    banned = load_tombstones(index_dir)
+    banned = load_tombstones(index_dir, filesystem=filesystem)
     docs_out, scores_out = _phrase_topk(phrase_terms, tp, meta, k, banned)
     return pa.table(
         {
@@ -649,6 +674,7 @@ def _phrase_filter_sets(
     neg_phrases: list[list[str]],
     pos_cache: dict,
     files: list[str],
+    filesystem=None,
 ) -> tuple[np.ndarray | None, np.ndarray]:
     """(allowed, banned) doc-id sets for the extended query grammar.
 
@@ -661,7 +687,7 @@ def _phrase_filter_sets(
     )
     misses = [t for t in need if t not in pos_cache]
     if misses:
-        loaded = load_postings_with_positions(files, misses)
+        loaded = load_postings_with_positions(files, misses, filesystem)
         for t in misses:
             pos_cache[t] = loaded.get(t)
     tp = {t: pos_cache[t] for t in need if pos_cache[t] is not None}
@@ -686,6 +712,7 @@ def _extended_search(
     mode: str,
     pos_cache: dict,
     score_unsorted,
+    filesystem=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Quoted-phrase grammar core shared by every serving path: rank the
     base query (via ``score_unsorted(base) -> unsorted (docs, scores)``),
@@ -705,7 +732,7 @@ def _extended_search(
         )
     uniq, scores = score_unsorted(base)
     allowed, ph_banned = _phrase_filter_sets(
-        phrases, neg_phrases, pos_cache, files
+        phrases, neg_phrases, pos_cache, files, filesystem
     )
     keep = np.ones(len(uniq), dtype=bool)
     if allowed is not None:
@@ -1106,18 +1133,23 @@ def score_query(
 
 
 def search_index(
-    index_dir: str, query: str, k: int = 10, mode: str = "or", blockmax: bool = True
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    blockmax: bool = True,
+    filesystem=None,
 ) -> pa.Table:
     """One-shot search (driver-side). Returns (rank, doc_id, score)."""
-    meta = IndexMeta.load(index_dir)
-    files = _postings_files(index_dir, meta.num_shards)
+    meta = IndexMeta.load(index_dir, filesystem=filesystem)
+    files = _postings_files(index_dir, meta.num_shards, filesystem)
     inc, exc, phrases, neg_phrases = parse_query_full(query)
     terms = sorted(set(inc) | set(exc))
-    postings = load_postings_lazy(files, terms, meta.block_size)
+    postings = load_postings_lazy(files, terms, meta.block_size, filesystem)
     dfs = global_dfs_lazy(postings)
     from lsearch_ray.index.tombstones import load_tombstones
 
-    banned = load_tombstones(index_dir)
+    banned = load_tombstones(index_dir, filesystem=filesystem)
     if phrases or neg_phrases:
         doc_ids, scores = _extended_search(
             query,
@@ -1129,6 +1161,7 @@ def search_index(
             lambda base: score_query_unsorted(
                 base, _eager5(postings), dfs, meta, mode, banned
             ),
+            filesystem,
         )
     elif blockmax:
         doc_ids, scores = score_query_blockmax_lazy(
@@ -1143,6 +1176,33 @@ def search_index(
             "rank": pa.array(np.arange(1, len(doc_ids) + 1), type=pa.int32()),
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def _assemble_topk(
+    out_qid: list[int],
+    out_rank: list[np.ndarray],
+    out_doc: list[np.ndarray],
+    out_score: list[np.ndarray],
+) -> pa.Table:
+    """Shared (query_id, rank, doc_id, score) output table for the
+    streaming searchers — one schema for every serving path."""
+    return pa.table(
+        {
+            "query_id": pa.array(out_qid, type=pa.int64()),
+            "rank": pa.array(
+                np.concatenate(out_rank) if out_rank else np.empty(0, np.int64),
+                type=pa.int32(),
+            ),
+            "doc_id": pa.array(
+                np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
+                type=pa.int64(),
+            ),
+            "score": pa.array(
+                np.concatenate(out_score) if out_score else np.empty(0),
+                type=pa.float64(),
+            ),
         }
     )
 
@@ -1176,12 +1236,16 @@ class BatchSearcher:
         mode: str = "or",
         max_cached_terms: int = 50_000,
         cache_contribs: bool = True,
+        filesystem=None,
     ):
-        self.meta = IndexMeta.load(index_dir)
-        self.files = _postings_files(index_dir, self.meta.num_shards)
+        # one fs instance per actor (pyarrow FileSystems pickle through
+        # fn_constructor_kwargs); None = plain local paths, unchanged
+        self.fs = filesystem
+        self.meta = IndexMeta.load(index_dir, filesystem=filesystem)
+        self.files = _postings_files(index_dir, self.meta.num_shards, filesystem)
         from lsearch_ray.index.tombstones import load_tombstones
 
-        self.banned = load_tombstones(index_dir)
+        self.banned = load_tombstones(index_dir, filesystem=filesystem)
         self.k = k
         self.mode = mode
         # per-actor posting cache: term -> fragments ([] = known-absent).
@@ -1195,7 +1259,9 @@ class BatchSearcher:
     def _postings_cached(self, terms: list[str]) -> dict[str, list]:
         misses = [t for t in terms if t not in self.cache]
         if misses:
-            loaded = load_postings_lazy(self.files, misses, self.meta.block_size)
+            loaded = load_postings_lazy(
+                self.files, misses, self.meta.block_size, self.fs
+            )
             if len(self.cache) + len(misses) > self.max_cached_terms:
                 # evict everything NOT needed by this batch (wholesale
                 # clear would drop this batch's already-cached terms and
@@ -1256,6 +1322,7 @@ class BatchSearcher:
             self.mode,
             self._pos_cache,
             score_unsorted,
+            self.fs,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1284,23 +1351,7 @@ class BatchSearcher:
             out_rank.append(np.arange(1, len(doc_ids) + 1))
             out_doc.append(doc_ids)
             out_score.append(scores)
-        return pa.table(
-            {
-                "query_id": pa.array(out_qid, type=pa.int64()),
-                "rank": pa.array(
-                    np.concatenate(out_rank) if out_rank else np.empty(0, np.int64),
-                    type=pa.int32(),
-                ),
-                "doc_id": pa.array(
-                    np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
-                    type=pa.int64(),
-                ),
-                "score": pa.array(
-                    np.concatenate(out_score) if out_score else np.empty(0),
-                    type=pa.float64(),
-                ),
-            }
-        )
+        return _assemble_topk(out_qid, out_rank, out_doc, out_score)
 
 
 def route_queries_by_head_term(
@@ -1310,6 +1361,7 @@ def route_queries_by_head_term(
     query_col: str = "query",
     index_dir: str | None = None,
     hot_df_fraction: float = 0.01,
+    filesystem=None,
 ):
     """Term-affinity routing for the streaming BatchSearcher path.
 
@@ -1343,10 +1395,13 @@ def route_queries_by_head_term(
 
     hot: set[str] = set()
     if index_dir is not None:
-        meta = IndexMeta.load(index_dir)
-        ts = pq.read_table(
-            os.path.join(index_dir, "termstats"), columns=["term", "df"]
+        meta = IndexMeta.load(index_dir, filesystem=filesystem)
+        ts_path = (
+            os.path.join(index_dir, "termstats")
+            if filesystem is None
+            else fsio.join(index_dir, "termstats")
         )
+        ts = fsio.pq_read(filesystem, ts_path, columns=["term", "df"])
         dfs = ts["df"].to_numpy(zero_copy_only=False)
         thresh = max(1.0, hot_df_fraction * meta.n_docs)
         hot = set(
@@ -1391,24 +1446,34 @@ class BatchPhraseSearcher:
     positional index — the distributed counterpart of :func:`phrase_search`
     (which is driver-side, for tests/one-shots).
 
-    Input batch: (query_id:int64, phrase:string). Output: (query_id,
-    rank, doc_id, score) top-k rows per phrase. Positional postings for
-    the batch's term union load once per batch (pushdown) and cache per
+    Input batch: (query_id:int64, phrase:string) — or the BatchSearcher
+    schema (query_id, query), so one query table can drive either path
+    (the tokenizer strips quote characters, so quoted phrases pass
+    through unchanged). Output: the shared (query_id, rank, doc_id,
+    score) schema, top-k rows per phrase. Positional postings for the
+    batch's term union load once per batch (pushdown) and cache per
     actor; tombstoned docs are masked.
     """
 
-    def __init__(self, index_dir: str, k: int = 10, max_cached_terms: int = 50_000):
-        self.meta = IndexMeta.load(index_dir)
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        max_cached_terms: int = 50_000,
+        filesystem=None,
+    ):
+        self.fs = filesystem
+        self.meta = IndexMeta.load(index_dir, filesystem=filesystem)
         if not self.meta.has_positions:
             raise ValueError(
                 "BatchPhraseSearcher needs a positional index: "
                 "build_index(..., positions=True)"
             )
         self.index_dir = index_dir
-        self.files = _postings_files(index_dir, self.meta.num_shards)
+        self.files = _postings_files(index_dir, self.meta.num_shards, filesystem)
         from lsearch_ray.index.tombstones import load_tombstones
 
-        self.banned = load_tombstones(index_dir)
+        self.banned = load_tombstones(index_dir, filesystem=filesystem)
         self.k = k
         self.cache: dict[str, TermPositions | None] = {}
         self.max_cached_terms = max_cached_terms
@@ -1416,7 +1481,7 @@ class BatchPhraseSearcher:
     def _positions_cached(self, terms: list[str]) -> dict[str, TermPositions]:
         misses = [t for t in terms if t not in self.cache]
         if misses:
-            loaded = load_postings_with_positions(self.files, misses)
+            loaded = load_postings_with_positions(self.files, misses, self.fs)
             if len(self.cache) + len(misses) > self.max_cached_terms:
                 keep = set(terms)
                 self.cache = {t: v for t, v in self.cache.items() if t in keep}
@@ -1425,7 +1490,8 @@ class BatchPhraseSearcher:
         return {t: self.cache[t] for t in terms if self.cache[t] is not None}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        phrases = batch["phrase"].to_pylist()
+        col = "phrase" if "phrase" in batch.column_names else "query"
+        phrases = batch[col].to_pylist()
         qids = batch["query_id"].to_pylist()
         all_terms = sorted({t for p in phrases for t in tokenize(p)})
         tp = self._positions_cached(all_terms)
@@ -1441,23 +1507,7 @@ class BatchPhraseSearcher:
             out_rank.append(np.arange(1, len(docs) + 1))
             out_doc.append(docs)
             out_score.append(scores)
-        return pa.table(
-            {
-                "query_id": pa.array(out_qid, type=pa.int64()),
-                "rank": pa.array(
-                    np.concatenate(out_rank) if out_rank else np.empty(0, np.int64),
-                    type=pa.int32(),
-                ),
-                "doc_id": pa.array(
-                    np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
-                    type=pa.int64(),
-                ),
-                "score": pa.array(
-                    np.concatenate(out_score) if out_score else np.empty(0),
-                    type=pa.float64(),
-                ),
-            }
-        )
+        return _assemble_topk(out_qid, out_rank, out_doc, out_score)
 
 
 class _ShardGroupSearcher:
@@ -1471,29 +1521,39 @@ class _ShardGroupSearcher:
     cache (the BatchSearcher trick — resident postings amortize the norm
     chain), everything else through the lazy block-max path."""
 
-    def __init__(self, index_dir: str, shard_ids: list[int]):
-        self.meta = IndexMeta.load(index_dir)
+    def __init__(self, index_dir: str, shard_ids: list[int], filesystem=None):
+        self.fs = filesystem
+        self.meta = IndexMeta.load(index_dir, filesystem=filesystem)
         from lsearch_ray.index.tombstones import load_tombstones
 
-        self.banned = load_tombstones(index_dir, shard_ids)
+        self.banned = load_tombstones(
+            index_dir, shard_ids, filesystem=filesystem
+        )
         # this group's shard files only: doc-sharding keeps every match
         # of a doc local, so phrase evaluation per group is complete
-        self.files = [
-            os.path.join(_shard_dir(index_dir, s), "postings.parquet")
-            for s in shard_ids
-        ]
+        all_files = _postings_files(
+            index_dir, self.meta.num_shards, filesystem
+        )
+        self.files = [all_files[s] for s in shard_ids]
         self._pos_cache: dict = {}
         # resident ENCODED: ~3-4× smaller than decoded arrays (varint),
         # and queries decode only the blocks their θ bound admits
         self.postings: dict[str, list[LazyPostings]] = {}
-        for s in shard_ids:
-            fpath = os.path.join(_shard_dir(index_dir, s), "postings.parquet")
-            t = pq.read_table(fpath, columns=_LAZY_COLS)
+        for fpath in self.files:
+            t = fsio.pq_read(filesystem, fpath, columns=_LAZY_COLS)
             if t.num_rows:
                 _lazy_rows(
-                    t, self.meta.block_size, self.postings, _doc_table_for(fpath)
+                    t,
+                    self.meta.block_size,
+                    self.postings,
+                    _doc_table_for(fpath, filesystem),
                 )
-        ts = pq.read_table(os.path.join(index_dir, "termstats"))
+        ts_path = (
+            os.path.join(index_dir, "termstats")
+            if filesystem is None
+            else fsio.join(index_dir, "termstats")
+        )
+        ts = fsio.pq_read(filesystem, ts_path)
         self.global_dfs_all: dict[str, int] = dict(
             zip(ts["term"].to_pylist(), ts["df"].to_pylist())
         )
@@ -1522,6 +1582,7 @@ class _ShardGroupSearcher:
                 mode,
                 self._pos_cache,
                 lambda base: self._score_unsorted(base, mode),
+                self.fs,
             )
         terms, excluded = parse_query(query)
         if not excluded and len(self.banned) == 0:
@@ -1580,16 +1641,16 @@ class QueryEngine:
     one stage Dataset transforms can't express (SURVEY.md §4).
     """
 
-    def __init__(self, index_dir: str, num_actors: int = 4):
+    def __init__(self, index_dir: str, num_actors: int = 4, filesystem=None):
         import ray
 
-        self.meta = IndexMeta.load(index_dir)
+        self.meta = IndexMeta.load(index_dir, filesystem=filesystem)
         shards = list(range(self.meta.num_shards))
         num_actors = max(1, min(num_actors, len(shards)))
         groups = [shards[i::num_actors] for i in range(num_actors)]
         actor_cls = ray.remote(_ShardGroupSearcher)
         self.actors = [
-            actor_cls.remote(index_dir, g) for g in groups if g
+            actor_cls.remote(index_dir, g, filesystem) for g in groups if g
         ]
 
     def search(self, query: str, k: int = 10, mode: str = "or") -> pa.Table:

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from lsearch_ray.index import fsio
 from lsearch_ray.index.build import (
     IndexMeta,
     _shard_dir,
@@ -41,52 +42,69 @@ from lsearch_ray.index.build import (
 )
 
 
-def _tombstone_path(index_dir: str, shard: int) -> str:
-    return os.path.join(_shard_dir(index_dir, shard), "tombstones.parquet")
+def _tombstone_path(index_dir: str, shard: int, fs=None) -> str:
+    if fs is None:
+        return os.path.join(_shard_dir(index_dir, shard), "tombstones.parquet")
+    return fsio.join(index_dir, f"shard={shard:05d}", "tombstones.parquet")
 
 
-def delete_docs(index_dir: str, doc_ids) -> int:
+def delete_docs(index_dir: str, doc_ids, filesystem=None) -> int:
     """Tombstone the given doc ids. Returns the total tombstone count
-    across shards after the merge. Idempotent (ids are deduped)."""
-    meta = IndexMeta.load(index_dir)
+    across shards after the merge. Idempotent (ids are deduped).
+    ``filesystem``: optional ``pyarrow.fs`` target (fsio publish rules:
+    local = tmp+rename; object stores = direct write, atomic on close)."""
+    fs = filesystem
+    meta = IndexMeta.load(index_dir, filesystem=fs)
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     if len(ids) == 0:
         return sum(
-            len(load_tombstones_for_shard(index_dir, s))
+            len(load_tombstones_for_shard(index_dir, s, filesystem=fs))
             for s in range(meta.num_shards)
         )
     shards = shard_of(ids, meta.num_shards)
     total = 0
     for s in range(meta.num_shards):
         mine = ids[shards == s]
-        existing = load_tombstones_for_shard(index_dir, s)
+        existing = load_tombstones_for_shard(index_dir, s, filesystem=fs)
         if len(mine) == 0:
             total += len(existing)
             continue
         merged = np.union1d(existing, mine)
-        path = _tombstone_path(index_dir, s)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(
-            pa.table({"doc_id": pa.array(merged, type=pa.int64())}), tmp
-        )
-        os.replace(tmp, path)
+        path = _tombstone_path(index_dir, s, fs)
+        table = pa.table({"doc_id": pa.array(merged, type=pa.int64())})
+        if fs is None:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp.{os.getpid()}"
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)
+        else:
+            fsio.makedirs(fs, fsio.join(index_dir, f"shard={s:05d}"))
+            fsio.write_table(fs, path, table)
         total += len(merged)
     return total
 
 
-def load_tombstones_for_shard(index_dir: str, shard: int) -> np.ndarray:
-    path = _tombstone_path(index_dir, shard)
-    if not os.path.exists(path):
+def load_tombstones_for_shard(
+    index_dir: str, shard: int, filesystem=None
+) -> np.ndarray:
+    path = _tombstone_path(index_dir, shard, filesystem)
+    if filesystem is None:
+        if not os.path.exists(path):
+            return np.empty(0, dtype=np.int64)
+    elif not fsio.exists(filesystem, path):
         return np.empty(0, dtype=np.int64)
-    return pq.read_table(path)["doc_id"].to_numpy(zero_copy_only=False)
+    t = fsio.pq_read(filesystem, path)
+    return t["doc_id"].to_numpy(zero_copy_only=False)
 
 
-def load_tombstones(index_dir: str, shards=None) -> np.ndarray:
+def load_tombstones(index_dir: str, shards=None, filesystem=None) -> np.ndarray:
     """Sorted union of tombstoned ids (all shards, or the given ones)."""
-    meta = IndexMeta.load(index_dir)
+    meta = IndexMeta.load(index_dir, filesystem=filesystem)
     shards = range(meta.num_shards) if shards is None else shards
-    parts = [load_tombstones_for_shard(index_dir, s) for s in shards]
+    parts = [
+        load_tombstones_for_shard(index_dir, s, filesystem=filesystem)
+        for s in shards
+    ]
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(parts))

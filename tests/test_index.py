@@ -283,6 +283,84 @@ def test_build_index_via_pyarrow_fs_byte_identical(tmp_path):
     assert got["score"].to_pylist() == want["score"].to_pylist()
 
 
+def test_serving_via_pyarrow_fs_rank_identical(tmp_path):
+    """EVERY serving path reads the index through a generic ``pyarrow.fs``
+    (SubTreeFileSystem — not a LocalFileSystem, so the fs branch is truly
+    exercised): one-shot, extended grammar, phrase, the BatchSearcher
+    actor pool, scatter-gather QueryEngine, and fs-side tombstones. All
+    rank- and score-identical to plain local-path serving."""
+    from pyarrow import fs as pafs
+
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.index.search import phrase_search
+    from lsearch_ray.index.tombstones import delete_docs, load_tombstones
+
+    corpus = assign_doc_ids(make_corpus(300, seed=11))
+    first = np.sort(np.unique(corpus["doc_id"].to_numpy(), return_index=True)[1])
+    corpus = corpus.take(pa.array(first))
+    docs = rd.from_arrow(corpus.select(["doc_id", "text"]))
+    local_dir = str(tmp_path / "idx")
+    build_index(docs, local_dir, num_shards=4, positions=True)
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    some_text = corpus["text"][0].as_py()
+    toks = tokenize(some_text)
+    phrase = f"{toks[0]} {toks[1]}"
+    queries = ["biology data", "the data search", f'"{phrase}" data']
+
+    # one-shot + extended grammar
+    for q in queries:
+        got = search_index("idx", q, k=10, filesystem=fs)
+        want = search_index(local_dir, q, k=10)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), q
+        assert got["score"].to_pylist() == want["score"].to_pylist(), q
+
+    # phrase serving
+    got = phrase_search("idx", phrase, k=10, filesystem=fs)
+    want = phrase_search(local_dir, phrase, k=10)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+
+    # BatchSearcher actor pool (fs pickles through fn_constructor_kwargs)
+    qt = pa.table(
+        {
+            "query_id": pa.array(range(len(queries)), type=pa.int64()),
+            "query": queries,
+        }
+    )
+    out = (
+        rd.from_arrow(qt)
+        .map_batches(
+            BatchSearcher,
+            fn_constructor_kwargs={"index_dir": "idx", "k": 10, "filesystem": fs},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    for qid, q in enumerate(queries):
+        got_q = out[out["query_id"] == qid].sort_values("rank")
+        want = search_index(local_dir, q, k=10)
+        assert got_q["doc_id"].tolist() == want["doc_id"].to_pylist(), q
+        assert got_q["score"].tolist() == want["score"].to_pylist(), q
+
+    # scatter-gather engine over fs-held shards
+    eng = QueryEngine("idx", num_actors=2, filesystem=fs)
+    for q in queries:
+        got = eng.search(q, k=10)
+        want = search_index(local_dir, q, k=10)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), q
+        assert got["score"].to_pylist() == want["score"].to_pylist(), q
+
+    # fs-side tombstones mask immediately in fs serving
+    victim = int(want["doc_id"][0].as_py())
+    n = delete_docs("idx", [victim], filesystem=fs)
+    assert n == 1
+    assert victim in load_tombstones("idx", filesystem=fs).tolist()
+    after = search_index("idx", queries[-1], k=10, filesystem=fs)
+    assert victim not in after["doc_id"].to_pylist()
+
+
 def test_routed_stream_rank_identical(built):
     """route_queries_by_head_term reorders the stream only: per-query
     (rank, doc_id, score) rows are identical to the unrouted pool."""

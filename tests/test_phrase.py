@@ -201,6 +201,43 @@ def test_batch_phrase_searcher_streams(positional_index):
         assert got["score"].tolist() == [s for _, s in want], p
 
 
+def test_batch_phrase_searcher_accepts_query_schema(positional_index):
+    """The BatchSearcher input schema (query_id, query) with quoted
+    phrases drives BatchPhraseSearcher identically to the phrase column —
+    one query table can feed either serving path."""
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.index.search import BatchPhraseSearcher
+
+    index_dir, golden, texts = positional_index
+    phrases = []
+    for text in list(texts.values())[:6]:
+        toks = tokenize(text)
+        if len(toks) >= 2:
+            phrases.append(f"{toks[0]} {toks[1]}")
+    qt = pa.table(
+        {
+            "query_id": pa.array(range(len(phrases)), type=pa.int64()),
+            "query": [f'"{p}"' for p in phrases],  # quoted, BatchSearcher-style
+        }
+    )
+    out = (
+        rd.from_arrow(qt)
+        .map_batches(
+            BatchPhraseSearcher,
+            fn_constructor_kwargs={"index_dir": index_dir, "k": 10},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert list(out.columns) == ["query_id", "rank", "doc_id", "score"]
+    for qid, p in enumerate(phrases):
+        got = out[out["query_id"] == qid].sort_values("rank")
+        want = golden.phrase_bm25(p, k=10)
+        assert got["doc_id"].tolist() == [d for d, _ in want], p
+        assert got["score"].tolist() == [s for _, s in want], p
+
+
 def test_batch_phrase_searcher_requires_positions(tmp_path):
     from lsearch_ray.index.search import BatchPhraseSearcher
 
