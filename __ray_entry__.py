@@ -809,6 +809,31 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate_ds(corpus, grams, n=_DECON_N).sort("doc_id")
 
 
+_REP_N = 2
+
+
+def _q_doc_repetition(sf_dir: str):
+    from lsearch_ray.functions import doc_repetition_stats
+
+    return doc_repetition_stats(
+        _docs(sf_dir, ["doc_id", "text"]), n=_REP_N
+    ).sort("doc_id")
+
+
+def _q_redact(sf_dir: str):
+    from lsearch_ray.functions import redact_ds
+
+    return redact_ds(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _q_tfidf_terms(sf_dir: str):
+    from lsearch_ray.pipelines.fulltext import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3).sort(
+        ["doc_id", "rnk"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -854,6 +879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_oneshot": _q_ivf_ann_oneshot,
         "ngram_counts": _q_ngram_counts,
         "decontaminate": _q_decontaminate,
+        "doc_repetition": _q_doc_repetition,
+        "redact": _q_redact,
+        "tfidf_terms": _q_tfidf_terms,
     }
 
 
@@ -917,6 +945,27 @@ SELECT s.doc_id, round(s.score, 4) AS score
 FROM scores s JOIN phrase_docs p ON s.doc_id = p.doc_id
 ORDER BY s.score DESC, s.doc_id LIMIT 10
 """
+    )
+
+
+def _redact_sql() -> str:
+    """Oracle for the redact query: DuckDB and pyarrow.compute both run
+    RE2, so the engine's patterns replay verbatim — counts are taken on
+    the text each pattern actually sees (after earlier replacements),
+    matching redact_text's sequential contract."""
+    from lsearch_ray.functions.textstats import DEFAULT_REDACT_PATTERNS
+
+    expr = "text"
+    counts = []
+    for name, pat, repl in DEFAULT_REDACT_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return (
+        "SELECT doc_id, "
+        + ", ".join(counts)
+        + f", {expr} AS clean_text FROM documents ORDER BY doc_id"
     )
 
 
@@ -1397,5 +1446,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM g JOIN bench USING (gram) "
             f"WHERE g.doc_id % {_DECON_MOD} <> 0 "
             "GROUP BY g.doc_id ORDER BY g.doc_id"
+        ),
+        "doc_repetition": (
+            # integer repetition signals — fractions (dup/top gram rates)
+            # are derivable exactly, so no float encoding can diverge
+            "WITH g AS (" + _grams_sql(_REP_N) + "), "
+            "per AS (SELECT doc_id, gram, count(*) AS c FROM g "
+            "        GROUP BY doc_id, gram), "
+            "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_grams, "
+            "             CAST(count(*) AS BIGINT) AS distinct_grams, "
+            "             CAST(max(c) AS BIGINT) AS top_gram_n "
+            "      FROM per GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.total_grams, 0) AS total_grams, "
+            "       coalesce(a.distinct_grams, 0) AS distinct_grams, "
+            "       coalesce(a.top_gram_n, 0) AS top_gram_n "
+            "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "redact": _redact_sql(),
+        "tfidf_terms": (
+            # tfidf rounded half-away to 4 dp BEFORE ranking on both
+            # sides; ties break on term asc — deterministic total order
+            f"WITH tf AS ({_TF}), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "s AS (SELECT tf.doc_id, tf.term, "
+            "        floor(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 "
+            "              / df.df) * 10000 + 0.5) / 10000 AS tfidf "
+            "      FROM tf JOIN df USING (term)), "
+            "r AS (SELECT doc_id, term, tfidf, "
+            "        row_number() OVER (PARTITION BY doc_id "
+            "          ORDER BY tfidf DESC, term) AS rnk FROM s) "
+            "SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, tfidf "
+            "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"
         ),
     }

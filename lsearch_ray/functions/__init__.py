@@ -40,6 +40,7 @@ from lsearch_ray.functions.ngrams import (  # noqa: F401
     benchmark_grams,
     decontaminate_ds,
     doc_ngrams,
+    doc_repetition_stats,
     ngram_counts_ds,
 )
 from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
@@ -54,4 +55,6 @@ from lsearch_ray.functions.textstats import (  # noqa: F401
     bpe_ish_token_count,
     fingerprint,
     quality_stats,
+    redact_ds,
+    redact_text,
 )

@@ -177,6 +177,49 @@ class _MarkContaminated:
         )
 
 
+def _repetition_partial(batch: pa.Table, n: int, text_col: str, id_col: str) -> pa.Table:
+    nrows = batch.num_rows
+    total = np.zeros(nrows, dtype=np.int64)
+    distinct = np.zeros(nrows, dtype=np.int64)
+    top = np.zeros(nrows, dtype=np.int64)
+    parents, grams = doc_ngrams(batch[text_col], n)
+    if len(grams):
+        total = np.bincount(parents, minlength=nrows).astype(np.int64)
+        # dictionary-encode grams → per-(doc, gram) pair counts in one
+        # unique pass; safe per batch because each doc is one row
+        codes = np.asarray(grams.dictionary_encode().indices).astype(np.int64)
+        pairs, pair_counts = np.unique(
+            np.stack([parents, codes], axis=1), axis=0, return_counts=True
+        )
+        distinct = np.bincount(pairs[:, 0], minlength=nrows).astype(np.int64)
+        np.maximum.at(top, pairs[:, 0], pair_counts)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "total_grams": pa.array(total, type=pa.int64()),
+            "distinct_grams": pa.array(distinct, type=pa.int64()),
+            "top_gram_n": pa.array(top, type=pa.int64()),
+        }
+    )
+
+
+def doc_repetition_stats(
+    docs_ds, *, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-document repetition signals (Gopher-style quality filtering):
+    total word n-grams, distinct n-grams, and the count of the most
+    repeated n-gram. Emitted as INTEGERS so the duplicate-gram fraction
+    (1 - distinct/total) and top-gram fraction (top/total) are derivable
+    bit-exactly by any consumer — and so the SQL oracle compares on exact
+    values, not float encodings. Docs with fewer than n tokens report
+    zeros. Pure map-side: one batch pass, no shuffle.
+    """
+    return docs_ds.map_batches(
+        lambda b: _repetition_partial(b, n, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
 def decontaminate_ds(
     docs_ds,
     bench_grams: list[str],

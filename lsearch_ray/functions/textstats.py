@@ -181,3 +181,50 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "fp64",
         pa.array((fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)),
     )
+
+
+# PII-style scrubbing patterns: (name, RE2 pattern, replacement). Both
+# pyarrow.compute and DuckDB run RE2, so the oracle can replay these
+# exactly. Patterns apply IN ORDER, each seeing the previous ones'
+# replacements (counts are taken just before a pattern's own rewrite).
+DEFAULT_REDACT_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<email>"),
+    # serial-style tokens (letters immediately followed by digits)
+    ("serial", r"[a-z]+[0-9]+[a-z0-9]*", "<id>"),
+]
+
+
+def redact_text(
+    batch: pa.Table,
+    patterns: list[tuple[str, str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Scrub pattern matches from a text column.
+
+    Returns (id_col, n_<name> per pattern, clean_text): per-doc
+    non-overlapping match counts plus the text with every pattern
+    replaced. Vectorized: one RE2 count + one RE2 replace kernel per
+    pattern over the whole batch.
+    """
+    pats = DEFAULT_REDACT_PATTERNS if patterns is None else patterns
+    s = batch[text_col]
+    cols: dict[str, object] = {id_col: batch[id_col]}
+    for name, pat, repl in pats:
+        cols[f"n_{name}"] = pc.count_substring_regex(s, pat).cast(pa.int64())
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    cols["clean_text"] = s
+    return pa.table(cols)
+
+
+def redact_ds(
+    ds,
+    patterns: list[tuple[str, str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dataset form of :func:`redact_text` — pure map-side scrubbing."""
+    return ds.map_batches(
+        lambda b: redact_text(b, patterns, text_col, id_col),
+        batch_format="pyarrow",
+    )

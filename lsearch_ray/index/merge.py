@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from lsearch_ray.index import fsio
 from lsearch_ray.index.build import (
     IndexMeta,
     _shard_dir,
@@ -100,9 +101,12 @@ def decode_all_postings(
 
 
 def merge_indexes(
-    index_dirs: list[str], out_dir: str, *, resume: bool = True
+    index_dirs: list[str], out_dir: str, *, resume: bool = True, filesystem=None
 ) -> IndexMeta:
     """Merge same-shape sharded indexes into ``out_dir``.
+
+    ``filesystem``: optional ``pyarrow.fs`` applying to ALL dirs (inputs
+    and output) — stage mixed local/remote inputs first.
 
     Round-2 invariants carried through the merge:
     - token-less docs stay counted: per-shard n_docs/dl_sum come from the
@@ -119,7 +123,8 @@ def merge_indexes(
 
     import ray
 
-    metas = [IndexMeta.load(d) for d in index_dirs]
+    fs = filesystem
+    metas = [IndexMeta.load(d, filesystem=fs) for d in index_dirs]
     num_shards = metas[0].num_shards
     block_size = metas[0].block_size
     for m in metas[1:]:
@@ -130,9 +135,14 @@ def merge_indexes(
         raise ValueError(
             "merge requires all inputs positional or all non-positional"
         )
-    os.makedirs(out_dir, exist_ok=True)
+    if fs is None:
+        os.makedirs(out_dir, exist_ok=True)
+    else:
+        fsio.makedirs(fs, out_dir)
     missing = [
-        s for s in range(num_shards) if not (resume and shard_complete(out_dir, s))
+        s
+        for s in range(num_shards)
+        if not (resume and shard_complete(out_dir, s, filesystem=fs))
     ]
 
     @ray.remote(num_cpus=1)
@@ -145,21 +155,38 @@ def merge_indexes(
         n_docs, dl_sum = 0, 0
         banned_parts, effective_parts = [], []
         for d in index_dirs:
-            path = os.path.join(_shard_dir(d, shard), "postings.parquet")
-            avail = pq.ParquetFile(path).schema_arrow.names
+            sdir = (
+                _shard_dir(d, shard)
+                if fs is None
+                else fsio.join(d, f"shard={shard:05d}")
+            )
+            path = (
+                os.path.join(sdir, "postings.parquet")
+                if fs is None
+                else fsio.join(sdir, "postings.parquet")
+            )
+            avail = fsio.parquet_file(fs, path).schema_arrow.names
             # an empty shard of a positional index is encoded without the
             # poss column (no triples to carry it) — read what exists;
             # permissive concat fills the missing pos lists
             cols = base_cols + (
                 ["poss"] if positions and "poss" in avail else []
             )
-            t = pq.read_table(path, columns=cols)
+            t = fsio.pq_read(fs, path, columns=cols)
             parts.append(decode_all_postings(t, block_size))
-            with open(os.path.join(_shard_dir(d, shard), "manifest.json")) as f:
-                m = json.load(f)
+            mpath = (
+                os.path.join(sdir, "manifest.json")
+                if fs is None
+                else fsio.join(sdir, "manifest.json")
+            )
+            if fs is None:
+                with open(mpath) as f:
+                    m = json.load(f)
+            else:
+                m = fsio.read_json(fs, mpath)
             n_docs += int(m["n_docs"])
             dl_sum += int(m["dl_sum"])
-            b = load_tombstones_for_shard(d, shard)
+            b = load_tombstones_for_shard(d, shard, filesystem=fs)
             banned_parts.append(b)
             # ids a crashed compact_index already applied to THIS input's
             # manifest must not be subtracted a second time
@@ -189,9 +216,11 @@ def merge_indexes(
                 merged = merged.filter(pa.array(~drop))
             n_docs -= int(len(effective))
         return encode_shard_table(
-            merged, out_dir, shard, block_size, (n_docs, dl_sum)
+            merged, out_dir, shard, block_size, (n_docs, dl_sum), filesystem=fs
         )
 
     if missing:
         ray.get([merge_shard.remote(s) for s in missing])
-    return finalize_index(out_dir, num_shards, block_size, positions=positions)
+    return finalize_index(
+        out_dir, num_shards, block_size, positions=positions, filesystem=fs
+    )

@@ -110,48 +110,77 @@ def load_tombstones(index_dir: str, shards=None, filesystem=None) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
-def compact_index(index_dir: str) -> IndexMeta:
+def compact_index(index_dir: str, filesystem=None) -> IndexMeta:
     """Rewrite shards dropping tombstoned postings; recompute stats.
 
     After compaction the index is byte-identical to a fresh build over
-    the live corpus (same sort→encode reduce as the build and merge)."""
+    the live corpus (same sort→encode reduce as the build and merge).
+    ``filesystem``: optional ``pyarrow.fs`` target — the pending-manifest
+    commit protocol carries over (on object stores every publish is a
+    direct write, atomic on stream close; the pending file remains the
+    recovery record for the postings-replace gap)."""
     import json
 
     from lsearch_ray.index.merge import decode_all_postings
 
-    meta = IndexMeta.load(index_dir)
+    fs = filesystem
+    meta = IndexMeta.load(index_dir, filesystem=fs)
+
+    def _exists(p: str) -> bool:
+        return os.path.exists(p) if fs is None else fsio.exists(fs, p)
+
+    def _read_json(p: str):
+        if fs is None:
+            with open(p) as f:
+                return json.load(f)
+        return fsio.read_json(fs, p)
+
+    def _remove(p: str) -> None:
+        if fs is None:
+            os.remove(p)
+        else:
+            fsio.delete_file(fs, p)
+
     for s in range(meta.num_shards):
-        banned = load_tombstones_for_shard(index_dir, s)
+        banned = load_tombstones_for_shard(index_dir, s, filesystem=fs)
         if len(banned) == 0:
             continue
-        manifest_path = os.path.join(_shard_dir(index_dir, s), "manifest.json")
+        sdir = (
+            _shard_dir(index_dir, s)
+            if fs is None
+            else fsio.join(index_dir, f"shard={s:05d}")
+        )
+        manifest_path = (
+            os.path.join(sdir, "manifest.json")
+            if fs is None
+            else fsio.join(sdir, "manifest.json")
+        )
         pending_path = manifest_path + ".pending"
         # the doc-stat BASE is the pending manifest when one exists: a
         # crash between the postings replace and the manifest rename
         # leaves filtered postings with an old manifest, and the deleted
         # docs' dl can no longer be recovered from postings — the pending
         # file (written BEFORE the replace) carries the correct target
-        if os.path.exists(pending_path):
-            with open(pending_path) as f:
-                base = json.load(f)
-        else:
-            with open(manifest_path) as f:
-                base = json.load(f)
+        base = _read_json(pending_path if _exists(pending_path) else manifest_path)
         applied = np.asarray(base.get("applied_tombstones", []), dtype=np.int64)
         # only not-yet-applied ids adjust the counts: already-applied ids
         # (from a crashed prior run, even with NEW deletions merged into
         # the stale tombstone file meanwhile) must not subtract twice
         effective = np.setdiff1d(banned, applied)
-        if len(effective) == 0 and not os.path.exists(pending_path):
-            os.remove(_tombstone_path(index_dir, s))
+        if len(effective) == 0 and not _exists(pending_path):
+            _remove(_tombstone_path(index_dir, s, fs))
             continue
         cols = ["term", "df", "docs", "tfs", "dls", "docs_tab"]
-        path = os.path.join(_shard_dir(index_dir, s), "postings.parquet")
-        avail = pq.ParquetFile(path).schema_arrow.names
+        path = (
+            os.path.join(sdir, "postings.parquet")
+            if fs is None
+            else fsio.join(sdir, "postings.parquet")
+        )
+        avail = fsio.parquet_file(fs, path).schema_arrow.names
         if "poss" in avail:
             cols.append("poss")
         triples = decode_all_postings(
-            pq.read_table(path, columns=cols), meta.block_size
+            fsio.pq_read(fs, path, columns=cols), meta.block_size
         )
         doc_ids = triples["doc_id"].to_numpy(zero_copy_only=False)
         # filter with the FULL banned set (idempotent over partial
@@ -172,17 +201,18 @@ def compact_index(index_dir: str) -> IndexMeta:
         # commit protocol: pending manifest → postings → manifest →
         # remove pending → remove tombstones; every crash window resumes
         # correctly (pending is the recovery record for the replace gap)
-        ptmp = pending_path + f".tmp.{os.getpid()}"
-        with open(ptmp, "w") as f:
-            json.dump(
-                {
-                    "n_docs": doc_stats[0],
-                    "dl_sum": doc_stats[1],
-                    "applied_tombstones": ledger,
-                },
-                f,
-            )
-        os.replace(ptmp, pending_path)
+        pending_obj = {
+            "n_docs": doc_stats[0],
+            "dl_sum": doc_stats[1],
+            "applied_tombstones": ledger,
+        }
+        if fs is None:
+            ptmp = pending_path + f".tmp.{os.getpid()}"
+            with open(ptmp, "w") as f:
+                json.dump(pending_obj, f)
+            os.replace(ptmp, pending_path)
+        else:
+            fsio.write_json(fs, pending_path, pending_obj)
         encode_shard_table(
             triples.filter(pa.array(keep)),
             index_dir,
@@ -190,9 +220,14 @@ def compact_index(index_dir: str) -> IndexMeta:
             meta.block_size,
             doc_stats,
             extra_manifest={"applied_tombstones": ledger},
+            filesystem=fs,
         )
-        os.remove(pending_path)
-        os.remove(_tombstone_path(index_dir, s))
+        _remove(pending_path)
+        _remove(_tombstone_path(index_dir, s, fs))
     return finalize_index(
-        index_dir, meta.num_shards, meta.block_size, positions=meta.has_positions
+        index_dir,
+        meta.num_shards,
+        meta.block_size,
+        positions=meta.has_positions,
+        filesystem=fs,
     )

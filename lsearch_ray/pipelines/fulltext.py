@@ -163,3 +163,133 @@ def bm25_topk_dataset(
             "score": pa.array(top["score"], type=pa.float64()),
         }
     )
+
+
+def tfidf_top_terms(
+    docs_ds,
+    k: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    broadcast_df: bool = True,
+):
+    """Per-document top-k keyword extraction by tf·idf.
+
+    Returns a Dataset of (doc_id, term, rnk, tfidf): each doc's k
+    highest-tf·idf terms, idf = ln(n_docs/df), tfidf rounded half-away
+    to 4 dp BEFORE ranking (ties break on term asc — a deterministic
+    total order shared with the SQL oracle).
+
+    Scale plan: triples and df are both derived map-side; the df table
+    joins back in either of two shapes — ``broadcast_df=True`` collects
+    the vocab-sized (term, df) table once and ships it per task (right
+    whenever vocab ≪ corpus, the common web case), else a partitioned
+    hash join on term (``functions.joins.hash_join``) for vocabularies
+    too big to broadcast. The per-doc top-k then hash-partitions on
+    doc_id (the ``exact_dedup`` pattern): ONE shuffle, and within each
+    partition a single mergesort + run-boundary rank pass — no per-doc
+    Python. idf uses ``math.log`` per distinct df (libm parity with
+    DuckDB's ln; np.log can differ in the last ulp).
+    """
+    import pandas as pd
+
+    from lsearch_ray.functions.dedup import partition_ids
+
+    n_docs = docs_ds.count()
+    trip = tf_triples(docs_ds, text_col, id_col)
+    df_ds = term_df(docs_ds, text_col, id_col)
+    if broadcast_df:
+        rows = df_ds.take_all()
+        df_tab = pa.table(
+            {
+                # triples carry large_string terms (zero-copy tokenizer
+                # output); the join key types must match exactly
+                "term": pa.array(
+                    [r["term"] for r in rows], type=pa.large_string()
+                ),
+                "df": pa.array([r["df"] for r in rows], type=pa.int64()),
+            }
+        )
+        from lsearch_ray.functions.joins import broadcast_join
+
+        joined = broadcast_join(
+            trip.select_columns(["term", id_col, "tf"]), df_tab, on="term"
+        )
+    else:
+        from lsearch_ray.functions.joins import hash_join
+
+        # the groupby aggregate narrows term to string; the join key
+        # types must match the triples' large_string exactly
+        df_wide = df_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "term": b["term"].cast(pa.large_string()),
+                    "df": b["df"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            trip.select_columns(["term", id_col, "tf"]),
+            df_wide,
+            on="term",
+            num_partitions=num_partitions,
+        )
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(dfv, return_inverse=True)
+        idf = np.array(
+            [math.log(n_docs / int(d)) for d in uniq], dtype=np.float64
+        )
+        x = tf * idf[inv]
+        tfidf = np.floor(x * 1e4 + 0.5) / 1e4  # half-away, 4 dp
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "term": b["term"],
+                "tfidf": pa.array(tfidf, type=pa.float64()),
+                "__part": pa.array(
+                    partition_ids(b, [id_col], num_partitions)
+                ),
+            }
+        )
+
+    def topk_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "tfidf", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, dtype=np.int64),
+                    "term": np.empty(0, dtype=object),
+                    "rnk": np.empty(0, dtype=np.int64),
+                    "tfidf": np.empty(0, dtype=np.float64),
+                }
+            )
+        # rank within doc runs: position minus each run's start offset
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        run_of = np.cumsum(np.concatenate(([False], ids[1:] != ids[:-1])))
+        rnk = np.arange(n, dtype=np.int64) - starts[run_of] + 1
+        keep = rnk <= k
+        return pd.DataFrame(
+            {
+                id_col: ids[keep],
+                "term": g["term"].to_numpy()[keep],
+                "rnk": rnk[keep],
+                "tfidf": g["tfidf"].to_numpy()[keep],
+            }
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(topk_partition, batch_format="pandas")
+    )

@@ -111,3 +111,24 @@ def test_merge_carries_round2_invariants(tmp_path):
     build_index(rd.from_arrow(t2), d3, num_shards=2)
     with pytest.raises(ValueError):
         merge_indexes([d1, d3], str(tmp_path / "bad"))
+
+
+def test_merge_via_pyarrow_fs_byte_identical(tmp_path):
+    """merge_indexes against a generic pyarrow.fs target matches the
+    local-path merge byte for byte."""
+    from pyarrow import fs as pafs
+
+    a = _dedup(assign_doc_ids(make_corpus(200, seed=41)))
+    b = _dedup(assign_doc_ids(make_corpus(150, seed=43)))
+    ids_a = set(a["doc_id"].to_pylist())
+    b = b.filter(pa.array([i not in ids_a for i in b["doc_id"].to_pylist()]))
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(rd.from_arrow(a.select(["doc_id", "text"])), d1, num_shards=2)
+    build_index(rd.from_arrow(b.select(["doc_id", "text"])), d2, num_shards=2)
+    out_local = str(tmp_path / "m_local")
+    merge_indexes([d1, d2], out_local)
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    merge_indexes(["a", "b"], "m_fs", filesystem=fs)
+
+    assert _digest(out_local, 2) == _digest(str(tmp_path / "m_fs"), 2)

@@ -154,3 +154,46 @@ def test_decontaminate_empty_gram_set():
     corpus = rd.from_arrow(pa.table({"doc_id": [0], "text": ["some text here"]}))
     out = decontaminate_ds(corpus, [], n=3).take_all()
     assert out == []
+
+
+def test_doc_repetition_stats():
+    from lsearch_ray.functions.ngrams import doc_repetition_stats
+
+    texts = [
+        "a b a b a b",  # bigrams: ab ba ab ba ab -> total 5, distinct 2, top 3
+        "x y z",  # xy yz -> 3-1=2 total, 2 distinct, top 1
+        "solo",  # no bigrams
+        "",
+        "w w w w",  # ww ww ww -> total 3, distinct 1, top 3
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(2)
+    out = {
+        r["doc_id"]: (r["total_grams"], r["distinct_grams"], r["top_gram_n"])
+        for r in doc_repetition_stats(ds, n=2).take_all()
+    }
+    assert out == {
+        0: (5, 2, 3),
+        1: (2, 2, 1),
+        2: (0, 0, 0),
+        3: (0, 0, 0),
+        4: (3, 1, 3),
+    }
+
+
+def test_doc_repetition_matches_python_reference():
+    from collections import Counter
+
+    from lsearch_ray.functions.ngrams import doc_repetition_stats
+
+    texts = [t for t in TEXTS if t] + ["big data big data big data big"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = {
+        r["doc_id"]: (r["total_grams"], r["distinct_grams"], r["top_gram_n"])
+        for r in doc_repetition_stats(ds, n=3).take_all()
+    }
+    for i, t in enumerate(texts):
+        c = Counter(_pyref(t, 3))
+        exp = (sum(c.values()), len(c), max(c.values()) if c else 0)
+        assert out[i] == exp, (i, t)

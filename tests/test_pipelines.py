@@ -43,3 +43,63 @@ def test_bm25_dataset_matches_golden(docs, golden, mode):
         assert got["doc_id"].to_pylist() == [d for d, _ in want], (q, mode)
         for gs, (_, ws) in zip(got["score"].to_pylist(), want):
             assert gs == pytest.approx(ws, abs=5e-5)
+
+
+def test_tfidf_top_terms_matches_python_reference():
+    import math
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.pipelines.fulltext import tfidf_top_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple apple apple unique",
+        "date egg fig",
+        "fig fig egg banana apple",
+    ]
+    n_docs = len(texts)
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    df = Counter(w for ws in toks for w in set(ws))
+
+    def ref_topk(k):
+        out = []
+        for i, ws in enumerate(toks):
+            tf = Counter(ws)
+            scored = [
+                (np.floor(c * math.log(n_docs / df[w]) * 1e4 + 0.5) / 1e4, w)
+                for w, c in tf.items()
+            ]
+            scored.sort(key=lambda sw: (-sw[0], sw[1]))
+            for rnk, (s, w) in enumerate(scored[:k], start=1):
+                out.append((i, w, rnk, s))
+        return out
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(n_docs)), "text": texts})
+    ).repartition(2)
+    for broadcast in (True, False):
+        got = (
+            tfidf_top_terms(ds, k=2, broadcast_df=broadcast, num_partitions=4)
+            .sort(["doc_id", "rnk"])
+            .take_all()
+        )
+        rows = [(r["doc_id"], r["term"], r["rnk"], r["tfidf"]) for r in got]
+        assert rows == ref_topk(2), broadcast
+
+
+def test_tfidf_k_larger_than_terms():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.pipelines.fulltext import tfidf_top_terms
+
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": ["a b", "a"]}))
+    got = tfidf_top_terms(ds, k=10).sort(["doc_id", "rnk"]).take_all()
+    # doc 0 has 2 terms, doc 1 has 1; every term present once
+    assert [(r["doc_id"], r["rnk"]) for r in got] == [(0, 1), (0, 2), (1, 1)]

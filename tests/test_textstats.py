@@ -402,3 +402,78 @@ def test_wav_streaming_size_sentinel():
     rate, nch, samples = _decode_wav_pcm(bytes(raw))
     assert (rate, nch) == (8000, 1)
     assert np.array_equal(samples[:, 0], np.arange(64, dtype=np.int16))
+
+
+def test_redact_text():
+    import pyarrow as pa
+
+    from lsearch_ray.functions.textstats import redact_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "contact bob@example.com or sue@mail.org now",
+                "serials abc123 and x9y plus plain words",
+                "nothing to scrub here",
+            ],
+        }
+    )
+    out = redact_text(t)
+    assert out.column_names == ["doc_id", "n_email", "n_serial", "clean_text"]
+    assert out["n_email"].to_pylist() == [2, 0, 0]
+    assert out["n_serial"].to_pylist() == [0, 2, 0]
+    assert out["clean_text"].to_pylist() == [
+        "contact <email> or <email> now",
+        "serials <id> and <id> plus plain words",
+        "nothing to scrub here",
+    ]
+
+
+def test_redact_sequential_pattern_contract():
+    # an email's digits must NOT be re-counted by the serial pattern:
+    # the serial count runs on the post-email-replacement text
+    import pyarrow as pa
+
+    from lsearch_ray.functions.textstats import redact_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": ["mail a1b2@host3.com and serial z99"],
+        }
+    )
+    out = redact_text(t)
+    assert out["n_email"].to_pylist() == [1]
+    assert out["n_serial"].to_pylist() == [1]  # only z99; host3 was replaced
+    assert out["clean_text"].to_pylist() == ["mail <email> and serial <id>"]
+
+
+def test_redact_ds_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as entry_mod
+    from lsearch_ray.functions.textstats import redact_ds
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": [
+                "a.b-c@d.ee plus w1",
+                "no hits",
+                "x1 y2 z3",
+                "double@@at not an email x@y.zz is",
+                "",
+                "trail9 9lead mix3d",
+            ],
+        }
+    )
+    got = redact_ds(rd.from_arrow(t)).sort("doc_id").take_all()
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(entry_mod.oracle_sql()["redact"]).fetchall()
+    assert [
+        (r["doc_id"], r["n_email"], r["n_serial"], r["clean_text"]) for r in got
+    ] == [tuple(r) for r in exp]

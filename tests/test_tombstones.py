@@ -265,3 +265,30 @@ def test_compaction_rerun_does_not_double_subtract(tmp_path):
     assert meta2.n_docs == meta1.n_docs == expected
     assert meta2.avgdl == meta1.avgdl
     assert len(load_tombstones(d)) == 0
+
+
+def test_fs_compaction_byte_identical_to_local(tmp_path):
+    """delete_docs + compact_index against a generic pyarrow.fs target
+    (SubTreeFileSystem — the no-rename publish protocol) produce bytes
+    identical to the plain local-path maintenance path."""
+    from pyarrow import fs as pafs
+
+    corpus = _corpus(n=250, seed=33)
+    all_ids = corpus["doc_id"].to_pylist()
+    victims = set(all_ids[::6])
+    docs = rd.from_arrow(corpus.select(["doc_id", "text"]))
+
+    d_local = str(tmp_path / "local")
+    build_index(docs, d_local, num_shards=3, positions=True)
+    delete_docs(d_local, victims)
+    compact_index(d_local)
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    build_index(docs, "viafs", num_shards=3, filesystem=fs, positions=True)
+    delete_docs("viafs", victims, filesystem=fs)
+    meta = compact_index("viafs", filesystem=fs)
+    d_fs = str(tmp_path / "viafs")
+
+    assert _digest(d_local, 3) == _digest(d_fs, 3)
+    assert meta.n_docs == IndexMeta.load(d_local).n_docs
+    assert len(load_tombstones("viafs", filesystem=fs)) == 0
