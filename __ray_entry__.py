@@ -834,6 +834,40 @@ def _q_tfidf_terms(sf_dir: str):
     )
 
 
+_CHUNK_W = 10
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+def _q_chunk_dedup(sf_dir: str):
+    from lsearch_ray.functions import chunk_exact_dedup
+
+    return chunk_exact_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), width=_CHUNK_W
+    ).sort(["doc_id", "chunk_idx"])
+
+
+_QUOTA_CAPS = {"en": 100, "de": 40, "fr": 40}
+
+
+def _q_quota_sample(sf_dir: str):
+    from lsearch_ray.functions import quota_sample
+
+    return quota_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), "lang", "doc_id", _QUOTA_CAPS
+    ).sort("doc_id")
+
+
+def _q_kmeans(sf_dir: str):
+    from lsearch_ray.functions import kmeans_assign
+
+    return kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+    ).sort("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -882,6 +916,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "redact": _q_redact,
         "tfidf_terms": _q_tfidf_terms,
+        "chunk_dedup": _q_chunk_dedup,
+        "kmeans_clusters": _q_kmeans,
+        "quota_sample": _q_quota_sample,
     }
 
 
@@ -966,6 +1003,48 @@ def _redact_sql() -> str:
         "SELECT doc_id, "
         + ", ".join(counts)
         + f", {expr} AS clean_text FROM documents ORDER BY doc_id"
+    )
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Lloyd k-means unrolled as CTEs — the exact twin of
+    functions/kmeans.kmeans_assign: init from the k lowest vec_ids in id
+    order, squared-euclidean distances rounded half-up to 6 dp before
+    the argmin (ties → lowest cluster), per-dim AVG centroids rounded to
+    the same grid each iteration, a final assignment against the last
+    centroids. The shared fixed-point grid is what makes float
+    summation-order differences between DuckDB and numpy invisible."""
+    rnd = "floor({} * 1000000 + 0.5) / 1000000"
+    parts = [
+        "WITH e AS (SELECT vec_id, d, v FROM ("
+        "  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v, "
+        "         generate_subscripts(embedding, 1) AS d FROM embeddings))",
+        "seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl "
+        f"        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS (SELECT s.cl, e.d, e.v FROM seed s JOIN e USING (vec_id))",
+    ]
+    for i in range(iters + 1):
+        dist = rnd.format("sum((e.v - c.v) * (e.v - c.v))")
+        parts.append(
+            f"d{i} AS (SELECT e.vec_id, c.cl, {dist} AS dist "
+            f"        FROM e JOIN c{i} c USING (d) GROUP BY e.vec_id, c.cl)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cl FROM ("
+            "          SELECT vec_id, cl, row_number() OVER ("
+            "            PARTITION BY vec_id ORDER BY dist, cl) AS rn "
+            f"         FROM d{i}) WHERE rn = 1)"
+        )
+        if i < iters:
+            cent = rnd.format("avg(e.v)")
+            parts.append(
+                f"c{i + 1} AS (SELECT a.cl, e.d, {cent} AS v "
+                f"        FROM a{i} a JOIN e USING (vec_id) GROUP BY a.cl, e.d)"
+            )
+    return (
+        ", ".join(parts)
+        + f" SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters} "
+        "ORDER BY vec_id"
     )
 
 
@@ -1463,6 +1542,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"
         ),
         "redact": _redact_sql(),
+        "chunk_dedup": (
+            # fixed-width word chunks, first occurrence per distinct chunk
+            # in global (doc_id, chunk_idx) order — dense per-doc token
+            # ordinals via row_number over the position-ordered tokens
+            f"WITH tok AS ({_ORDERED_TOKS}), "
+            "o AS (SELECT doc_id, term, "
+            "        row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS o "
+            "      FROM tok), "
+            f"ch AS (SELECT doc_id, o // {_CHUNK_W} AS chunk_idx, "
+            "         string_agg(term, ' ' ORDER BY o) AS chunk "
+            f"       FROM o GROUP BY doc_id, o // {_CHUNK_W}), "
+            "r AS (SELECT doc_id, chunk_idx, chunk, "
+            "        row_number() OVER (PARTITION BY chunk "
+            "          ORDER BY doc_id, chunk_idx) AS rn FROM ch) "
+            "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk "
+            "FROM r WHERE rn = 1 ORDER BY doc_id, chunk_idx"
+        ),
+        "kmeans_clusters": _kmeans_sql(_KMEANS_K, _KMEANS_ITERS),
+        "quota_sample": (
+            # per-stratum quota: the cap rows with the smallest
+            # (hash, key) — rank twin of functions.mixture.quota_sample
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY h, doc_id) AS rn FROM ("
+            f"   SELECT doc_id, lang, "
+            f"   {_mixed_hash63_of('CAST(doc_id AS VARCHAR)')} AS h "
+            "    FROM documents)"
+            ") WHERE rn <= CASE lang "
+            + " ".join(
+                f"WHEN '{s}' THEN {c}" for s, c in _QUOTA_CAPS.items()
+            )
+            + " ELSE 0 END ORDER BY doc_id"
+        ),
         "tfidf_terms": (
             # tfidf rounded half-away to 4 dp BEFORE ranking on both
             # sides; ties break on term asc — deterministic total order

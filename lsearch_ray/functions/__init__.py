@@ -43,6 +43,12 @@ from lsearch_ray.functions.ngrams import (  # noqa: F401
     doc_repetition_stats,
     ngram_counts_ds,
 )
+from lsearch_ray.functions.chunks import (  # noqa: F401
+    chunk_exact_dedup,
+    doc_chunks,
+)
+from lsearch_ray.functions.kmeans import kmeans_assign  # noqa: F401
+from lsearch_ray.functions.mixture import quota_sample  # noqa: F401
 from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
 from lsearch_ray.functions.sampling import hash_sample, kmv_distinct  # noqa: F401
 from lsearch_ray.functions.skew import salted_groupby_sum  # noqa: F401

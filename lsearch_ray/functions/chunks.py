@@ -1,0 +1,104 @@
+"""Chunk-level exact deduplication (RefinedWeb/Gopher-style).
+
+Web-corpus boilerplate (headers, footers, license blurbs) repeats at
+sub-document granularity, so document-level dedup misses it. This
+operator re-expresses that pass Ray-Data-first: split every document
+into fixed-width word chunks map-side (zero-copy over the flat token
+stream — no per-row Python), then run ONE hash-partitioned exact dedup
+over the chunk text, keeping each distinct chunk's first occurrence in
+global ``(doc_id, chunk_idx)`` order. Output is relational — the kept
+``(doc_id, chunk_idx, chunk)`` rows — so reassembly stays a trivially
+vectorized downstream concat and the SQL oracle compares exact strings,
+not re-joined documents.
+
+Scale plan: chunking is pure map-side; the only shuffle is the dedup's
+hash partition on the chunk text (via ``exact_dedup``'s shared
+``partition_ids`` arithmetic). At 100 TB the shuffle key could be
+switched to a 64-bit chunk hash (the ``exact_dedup_by_content`` shape);
+kept as text here because the driver oracle deduplicates on exact
+strings and hash collisions would silently merge distinct chunks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsearch_ray.analyzer import flat_tokens_arrow
+
+
+def doc_chunks(
+    texts: pa.ChunkedArray | pa.Array, width: int
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Fixed-width word chunks of each row of a string column.
+
+    Returns ``(parents, chunk_idx, chunks)``: chunk i came from row
+    ``parents[i]`` and covers that row's tokens
+    ``[chunk_idx[i]*width, ...)``, joined with single spaces. The final
+    chunk of a row may be shorter than ``width``. Rows with no tokens
+    contribute none. Vectorized: one boundary mask over the flat token
+    stream, one LargeListArray wrap, one ``binary_join`` kernel.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    parents, flat = flat_tokens_arrow(texts)
+    n = len(parents)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            pa.array([], type=pa.large_string()),
+        )
+    first = np.concatenate(([True], parents[1:] != parents[:-1]))
+    run_start = np.flatnonzero(first)
+    run_of = np.cumsum(first) - 1
+    ordinal = np.arange(n, dtype=np.int64) - run_start[run_of]
+    starts = np.flatnonzero(ordinal % width == 0)
+    offsets = np.append(starts, n).astype(np.int64)
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
+    chunks = pc.binary_join(lists, pa.scalar(" ", type=pa.large_string()))
+    return parents[starts], ordinal[starts] // width, chunks
+
+
+def _chunk_batch(
+    batch: pa.Table, width: int, text_col: str, id_col: str
+) -> pa.Table:
+    parents, chunk_idx, chunks = doc_chunks(batch[text_col], width)
+    ids = batch[id_col].take(pa.array(parents))
+    return pa.table(
+        {
+            id_col: ids,
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+            "chunk": chunks.cast(pa.string()),
+        }
+    )
+
+
+def chunk_exact_dedup(
+    docs_ds,
+    *,
+    width: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+):
+    """Keep the first occurrence of every distinct ``width``-word chunk.
+
+    "First" is global ``(doc_id, chunk_idx)`` order. Returns a Dataset of
+    the surviving ``(doc_id, chunk_idx, chunk)`` rows; duplicated
+    boilerplate chunks appear exactly once, attributed to the earliest
+    document position that contains them.
+    """
+    from lsearch_ray.functions.dedup import exact_dedup
+
+    chunked = docs_ds.map_batches(
+        lambda b: _chunk_batch(b, width, text_col, id_col),
+        batch_format="pyarrow",
+    )
+    return exact_dedup(
+        chunked,
+        key_cols=["chunk"],
+        order_cols=[id_col, "chunk_idx"],
+        num_partitions=num_partitions,
+    )

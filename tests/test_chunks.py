@@ -1,0 +1,91 @@
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from lsearch_ray.functions.chunks import chunk_exact_dedup, doc_chunks
+
+
+def test_doc_chunks_basic():
+    texts = pa.array(
+        [
+            "a b c d e f g",  # width 3 -> "a b c", "d e f", "g"
+            "one two",  # -> "one two"
+            "",  # -> none
+            "x",  # -> "x"
+        ]
+    )
+    parents, idx, chunks = doc_chunks(texts, 3)
+    assert parents.tolist() == [0, 0, 0, 1, 3]
+    assert idx.tolist() == [0, 1, 2, 0, 0]
+    assert chunks.to_pylist() == ["a b c", "d e f", "g", "one two", "x"]
+
+
+def test_doc_chunks_tokenizes_and_folds():
+    parents, idx, chunks = doc_chunks(pa.array(["Big-Data, ROCKS!  ok"]), 2)
+    assert chunks.to_pylist() == ["big data", "rocks ok"]
+    assert idx.tolist() == [0, 1]
+
+
+def test_doc_chunks_matches_python_reference():
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+        for _ in range(40)
+    ]
+    for w in (1, 3, 10):
+        parents, idx, chunks = doc_chunks(pa.array(texts), w)
+        got = list(zip(parents.tolist(), idx.tolist(), chunks.to_pylist()))
+        exp = []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            for j in range(0, len(toks), w):
+                exp.append((i, j // w, " ".join(toks[j : j + w])))
+        assert got == exp, w
+
+
+def test_chunk_exact_dedup_keeps_first_occurrence():
+    texts = [
+        "the quick brown fox jumps over",  # doc 0: chunks "the quick brown", "fox jumps over"
+        "the quick brown cat sits here",  # doc 1: first chunk duplicates doc 0's
+        "fox jumps over the quick brown",  # doc 2: both chunks are dups
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [0, 1, 2], "text": texts})
+    ).repartition(2)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in chunk_exact_dedup(ds, width=3, num_partitions=4).take_all()
+    )
+    assert got == [
+        (0, 0, "the quick brown"),
+        (0, 1, "fox jumps over"),
+        (1, 1, "cat sits here"),
+    ]
+
+
+def test_chunk_dedup_matches_duckdb():
+    import __ray_entry__ as entry_mod
+
+    rng = np.random.default_rng(11)
+    vocab = ["data", "web", "page", "crawl", "boiler", "plate"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 35))))
+        for _ in range(60)
+    ]
+    # inject shared boilerplate at chunk-aligned positions
+    boiler = " ".join(["terms of service apply here now"] * 2)
+    texts = [boiler + " " + t if i % 3 == 0 else t for i, t in enumerate(texts)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in chunk_exact_dedup(rd.from_arrow(t).repartition(3), width=10)
+        .sort(["doc_id", "chunk_idx"])
+        .take_all()
+    ]
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(entry_mod.oracle_sql()["chunk_dedup"]).fetchall()
+    assert got == [tuple(r) for r in exp]
