@@ -306,3 +306,66 @@ def test_heavy_hitters_certificate_sound_fuzz(seed, cap, cand_cap):
         want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         got = list(zip(table["value"].to_pylist(), table["n"].to_pylist()))
         assert got == [(v, c) for v, c in want], (seed, cap, cand_cap, k)
+
+
+_WORDS = st.text(
+    alphabet="ab1 .,-XY\t\n", min_size=0, max_size=60
+)
+
+
+@given(st.lists(_WORDS, min_size=0, max_size=12), st.integers(1, 7))
+@settings(max_examples=150, deadline=None)
+def test_doc_chunks_matches_python_reference_fuzz(texts, width):
+    """doc_chunks' boundary-mask chunking equals the per-row python
+    reference on arbitrary mixed-noise texts: same parents, same chunk
+    ordinals, same joined chunk strings."""
+    import re
+
+    from lsearch_ray.functions.chunks import doc_chunks
+
+    parents, idx, chunks = doc_chunks(pa.array(texts, type=pa.string()), width)
+    got = list(zip(parents.tolist(), idx.tolist(), chunks.to_pylist()))
+    exp = []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        for j in range(0, len(toks), width):
+            exp.append((i, j // width, " ".join(toks[j : j + width])))
+    assert got == exp, (texts, width)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 4))
+@settings(max_examples=10, deadline=None)
+def test_quota_sample_partition_invariant_fuzz(seed, parts):
+    """quota_sample keeps an identical row set under any block split and
+    never exceeds a stratum's cap."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.mixture import quota_sample
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(1, 120))
+    strata = [f"s{int(x) % 4}" for x in rng.randint(0, 6, size=n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "lang": pa.array(strata, type=pa.string()),
+        }
+    )
+    caps = {"s0": int(rng.randint(0, 8)), "s1": 3, "s2": 10_000}
+    base = sorted(
+        (r["doc_id"], r["lang"])
+        for r in quota_sample(rd.from_arrow(t), "lang", "doc_id", caps).take_all()
+    )
+    split = sorted(
+        (r["doc_id"], r["lang"])
+        for r in quota_sample(
+            rd.from_arrow(t).repartition(parts), "lang", "doc_id", caps
+        ).take_all()
+    )
+    assert base == split, seed
+    by = Counter(lang for _, lang in base)
+    for s, c in by.items():
+        assert c <= caps.get(s, 0), (s, c)
+    assert "s3" not in by
