@@ -111,7 +111,20 @@ def kmeans_assign(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    seed_rows = emb_ds.sort(id_col).limit(k).take_all()
+
+    # seed pass without a shuffle: each batch contributes its k lowest-id
+    # rows (a partial min-k combiner), the driver merges ≤ k × n_blocks
+    # rows — a full distributed sort of every embedding would move the
+    # whole dataset to pick k rows
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        pick = np.sort(np.argsort(ids, kind="stable")[:k])
+        return b.select([id_col, emb_col]).take(pa.array(pick))
+
+    seed_rows = sorted(
+        emb_ds.map_batches(seed_partial, batch_format="pyarrow").take_all(),
+        key=lambda r: r[id_col],
+    )[:k]
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
     centroids = np.array(

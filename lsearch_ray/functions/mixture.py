@@ -102,12 +102,20 @@ def quota_sample(
     partials = ds.map_batches(
         _PartialMinK(strata_col, key_col, caps), batch_format="pyarrow"
     )
+    # streaming merge: prune each stratum's pair list back to its cap
+    # smallest whenever it overshoots, so driver memory stays at the
+    # documented cap × n_strata (not cap × n_strata × n_blocks)
     best: dict[str, list[tuple[int, int]]] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for s, h, k in zip(
             b["stratum"].to_pylist(), b["h"].to_pylist(), b["key"].to_pylist()
         ):
-            best.setdefault(s, []).append((h, k))
+            lst = best.setdefault(s, [])
+            lst.append((h, k))
+            cap = caps.get(s, 0)
+            if len(lst) > 2 * max(cap, 1):
+                lst.sort()
+                del lst[cap:]
     thresholds: dict[str, tuple[int, int]] = {}
     for s, pairs in best.items():
         pairs.sort()
@@ -120,16 +128,19 @@ def quota_sample(
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         cats: list = []
         codes = _stratum_codes(batch[strata_col], cats)
+        # sentinel slot at len(cats) for null/unknown strata (threshold
+        # (-1, -1) keeps nothing) — indexing stays in bounds even when a
+        # batch's stratum column is ENTIRELY null and cats is empty
         th = np.array(
-            [thresholds.get(c, (-1, -1))[0] for c in cats], dtype=np.int64
+            [thresholds.get(c, (-1, -1))[0] for c in cats] + [-1],
+            dtype=np.int64,
         )
         tk = np.array(
-            [thresholds.get(c, (-1, -1))[1] for c in cats], dtype=np.int64
+            [thresholds.get(c, (-1, -1))[1] for c in cats] + [-1],
+            dtype=np.int64,
         )
-        valid = codes >= 0
-        ch = np.where(valid, th[np.maximum(codes, 0)], -1)
-        ck = np.where(valid, tk[np.maximum(codes, 0)], -1)
-        keep = (h < ch) | ((h == ch) & (keys <= ck))
+        idx = np.where(codes >= 0, codes, len(cats))
+        keep = (h < th[idx]) | ((h == th[idx]) & (keys <= tk[idx]))
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")

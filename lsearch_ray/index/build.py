@@ -219,6 +219,19 @@ def _shard_dir(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, f"shard={shard:05d}")
 
 
+def shard_path(index_dir: str, shard: int, name: str = "", fs=None) -> str:
+    """fs-aware path of a shard artifact (``name=""`` for the shard dir
+    itself): THE single spelling of the ``shard={:05d}`` layout for both
+    local paths and generic ``pyarrow.fs`` targets — merge, tombstones
+    and compaction all route through it so the naming scheme cannot
+    diverge between the two dispatches."""
+    if fs is None:
+        base = _shard_dir(index_dir, shard)
+        return os.path.join(base, name) if name else base
+    base = fsio.join(index_dir, f"shard={shard:05d}")
+    return fsio.join(base, name) if name else base
+
+
 def _manifest_path(index_dir: str, shard: int) -> str:
     return os.path.join(_shard_dir(index_dir, shard), "manifest.json")
 

@@ -26,10 +26,10 @@ import pyarrow.parquet as pq
 from lsearch_ray.index import fsio
 from lsearch_ray.index.build import (
     IndexMeta,
-    _shard_dir,
     encode_shard_table,
     finalize_index,
     shard_complete,
+    shard_path,
 )
 from lsearch_ray.index.codec import _grouped_undelta, varint_decode
 
@@ -155,16 +155,7 @@ def merge_indexes(
         n_docs, dl_sum = 0, 0
         banned_parts, effective_parts = [], []
         for d in index_dirs:
-            sdir = (
-                _shard_dir(d, shard)
-                if fs is None
-                else fsio.join(d, f"shard={shard:05d}")
-            )
-            path = (
-                os.path.join(sdir, "postings.parquet")
-                if fs is None
-                else fsio.join(sdir, "postings.parquet")
-            )
+            path = shard_path(d, shard, "postings.parquet", fs)
             avail = fsio.parquet_file(fs, path).schema_arrow.names
             # an empty shard of a positional index is encoded without the
             # poss column (no triples to carry it) — read what exists;
@@ -174,11 +165,7 @@ def merge_indexes(
             )
             t = fsio.pq_read(fs, path, columns=cols)
             parts.append(decode_all_postings(t, block_size))
-            mpath = (
-                os.path.join(sdir, "manifest.json")
-                if fs is None
-                else fsio.join(sdir, "manifest.json")
-            )
+            mpath = shard_path(d, shard, "manifest.json", fs)
             if fs is None:
                 with open(mpath) as f:
                     m = json.load(f)

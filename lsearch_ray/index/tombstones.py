@@ -35,17 +35,15 @@ import pyarrow.parquet as pq
 from lsearch_ray.index import fsio
 from lsearch_ray.index.build import (
     IndexMeta,
-    _shard_dir,
     encode_shard_table,
     finalize_index,
     shard_of,
+    shard_path,
 )
 
 
 def _tombstone_path(index_dir: str, shard: int, fs=None) -> str:
-    if fs is None:
-        return os.path.join(_shard_dir(index_dir, shard), "tombstones.parquet")
-    return fsio.join(index_dir, f"shard={shard:05d}", "tombstones.parquet")
+    return shard_path(index_dir, shard, "tombstones.parquet", fs)
 
 
 def delete_docs(index_dir: str, doc_ids, filesystem=None) -> int:
@@ -145,16 +143,7 @@ def compact_index(index_dir: str, filesystem=None) -> IndexMeta:
         banned = load_tombstones_for_shard(index_dir, s, filesystem=fs)
         if len(banned) == 0:
             continue
-        sdir = (
-            _shard_dir(index_dir, s)
-            if fs is None
-            else fsio.join(index_dir, f"shard={s:05d}")
-        )
-        manifest_path = (
-            os.path.join(sdir, "manifest.json")
-            if fs is None
-            else fsio.join(sdir, "manifest.json")
-        )
+        manifest_path = shard_path(index_dir, s, "manifest.json", fs)
         pending_path = manifest_path + ".pending"
         # the doc-stat BASE is the pending manifest when one exists: a
         # crash between the postings replace and the manifest rename
@@ -171,11 +160,7 @@ def compact_index(index_dir: str, filesystem=None) -> IndexMeta:
             _remove(_tombstone_path(index_dir, s, fs))
             continue
         cols = ["term", "df", "docs", "tfs", "dls", "docs_tab"]
-        path = (
-            os.path.join(sdir, "postings.parquet")
-            if fs is None
-            else fsio.join(sdir, "postings.parquet")
-        )
+        path = shard_path(index_dir, s, "postings.parquet", fs)
         avail = fsio.parquet_file(fs, path).schema_arrow.names
         if "poss" in avail:
             cols.append("poss")

@@ -196,9 +196,16 @@ def tfidf_top_terms(
 
     from lsearch_ray.functions.dedup import partition_ids
 
-    n_docs = docs_ds.count()
-    trip = tf_triples(docs_ds, text_col, id_col)
-    df_ds = term_df(docs_ds, text_col, id_col)
+    from ray.data.aggregate import Count
+
+    n_docs = docs_ds.count()  # metadata-only on parquet sources
+    # tokenize ONCE: df is derived from the materialized triples rather
+    # than a second tf_triples pass (term_df would re-run the tokenizer
+    # over the whole corpus — the dominant map-side cost — a second time)
+    trip = tf_triples(docs_ds, text_col, id_col).materialize()
+    df_ds = (
+        trip.select_columns(["term"]).groupby("term").aggregate(Count(alias_name="df"))
+    )
     if broadcast_df:
         rows = df_ds.take_all()
         df_tab = pa.table(

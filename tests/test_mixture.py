@@ -65,6 +65,18 @@ def test_quota_sample_partition_invariant():
     assert outs[0] == outs[1]
 
 
+def test_quota_sample_all_null_stratum_batch():
+    # a block whose stratum column is ENTIRELY null must filter to empty,
+    # not crash the sentinel lookup (cats == [] in that batch)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "lang": pa.array([None, None], type=pa.string()),
+        }
+    )
+    assert quota_sample(rd.from_arrow(t), "lang", "doc_id", {"en": 5}).take_all() == []
+
+
 def test_quota_sample_null_strata_dropped():
     t = pa.table(
         {
