@@ -85,10 +85,13 @@ def bm25_topk_dataset(
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     triples = tf_triples(docs_ds, text_col, id_col)
     term_set = pa.array(terms)
+    # materialize: `matched` is tiny (only the query terms' rows) and is
+    # consumed TWICE (df aggregate + scoring) — without this the whole
+    # read+tokenize chain re-executes for each consumer
     matched = triples.map_batches(
         lambda b: b.filter(pa.compute.is_in(b["term"], value_set=term_set)),
         batch_format="pyarrow",
-    )
+    ).materialize()
     # df per query term: tiny aggregate (≤ len(terms) rows)
     from ray.data.aggregate import Count
 
