@@ -834,6 +834,56 @@ def _q_tfidf_terms(sf_dir: str):
     )
 
 
+def _q_brand_revenue(sf_dir: str):
+    """lineitem ⋈ part (broadcast — part is the small dimension) with
+    per-batch PARTIAL aggregation: the global groupby shuffles one row
+    per (batch, brand) instead of one per lineitem row (the
+    combine-before-shuffle rule for wide aggregates)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.joins import broadcast_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "rev": rev,
+                "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("p_brand").aggregate(
+            [("rev", "sum"), ("n_rows", "sum")]
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("rev_sum", alias_name="revenue"), Sum("n_rows_sum", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "revenue_cents": pc.round(
+                    pc.multiply(b["revenue"], pa.scalar(100.0)), 0
+                ).cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("p_brand")
+
+
 _CHUNK_W = 10
 _KMEANS_K = 4
 _KMEANS_ITERS = 2
@@ -919,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "kmeans_clusters": _q_kmeans,
         "quota_sample": _q_quota_sample,
+        "brand_revenue": _q_brand_revenue,
     }
 
 
@@ -1497,6 +1548,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_segments": (
             "SELECT DISTINCT c_mktsegment FROM customer"
+        ),
+        "brand_revenue": (
+            "SELECT p.p_brand, "
+            "CAST(round(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0, 0) AS BIGINT)"
+            " AS revenue_cents, count(*) AS n "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_brand ORDER BY p.p_brand"
         ),
         "sessionize": (
             "SELECT user_id, count(*) AS n_events, "
