@@ -627,9 +627,14 @@ def _q_join_revenue(sf_dir: str):
         lambda b: pa.table(
             {
                 "o_orderpriority": b["o_orderpriority"],
-                "revenue_cents": pc.round(
-                    pc.multiply(b["revenue"], pa.scalar(100.0)), 0
-                ).cast(pa.int64()),
+                # half-away via floor(x+0.5) (positive revenues), mirrored
+                # in the oracle: pc.round defaults to half-to-even while
+                # DuckDB round() is half-away — latent 1-cent flake
+                "revenue_cents": pa.array(
+                    np.floor(
+                        b["revenue"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                    ).astype(np.int64)
+                ),
                 "n": b["n"],
             }
         ),
@@ -854,29 +859,29 @@ def _q_brand_revenue(sf_dir: str):
         rev = pc.multiply(
             b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
         )
-        t = pa.table(
-            {
-                "p_brand": b["p_brand"],
-                "rev": rev,
-                "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-            }
-        )
-        return t.group_by("p_brand").aggregate(
-            [("rev", "sum"), ("n_rows", "sum")]
-        )
+        t = pa.table({"p_brand": b["p_brand"], "rev": rev})
+        # rev is never null, so its count is the group's row count — no
+        # ones column through the shuffle
+        return t.group_by("p_brand").aggregate([("rev", "sum"), ("rev", "count")])
 
     agg = (
         joined.map_batches(partial, batch_format="pyarrow")
         .groupby("p_brand")
-        .aggregate(Sum("rev_sum", alias_name="revenue"), Sum("n_rows_sum", alias_name="n"))
+        .aggregate(Sum("rev_sum", alias_name="revenue"), Sum("rev_count", alias_name="n"))
     )
     return agg.map_batches(
         lambda b: pa.table(
             {
                 "p_brand": b["p_brand"],
-                "revenue_cents": pc.round(
-                    pc.multiply(b["revenue"], pa.scalar(100.0)), 0
-                ).cast(pa.int64()),
+                # half-AWAY (floor(x+0.5), values positive): pc.round's
+                # default is half-to-even while DuckDB round() is
+                # half-away — a .50-cent group would differ by 1 under
+                # the exact int compare. Both sides use this formula.
+                "revenue_cents": pa.array(
+                    np.floor(
+                        b["revenue"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                    ).astype(np.int64)
+                ),
                 "n": b["n"].cast(pa.int64()),
             }
         ),
@@ -1540,7 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_revenue": (
             "SELECT o.o_orderpriority, "
-            "CAST(round(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0, 0) AS BIGINT)"
+            "CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)"
             " AS revenue_cents, count(*) AS n "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
@@ -1550,8 +1555,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT c_mktsegment FROM customer"
         ),
         "brand_revenue": (
+            # floor(x*100 + 0.5): explicit half-away shared with the engine
             "SELECT p.p_brand, "
-            "CAST(round(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0, 0) AS BIGINT)"
+            "CAST(floor(sum(l.l_extendedprice * (1.0 - l.l_discount)) * 100.0 + 0.5) AS BIGINT)"
             " AS revenue_cents, count(*) AS n "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
             "GROUP BY p.p_brand ORDER BY p.p_brand"

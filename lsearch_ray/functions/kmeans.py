@@ -117,6 +117,12 @@ def kmeans_assign(
     # rows — a full distributed sort of every embedding would move the
     # whole dataset to pick k rows
     def seed_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop null ids BEFORE to_numpy: with nulls present the int64
+        # column converts to float64 (NaN slots), which both admits a
+        # None seed and collapses distinct ids above 2^53
+        b = b.filter(pc.is_valid(b[id_col]))
         ids = b[id_col].to_numpy(zero_copy_only=False)
         pick = np.sort(np.argsort(ids, kind="stable")[:k])
         return b.select([id_col, emb_col]).take(pa.array(pick))

@@ -86,3 +86,23 @@ def test_kmeans_needs_k_vectors():
     ds = rd.from_arrow(_emb_table(np.zeros((2, 3))))
     with pytest.raises(ValueError):
         kmeans_assign(ds, k=5)
+
+
+def test_kmeans_seed_ignores_null_ids():
+    t = pa.table(
+        {
+            "vec_id": pa.array([None, 3, 1, None, 2], type=pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0], [3.0, 3.0], [1.0, 1.0], [9.0, 9.0], [2.0, 2.0]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    # iters=0 assigns against the raw seeds: they must be ids 1 and 2
+    # (nulls skipped), so those exact points land in clusters 0 and 1
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(rd.from_arrow(t), k=2, iters=0).take_all()
+        if r["vec_id"] is not None
+    }
+    assert got[1] == 0 and got[2] == 1 and got[3] == 1
