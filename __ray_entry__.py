@@ -178,43 +178,65 @@ def _q_events_filter(sf_dir: str):
 
 
 def _q_q1_agg(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     li = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
+
+    # per-batch PARTIAL aggregation: the global groupby shuffles one row
+    # per (batch, flag, status) — a handful of groups — instead of every
+    # lineitem row (combine-before-shuffle)
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("l_discount", "sum"),
+                ("l_discount", "count"),
+            ]
+        )
+
     agg = (
-        li.groupby(["l_returnflag", "l_linestatus"])
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n"),
+            Sum("l_quantity_sum", alias_name="sum_qty_f"),
+            Sum("l_extendedprice_sum", alias_name="sum_price_f"),
+            Sum("l_discount_sum", alias_name="disc_sum"),
+            Sum("l_discount_count", alias_name="n"),
         )
     )
+
     # fixed-point integer outputs: float sums differ between engines by
-    # summation order (~1e-7 rel), which survives round() at the ulp level
-    # and would break the driver's value hash; integer cents/millionths
-    # absorb it
-    return agg.map_batches(
-        lambda b: pa.table(
+    # summation order (~1e-7 rel), which survives rounding at the ulp
+    # level and would break the driver's value hash; integer
+    # cents/millionths absorb it. floor(x + 0.5) = explicit half-away
+    # (positive sums) shared with the oracle — pc.round is half-to-even
+    # and diverges from SQL round() on exactly-representable halves
+    def finish(b: pa.Table) -> pa.Table:
+        qty = b["sum_qty_f"].to_numpy(zero_copy_only=False)
+        price = b["sum_price_f"].to_numpy(zero_copy_only=False)
+        dsum = b["disc_sum"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "sum_qty": pc.round(b["sum_qty"], 0).cast(pa.int64()),
-                "sum_price_cents": pc.round(
-                    pc.multiply(b["sum_price"], pa.scalar(100.0)), 0
-                ).cast(pa.int64()),
-                "avg_disc_e6": pc.round(
-                    pc.multiply(b["avg_disc"], pa.scalar(1e6)), 0
-                ).cast(pa.int64()),
-                "n": b["n"],
+                "sum_qty": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+                "sum_price_cents": pa.array(
+                    np.floor(price * 100.0 + 0.5).astype(np.int64)
+                ),
+                "avg_disc_e6": pa.array(
+                    np.floor(dsum / n * 1e6 + 0.5).astype(np.int64)
+                ),
+                "n": pa.array(n),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_top_orders(sf_dir: str):
@@ -361,9 +383,13 @@ def _q_range_join_orders(sf_dir: str):
             {
                 "band": b["band"],
                 "n": b["n"],
-                "total_cents": pc.round(
-                    pc.multiply(b["total"], pa.scalar(100.0)), 0
-                ).cast(pa.int64()),
+                # explicit half-away (positive totals) shared with the
+                # oracle — pc.round is half-to-even, SQL round half-away
+                "total_cents": pa.array(
+                    np.floor(
+                        b["total"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                    ).astype(np.int64)
+                ),
             }
         ),
         batch_format="pyarrow",
@@ -1393,10 +1419,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click' AND props NOT LIKE '%x%'"
         ),
         "q1_agg": (
+            # floor(x + 0.5): explicit half-away shared with the engine
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty, "
-            "CAST(round(sum(l_extendedprice) * 100.0, 0) AS BIGINT) AS sum_price_cents, "
-            "CAST(round(avg(l_discount) * 1000000.0, 0) AS BIGINT) AS avg_disc_e6, "
+            "CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty, "
+            "CAST(floor(sum(l_extendedprice) * 100.0 + 0.5) AS BIGINT) AS sum_price_cents, "
+            "CAST(floor(avg(l_discount) * 1000000.0 + 0.5) AS BIGINT) AS avg_disc_e6, "
             "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "top_orders": (
@@ -1452,7 +1479,7 @@ def oracle_sql() -> dict[str, str]:
                 f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in _PRICE_BANDS
             )
             + ") SELECT b.band, count(*) AS n, "
-            "CAST(round(sum(o.o_totalprice) * 100.0, 0) AS BIGINT) AS total_cents "
+            "CAST(floor(sum(o.o_totalprice) * 100.0 + 0.5) AS BIGINT) AS total_cents "
             "FROM orders o JOIN bands b "
             "ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi "
             "GROUP BY b.band"
