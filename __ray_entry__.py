@@ -915,6 +915,45 @@ def _q_brand_revenue(sf_dir: str):
     ).sort("p_brand")
 
 
+_GTOPK_K = 3
+_PMI_K = 20
+_PMI_MIN = 5
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (the row_number window pattern): the k longest
+    documents per language. Map-side per-batch partial top-k prune, then
+    ONE hash-partition shuffle on lang with a vectorized run-boundary
+    rank pass per partition — no per-group Python."""
+    from lsearch_ray.functions import grouped_topk_ds
+
+    return grouped_topk_ds(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        id_col="doc_id",
+        k=_GTOPK_K,
+    ).sort(["lang", "rn"])
+
+
+def _q_unigram_nll(sf_dir: str):
+    """Perplexity-style quality scoring: per-doc negative log-likelihood
+    under the corpus unigram LM, in integer micro-nats (per-term log
+    costs rounded BEFORE the weighted sum — integer arithmetic end to
+    end, no float-summation-order hazard)."""
+    from lsearch_ray.pipelines.fulltext import unigram_nll
+
+    return unigram_nll(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _q_pmi_bigrams(sf_dir: str):
+    from lsearch_ray.functions import pmi_bigrams_ds
+
+    return pmi_bigrams_ds(
+        _docs(sf_dir, ["doc_id", "text"]), k=_PMI_K, min_count=_PMI_MIN
+    )
+
+
 _CHUNK_W = 10
 _KMEANS_K = 4
 _KMEANS_ITERS = 2
@@ -1001,6 +1040,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "quota_sample": _q_quota_sample,
         "brand_revenue": _q_brand_revenue,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "unigram_nll": _q_unigram_nll,
+        "pmi_bigrams": _q_pmi_bigrams,
     }
 
 
@@ -1680,5 +1722,53 @@ def oracle_sql() -> dict[str, str]:
             "          ORDER BY tfidf DESC, term) AS rnk FROM s) "
             "SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, tfidf "
             "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"
+        ),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars, rn FROM ("
+            "  SELECT lang, doc_id, n_chars, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn"
+            "  FROM documents"
+            f") WHERE rn <= {_GTOPK_K} ORDER BY lang, rn"
+        ),
+        "unigram_nll": (
+            # per-term cost rounded to INTEGER micro-nats before the
+            # weighted sum: both engines sum exact integers, so no float
+            # summation-order divergence can reach the value hash
+            f"WITH tf AS ({_TF}), "
+            "tot AS (SELECT term, sum(tf) AS tfg FROM tf GROUP BY term), "
+            "t AS (SELECT sum(tfg) AS s FROM tot), "
+            "cost AS (SELECT term, CAST(floor(-ln(tfg * 1.0 / t.s) "
+            "         * 1000000.0 + 0.5) AS BIGINT) AS c FROM tot, t) "
+            "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+            "       CAST(sum(tf.tf * cost.c) AS BIGINT) AS nll_micro "
+            "FROM tf JOIN cost USING (term) "
+            "GROUP BY tf.doc_id ORDER BY tf.doc_id"
+        ),
+        "pmi_bigrams": (
+            # pmi decomposed as ln n2 − ln n1a − ln n1b + (2 ln T − ln B):
+            # every ln is over an integer count, the op sequence is spelled
+            # identically in the engine (functions/ngrams.py:pmi_bigrams_ds)
+            f"WITH uni AS (SELECT term, count(*) AS n1 FROM ({_TOKS}) "
+            "             GROUP BY term), "
+            "big AS (SELECT toks[i] AS w1, toks[i+1] AS w2, "
+            "               count(*) AS n2 "
+            "  FROM (SELECT list_filter("
+            "          string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "          t -> t <> '') AS toks FROM documents), "
+            "       UNNEST(generate_series(1, len(toks) - 1)) AS g(i) "
+            "  GROUP BY 1, 2), "
+            "t1 AS (SELECT sum(n1) AS s FROM uni), "
+            "b2 AS (SELECT sum(n2) AS s FROM big), "
+            "p AS (SELECT w1, w2, CAST(n2 AS BIGINT) AS n, "
+            "        CAST(floor((ln(n2 * 1.0) - ln(ua.n1 * 1.0) "
+            "          - ln(ub.n1 * 1.0) "
+            "          + (2.0 * ln(t1.s * 1.0) - ln(b2.s * 1.0))) "
+            "          * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro "
+            "      FROM big CROSS JOIN t1 CROSS JOIN b2 "
+            "      JOIN uni ua ON ua.term = big.w1 "
+            "      JOIN uni ub ON ub.term = big.w2 "
+            f"     WHERE n2 >= {_PMI_MIN}) "
+            "SELECT w1, w2, n, pmi_micro FROM p "
+            f"ORDER BY pmi_micro DESC, w1, w2 LIMIT {_PMI_K}"
         ),
     }

@@ -36,12 +36,14 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
     minhash_dedup,
     ngram_jaccard_dedup,
 )
+from lsearch_ray.functions.grouped import grouped_topk_ds  # noqa: F401
 from lsearch_ray.functions.ngrams import (  # noqa: F401
     benchmark_grams,
     decontaminate_ds,
     doc_ngrams,
     doc_repetition_stats,
     ngram_counts_ds,
+    pmi_bigrams_ds,
 )
 from lsearch_ray.functions.chunks import (  # noqa: F401
     chunk_exact_dedup,

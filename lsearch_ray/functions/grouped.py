@@ -1,0 +1,119 @@
+"""Grouped top-k (the ``row_number() OVER (PARTITION BY g ORDER BY v
+DESC, id)`` window pattern) as a Ray Data composition.
+
+The reference engine has no window surface (its per-run sort+limit,
+``/root/reference/src/search.rs:99-123``, is global top-k only); this is
+the grouped form a training-data pipeline needs (best docs per language
+/ domain / shard).
+
+Scale design — two stages, both vectorized:
+
+1. **Map-side partial prune**: each batch keeps at most k rows per group
+   (every global top-k row is inside its own batch's per-group top-k, so
+   the prune is lossless). The shuffle then carries ≤ k × groups-per-batch
+   rows per batch instead of the whole table.
+2. **One hash-partition shuffle on the group column** (the ``exact_dedup``
+   pattern, shared ``partition_ids`` arithmetic): each reduce task gets
+   whole groups and runs a single mergesort + run-boundary rank pass —
+   no per-group Python, any number of groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsearch_ray.functions.dedup import partition_ids
+
+
+def _topk_per_run(
+    t: pa.Table, group_col: str, order_col: str, id_col: str, k: int
+) -> tuple[pa.Table, np.ndarray]:
+    """Sort ``t`` by (group asc, order desc, id asc) and return the sorted
+    table plus each row's 1-based rank within its group run."""
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            (group_col, "ascending"),
+            (order_col, "descending"),
+            (id_col, "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    n = t.num_rows
+    if n == 0:
+        return t, np.empty(0, dtype=np.int64)
+    # per-batch dictionary codes give a cheap adjacent-inequality test on
+    # string groups (codes are batch-local, only equality of neighbors is
+    # used); parquet may hand the column already dictionary-encoded
+    arr = t[group_col].combine_chunks()
+    if not pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_encode()
+    codes = np.asarray(arr.indices).astype(np.int64)
+    new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
+    starts = np.flatnonzero(new_run)
+    run_of = np.cumsum(new_run) - 1
+    rnk = np.arange(n, dtype=np.int64) - starts[run_of] + 1
+    return t, rnk
+
+
+def grouped_topk_ds(
+    ds,
+    group_col: str,
+    order_col: str,
+    *,
+    id_col: str,
+    k: int = 3,
+    num_partitions: int = 32,
+):
+    """Top-k rows per group by (``order_col`` desc, ``id_col`` asc).
+
+    Returns a Dataset of (group_col, id_col, order_col, rn) with
+    ``rn`` ∈ [1, k] — exactly ``row_number() OVER (PARTITION BY group
+    ORDER BY order DESC, id)`` filtered to rn ≤ k. Deterministic total
+    order within each group (id breaks ties).
+    """
+    import pandas as pd
+
+    cols = [group_col, id_col, order_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(cols)
+        t, rnk = _topk_per_run(t, group_col, order_col, id_col, k)
+        t = t.filter(pa.array(rnk <= k))
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [group_col], num_partitions))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [group_col, order_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        n = len(g)
+        if n == 0:
+            out = g.iloc[0:0][[group_col, id_col, order_col]].copy()
+            out["rn"] = np.empty(0, dtype=np.int64)
+            return out
+        grp = g[group_col].to_numpy()
+        new_run = np.concatenate(([True], grp[1:] != grp[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_of = np.cumsum(new_run) - 1
+        rnk = np.arange(n, dtype=np.int64) - starts[run_of] + 1
+        keep = rnk <= k
+        return pd.DataFrame(
+            {
+                group_col: grp[keep],
+                id_col: g[id_col].to_numpy()[keep],
+                order_col: g[order_col].to_numpy()[keep],
+                "rn": rnk[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -239,3 +239,146 @@ def decontaminate_ds(
         _MarkContaminated(bench_grams, n, text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+def _ln_of_counts(x: np.ndarray) -> np.ndarray:
+    """ln over an integer-count column via ``math.log`` per DISTINCT value
+    (libm parity with DuckDB's ln — np.log can differ in the last ulp;
+    counts are Zipf-distributed so distinct values ≪ rows)."""
+    import math
+
+    uniq, inv = np.unique(x, return_inverse=True)
+    lns = np.array([math.log(int(v)) for v in uniq], dtype=np.float64)
+    return lns[inv]
+
+
+def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
+    """Top-k collocations: adjacent word pairs ranked by pointwise mutual
+    information, ``pmi = ln(p(w1 w2) / (p(w1) p(w2)))`` with p from corpus
+    bigram / unigram counts.
+
+    Returns an Arrow table (w1, w2, n, pmi_micro) ordered by
+    (pmi_micro desc, w1, w2), n ≥ min_count. pmi is computed as
+    ``ln n2 − ln n1a − ln n1b + (2 ln T − ln B)`` — each term an ln of an
+    integer count — and rounded half-up to integer micro-nats, so the SQL
+    oracle replays the identical IEEE operation sequence bit-exactly.
+
+    Scale plan: unigram and bigram counts are both per-batch
+    ``value_counts`` partials into one groupby-sum each (the exchange
+    carries one row per distinct gram per batch, never per occurrence);
+    the vocab-sized unigram table is broadcast into two vectorized
+    lookup joins (hash-join on term is the alternative for vocabularies
+    too big to broadcast — see ``functions.joins.hash_join``); per-block
+    top-k prunes before the tiny global sort.
+    """
+    from lsearch_ray.functions.joins import broadcast_join
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        from lsearch_ray.analyzer import flat_tokens_arrow
+
+        _, flat = flat_tokens_arrow(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.large_string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = flat.value_counts()
+        return pa.table(
+            {"term": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    uni_rows = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+        .take_all()
+    )
+    t_total = sum(int(r["sum(n)"]) for r in uni_rows)
+    uni_terms = pa.array([r["term"] for r in uni_rows], type=pa.large_string())
+    uni_counts = pa.array(
+        [int(r["sum(n)"]) for r in uni_rows], type=pa.int64()
+    )
+
+    big_ds = (
+        ds.map_batches(
+            lambda b: _count_partial(b, 2, text_col), batch_format="pyarrow"
+        )
+        .groupby("gram")
+        .sum("n")
+        .materialize()
+    )
+    b_total = int(big_ds.sum("sum(n)"))
+
+    import math
+
+    const = 2 * math.log(t_total) - math.log(b_total)
+
+    def split(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["sum(n)"], pa.scalar(min_count)))
+        parts = pc.split_pattern(
+            t["gram"].combine_chunks().cast(pa.large_string()), GRAM_SEP
+        )
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "n": t["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    pairs = big_ds.map_batches(split, batch_format="pyarrow")
+    lut1 = pa.table({"w1": uni_terms, "n1a": uni_counts})
+    lut2 = pa.table({"w2": uni_terms, "n1b": uni_counts})
+    joined = broadcast_join(broadcast_join(pairs, lut1, on="w1"), lut2, on="w2")
+
+    def score(b: pa.Table) -> pa.Table:
+        n2 = b["n"].to_numpy(zero_copy_only=False)
+        pmi = (
+            _ln_of_counts(n2)
+            - _ln_of_counts(b["n1a"].to_numpy(zero_copy_only=False))
+            - _ln_of_counts(b["n1b"].to_numpy(zero_copy_only=False))
+            + const
+        )
+        return pa.table(
+            {
+                "w1": b["w1"],
+                "w2": b["w2"],
+                "n": pa.array(n2, type=pa.int64()),
+                "pmi_micro": pa.array(
+                    np.floor(pmi * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("pmi_micro", "descending"),
+                ("w1", "ascending"),
+                ("w2", "ascending"),
+            ],
+        )
+        return t.take(idx.slice(0, k))
+
+    top = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "w1": pa.array([r["w1"] for r in top], type=pa.large_string()),
+            "w2": pa.array([r["w2"] for r in top], type=pa.large_string()),
+            "n": pa.array([int(r["n"]) for r in top], type=pa.int64()),
+            "pmi_micro": pa.array(
+                [int(r["pmi_micro"]) for r in top], type=pa.int64()
+            ),
+        }
+    )

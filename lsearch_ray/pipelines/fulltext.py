@@ -303,3 +303,113 @@ def tfidf_top_terms(
         .groupby("__part")
         .map_groups(topk_partition, batch_format="pandas")
     )
+
+
+def unigram_nll(
+    docs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    broadcast_costs: bool = True,
+):
+    """Per-document negative log-likelihood under the corpus unigram LM —
+    the perplexity-style quality signal of a training-data pipeline (docs
+    whose tokens are improbable under the corpus distribution score high).
+
+    Returns a Dataset of (doc_id, n_tokens, nll_micro):
+    ``cost(t) = floor(-ln(tf_global(t) / T) * 1e6 + 0.5)`` in integer
+    micro-nats (T = total corpus tokens), ``nll_micro = Σ_t tf·cost(t)``.
+    Each term's log-cost is rounded to an INTEGER before the weighted
+    sum, so the per-doc totals are pure integer arithmetic — bit-exact
+    across engines regardless of summation order (the float-sum ulp
+    hazard that forces fixed-point outputs elsewhere never arises).
+
+    Scale plan: one tokenize pass (triples materialized, consumed by the
+    totals aggregate and the scoring join); term totals are vocab-sized —
+    ``broadcast_costs=True`` ships the (term, cost) table once per task,
+    else a partitioned hash join on term. Scoring is a per-batch partial
+    groupby (one row per (doc, batch) through the final doc_id shuffle).
+    ln via ``math.log`` per DISTINCT total (libm parity with DuckDB's
+    ln; np.log can differ in the last ulp).
+    """
+    from ray.data.aggregate import Sum
+
+    trip = tf_triples(docs_ds, text_col, id_col).materialize()
+    tot_ds = trip.select_columns(["term", "tf"]).groupby("term").sum("tf")
+
+    def cost_table(terms: pa.Array, tfg: np.ndarray, total: int) -> pa.Table:
+        uniq, inv = np.unique(tfg, return_inverse=True)
+        c = np.array(
+            [math.floor(-math.log(int(g) / total) * 1e6 + 0.5) for g in uniq],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                # triples carry large_string terms (zero-copy tokenizer
+                # output); the join key types must match exactly
+                "term": terms.cast(pa.large_string()),
+                "__cost": pa.array(c[inv], type=pa.int64()),
+            }
+        )
+
+    if broadcast_costs:
+        rows = tot_ds.take_all()
+        total = sum(int(r["sum(tf)"]) for r in rows)
+        costs = cost_table(
+            pa.array([r["term"] for r in rows]),
+            np.array([r["sum(tf)"] for r in rows], dtype=np.int64),
+            total,
+        )
+        from lsearch_ray.functions.joins import broadcast_join
+
+        joined = broadcast_join(trip, costs, on="term")
+    else:
+        tot_ds = tot_ds.materialize()
+        total = int(tot_ds.sum("sum(tf)"))
+        costs_ds = tot_ds.map_batches(
+            lambda b: cost_table(
+                b["term"].combine_chunks(),
+                b["sum(tf)"].to_numpy(zero_copy_only=False).astype(np.int64),
+                total,
+            ),
+            batch_format="pyarrow",
+        )
+        from lsearch_ray.functions.joins import hash_join
+
+        joined = hash_join(
+            trip, costs_ds, on="term", num_partitions=num_partitions
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = tf * b["__cost"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                id_col: b[id_col],
+                "tf": pa.array(tf, type=pa.int64()),
+                "contrib": pa.array(contrib, type=pa.int64()),
+            }
+        )
+        return t.group_by(id_col).aggregate(
+            [("tf", "sum"), ("contrib", "sum")]
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("tf_sum", alias_name="n_tokens"),
+            Sum("contrib_sum", alias_name="nll_micro"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": b["n_tokens"].cast(pa.int64()),
+                "nll_micro": b["nll_micro"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
