@@ -498,6 +498,18 @@ def _q_quantiles_value(sf_dir: str):
     )
 
 
+def _q_quantiles_by_type(sf_dir: str):
+    """Exact per-group p50/p90/p99 of events.value: one hash-partition
+    shuffle on event_type, vectorized run-boundary rank gather per
+    partition (the grouped counterpart of quantiles_value)."""
+    from lsearch_ray.functions.quantiles import grouped_quantiles_ds
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_ds(
+        ev, "event_type", "value", [0.5, 0.9, 0.99], num_partitions=16
+    ).sort(["event_type", "q"])
+
+
 def _q_distinct_users_kmv(sf_dir: str):
     """KMV distinct-count sketch over user_id (deterministic: FNV hashes
     → same kth-minimum → same estimate on any partitioning)."""
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "heavy_terms": _q_heavy_terms,
         "quantiles_value": _q_quantiles_value,
+        "quantiles_by_type": _q_quantiles_by_type,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
@@ -1573,6 +1586,21 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(*) AS c FROM f) "
             "SELECT qs.q, s.value FROM (VALUES (0.5), (0.9), (0.99)) qs(q) "
             "JOIN s ON s.rn = CAST(floor(qs.q * ((SELECT c FROM n) - 1)) AS BIGINT)"
+        ),
+        "quantiles_by_type": (
+            # grouped form of quantiles_value: value at 0-indexed rank
+            # floor(q*(n_g-1)) within each group's sorted finite values;
+            # row_number tie order is irrelevant (only the value returns)
+            "WITH f AS (SELECT event_type, value FROM events "
+            "           WHERE isfinite(value)), "
+            "r AS (SELECT event_type, value, "
+            "        row_number() OVER (PARTITION BY event_type "
+            "          ORDER BY value) - 1 AS rk, "
+            "        count(*) OVER (PARTITION BY event_type) AS n FROM f) "
+            "SELECT event_type, q, value "
+            "FROM r CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q) "
+            "WHERE rk = CAST(floor(q * (n - 1)) AS BIGINT) "
+            "ORDER BY event_type, q"
         ),
         "distinct_users_kmv": (
             # KMV sketch twin: same hashes → same kth minimum → same

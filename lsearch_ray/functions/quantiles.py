@@ -271,3 +271,83 @@ def exact_quantiles(
             ),
         }
     )
+
+
+def grouped_quantiles_ds(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    num_partitions: int = 64,
+):
+    """Exact per-group order statistics: for each group and each q, the
+    value at 0-indexed rank ``floor(q * (n_g - 1))`` of the group's sorted
+    FINITE values (the same 'lower' convention as ``exact_quantiles``, so
+    the result is tie-order-independent and SQL-expressible).
+
+    Returns a Dataset of (group_col, q, value).
+
+    Scale plan: ONE hash-partition shuffle on the group column (shared
+    ``partition_ids`` arithmetic) carrying only (group, value); within a
+    partition a single mergesort + run-boundary gather answers every
+    (group, q) — vectorized across all groups at once, no per-group
+    Python. Assumes any single group's rows fit one reduce task (per-user
+    / per-domain shapes); a group spanning a large fraction of the corpus
+    should use the driver-coordinated ``exact_quantiles`` histogram
+    refinement instead, which never shuffles.
+    """
+    import pandas as pd
+
+    from lsearch_ray.functions.dedup import partition_ids
+
+    qs = [float(q) for q in qs]
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col])
+        vals = t[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        finite = np.isfinite(vals.to_numpy(zero_copy_only=False).astype(np.float64))
+        t = t.filter(pa.array(finite))
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [group_col], num_partitions))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col], kind="mergesort")
+        grp = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy().astype(np.float64)
+        n = len(grp)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    group_col: g[group_col].iloc[0:0],
+                    "q": np.empty(0, dtype=np.float64),
+                    "value": np.empty(0, dtype=np.float64),
+                }
+            )
+        new_run = np.concatenate(([True], grp[1:] != grp[:-1]))
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, n))
+        out_g, out_q, out_v = [], [], []
+        for q in qs:
+            # vectorized across ALL groups in the partition at once
+            ranks = np.floor(q * (counts - 1)).astype(np.int64)
+            idx = starts + ranks
+            out_g.append(grp[starts])
+            out_q.append(np.full(len(starts), q, dtype=np.float64))
+            out_v.append(vals[idx])
+        return pd.DataFrame(
+            {
+                group_col: np.concatenate(out_g),
+                "q": np.concatenate(out_q),
+                "value": np.concatenate(out_v),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pandas")
+    )

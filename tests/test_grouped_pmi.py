@@ -173,3 +173,46 @@ def test_pmi_bigrams_matches_pyref():
     )
     assert got.to_dict("list") == ref.to_dict("list")
     assert got.iloc[0]["w1"] == "hong" and got.iloc[0]["w2"] == "kong"
+
+
+def test_grouped_quantiles_matches_numpy_lower():
+    from lsearch_ray.functions.quantiles import grouped_quantiles_ds
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=n),
+            # integer-valued floats → heavy ties
+            "v": rng.integers(0, 9, size=n).astype(np.float64),
+        }
+    )
+    # non-finite rows must be excluded from ranks AND counts; a singleton
+    # group must answer every q with its one value
+    df = pd.concat(
+        [
+            df,
+            pd.DataFrame(
+                {"g": ["a", "b", "solo"], "v": [np.nan, np.inf, 42.0]}
+            ),
+        ],
+        ignore_index=True,
+    )
+    qs = [0.5, 0.9, 0.99]
+    got = (
+        grouped_quantiles_ds(_multiblock(df, 5), "g", "v", qs, num_partitions=4)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy()[np.isfinite(sub["v"].to_numpy())])
+        for q in qs:
+            rows.append((g, q, vals[int(math.floor(q * (len(vals) - 1)))]))
+    ref = (
+        pd.DataFrame(rows, columns=["g", "q", "value"])
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
