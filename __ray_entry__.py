@@ -930,6 +930,60 @@ def _q_brand_revenue(sf_dir: str):
 _GTOPK_K = 3
 _PMI_K = 20
 _PMI_MIN = 5
+# lineitem counts per orderkey run 1-7: threshold 5 classifies a real
+# slice of keys hot, so BOTH the broadcast and the hash-join legs carry
+# rows through the oracle compare
+_SKEW_HOT = 5
+
+
+def _q_priority_revenue(sf_dir: str):
+    """Skew-aware large-large join (functions.joins.skew_join): hot
+    orderkeys broadcast, cold orderkeys hash-join, then the
+    combine-before-shuffle revenue aggregate by order priority."""
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.joins import skew_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = skew_join(
+        li, orders, "l_orderkey", right_on="o_orderkey",
+        hot_threshold=_SKEW_HOT, num_partitions=16,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"o_orderpriority": b["o_orderpriority"], "rev": rev})
+        return t.group_by("o_orderpriority").aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("rev_sum", alias_name="revenue"),
+            Sum("rev_count", alias_name="n"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                # floor(x+0.5) half-away, shared with the oracle
+                "revenue_cents": pa.array(
+                    np.floor(
+                        b["revenue"].to_numpy(zero_copy_only=False) * 100.0
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("o_orderpriority")
 
 
 def _q_top_docs_per_lang(sf_dir: str):
@@ -1056,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "unigram_nll": _q_unigram_nll,
         "pmi_bigrams": _q_pmi_bigrams,
+        "priority_revenue": _q_priority_revenue,
     }
 
 
@@ -1798,5 +1853,15 @@ def oracle_sql() -> dict[str, str]:
             f"     WHERE n2 >= {_PMI_MIN}) "
             "SELECT w1, w2, n, pmi_micro FROM p "
             f"ORDER BY pmi_micro DESC, w1, w2 LIMIT {_PMI_K}"
+        ),
+        "priority_revenue": (
+            # the skew_join (hot-broadcast ∪ cold-hash) must equal the
+            # plain inner join; floor(x+0.5) half-away shared both sides
+            "SELECT o_orderpriority, "
+            "CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 "
+            "  + 0.5) AS BIGINT) AS revenue_cents, "
+            "count(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
     }

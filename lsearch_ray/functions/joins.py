@@ -9,6 +9,8 @@ needs broadcast and partitioned hash joins for hydration and analytics).
   both inputs repartitioned on the key). ``num_partitions`` controls
   reducer memory.
 - :func:`broadcast_semi_join` / anti — key-set membership filters.
+- :func:`skew_join` — skew-aware large-large join: hot keys (left-side
+  count ≥ threshold) broadcast, cold keys hash-join, union.
 - :func:`range_join` — broadcast interval join (overlapping intervals,
   left semantics).
 - :func:`asof_join` — backward as-of join via hash-partition co-group +
@@ -23,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def broadcast_join(
@@ -357,3 +360,94 @@ def sessionize(
     # canonical output order: the groupby shuffle's block order is not
     # reproducible run-to-run; downstream value hashes need determinism
     return out.sort(key_col)
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    on: str,
+    *,
+    right_on: str | None = None,
+    hot_threshold: int = 1000,
+    num_partitions: int = 16,
+    max_hot_keys: int = 1_000_000,
+):
+    """Skew-aware inner join of two large Datasets: keys whose LEFT-side
+    row count reaches ``hot_threshold`` take a broadcast plan (their
+    right-side rows ship to every task — no single reduce partition ever
+    receives a hot key's full row set), everything else takes the
+    partitioned hash join. The union is exactly the inner join.
+
+    This is the north rule's hot-key mitigation applied to joins (the
+    groupby counterpart is ``functions.skew.salted_groupby_sum``): a
+    Zipf-headed key column would otherwise pin one reducer per hot key.
+
+    Assumes the right side is dimension-like per key (bounded rows per
+    key), so the broadcast side stays small: hot keys are capped at
+    ``max_hot_keys`` (raises — a threshold that classifies millions of
+    keys hot means the threshold, not the plan, is wrong).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rkey = right_on or on
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = b[on].combine_chunks().value_counts()
+        return pa.table(
+            {
+                "k": vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hot_rows = (
+        left_ds.select_columns([on])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["c"], pa.scalar(hot_threshold))
+            ),
+            batch_format="pyarrow",
+        )
+        .take(max_hot_keys + 1)
+    )
+    if len(hot_rows) > max_hot_keys:
+        raise ValueError(
+            f"skew_join: more than {max_hot_keys} keys reach "
+            f"hot_threshold={hot_threshold}; raise the threshold"
+        )
+    if not hot_rows:
+        return hash_join(
+            left_ds, right_ds, on, right_on=right_on,
+            num_partitions=num_partitions,
+        )
+    hot_keys = pa.array([r["k"] for r in hot_rows])
+
+    left_cold = broadcast_semi_join(left_ds, hot_keys, on, anti=True)
+    right_cold = broadcast_semi_join(right_ds, hot_keys, rkey, anti=True)
+    cold = hash_join(
+        left_cold, right_cold, on, right_on=right_on,
+        num_partitions=num_partitions,
+    )
+
+    left_hot = broadcast_semi_join(left_ds, hot_keys, on)
+    right_hot_tbl = pa.concat_tables(
+        ray.get(
+            broadcast_semi_join(right_ds, hot_keys, rkey).to_arrow_refs()
+        ),
+        promote_options="permissive",
+    )
+    hot = broadcast_join(left_hot, right_hot_tbl, on, right_on=right_on)
+
+    # Dataset.union requires identical column order; Dataset.join and
+    # pa.Table.join lay columns out differently
+    cols = sorted(
+        set(left_ds.schema().names)
+        | (set(right_ds.schema().names) - {rkey})
+        | {on}
+    )
+    return cold.select_columns(cols).union(hot.select_columns(cols))

@@ -28,17 +28,29 @@ def tf_triples(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 def term_df(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """Global document frequency per term.
 
-    Triples are already unique per (term, doc) — i.e. the per-batch
-    combiner has run inside ``term_counts_table`` — so the groupby only
-    shuffles one row per (doc, distinct term).
+    Triples are unique per (term, doc), so df(term) = its triple-row
+    count; a per-batch ``value_counts`` partial collapses that to ONE row
+    per (batch, distinct term) before the shuffle (vocab-per-batch rather
+    than docs×terms — the combine-before-shuffle rule), then a
+    groupby-sum finishes.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b["term"].combine_chunks().value_counts()
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
 
     return (
         tf_triples(docs_ds, text_col, id_col)
         .select_columns(["term"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Count(alias_name="df"))
+        .aggregate(Sum("c", alias_name="df"))
     )
 
 

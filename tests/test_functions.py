@@ -583,3 +583,80 @@ def test_quantiles_extreme_range_no_overflow():
     s = np.sort(vals)
     for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
         assert v == s[int(np.floor(q * (len(s) - 1)))], q
+
+
+def test_skew_join_matches_plain_inner_join():
+    """Hot keys (left count >= threshold) take the broadcast leg, cold
+    keys the hash-join leg; the union must equal a plain inner join."""
+    import pandas as pd
+
+    from lsearch_ray.functions.joins import skew_join
+
+    rng = np.random.RandomState(7)
+    # key 1 is Zipf-hot (60 rows), keys 2..40 are cold (1-4 rows)
+    keys = np.concatenate(
+        [np.full(60, 1), rng.randint(2, 41, size=120)]
+    ).astype(np.int64)
+    left = pa.table(
+        {
+            "k": keys,
+            "v": np.arange(len(keys), dtype=np.int64),
+        }
+    )
+    # right side dimension-like: keys 1..35 present (some left keys miss)
+    right = pa.table(
+        {
+            "rk": np.arange(1, 36, dtype=np.int64),
+            "name": [f"n{i}" for i in range(1, 36)],
+        }
+    )
+    out = (
+        skew_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            "k",
+            right_on="rk",
+            hot_threshold=50,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], ref[sorted(ref.columns)])
+    # hot key 1 must be present via the broadcast leg
+    assert (out["k"] == 1).sum() == 60
+
+
+def test_skew_join_no_hot_keys_falls_back_to_hash_join():
+    from lsearch_ray.functions.joins import skew_join
+
+    left = pa.table({"k": [1, 2, 3], "v": [10, 20, 30]})
+    right = pa.table({"k": [2, 3, 4], "w": [200, 300, 400]})
+    out = skew_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k",
+        hot_threshold=100, num_partitions=2,
+    ).take_all()
+    assert sorted((r["k"], r["v"], r["w"]) for r in out) == [
+        (2, 20, 200),
+        (3, 30, 300),
+    ]
+
+
+def test_skew_join_hot_key_cap_raises():
+    from lsearch_ray.functions.joins import skew_join
+
+    left = pa.table({"k": list(range(10)) * 2, "v": list(range(20))})
+    right = pa.table({"k": list(range(10)), "w": list(range(10))})
+    with pytest.raises(ValueError, match="hot_threshold"):
+        skew_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k",
+            hot_threshold=2, max_hot_keys=3,
+        )
