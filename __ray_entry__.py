@@ -1002,6 +1002,101 @@ def _q_top_docs_per_lang(sf_dir: str):
     ).sort(["lang", "rn"])
 
 
+def _q_urgent_revenue(sf_dir: str):
+    """Bloom-filter semi-join (functions.bloom.bloom_semi_join): the fact
+    table is pruned against an m-bit bloom of the urgent-order keys
+    (never shuffled), then exact-verified, then aggregated with a
+    per-batch combiner. m_bits is sized small on purpose so real false
+    positives exist at sf0.01 and the exact verify is load-bearing."""
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.bloom import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_returnflag"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    keys = orders.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["o_orderpriority"], "1-URGENT")
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    semi = bloom_semi_join(
+        li, keys, "l_orderkey", key_col="o_orderkey", m_bits=1 << 14
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({"l_returnflag": b["l_returnflag"], "qty": pa.array(qty)})
+        return t.group_by("l_returnflag").aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+
+    agg = (
+        semi.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("qty_sum", alias_name="qty_cents"),
+            Sum("qty_count", alias_name="n"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "qty_cents": b["qty_cents"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("l_returnflag")
+
+
+def _q_running_totals(sf_dir: str):
+    """Per-user running window aggregates over the event stream: value is
+    quantized to integer micro-units (bit-stable cumsum), then ONE
+    hash-partition shuffle on user_id and a vectorized run-boundary
+    cumsum/lag pass per partition (functions.grouped.grouped_running_ds).
+    delta coalesces to the row's own value on each user's first event
+    (lag-default-0 semantics), keeping the output null-free so both
+    engines emit plain int64."""
+    from lsearch_ray.functions.grouped import grouped_running_ds
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "v_micro": pa.array(v),
+            }
+        )
+
+    out = grouped_running_ds(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "v_micro",
+        cum_col="cum_micro",
+        delta_col="delta_micro",
+        num_partitions=16,
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("delta_micro"),
+            "delta_micro",
+            pc.coalesce(b["delta_micro"], b["v_micro"]),
+        ),
+        batch_format="pyarrow",
+    ).sort(["user_id", "ts", "event_id"])
+
+
 def _q_unigram_nll(sf_dir: str):
     """Perplexity-style quality scoring: per-doc negative log-likelihood
     under the corpus unigram LM, in integer micro-nats (per-term log
@@ -1111,6 +1206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": _q_unigram_nll,
         "pmi_bigrams": _q_pmi_bigrams,
         "priority_revenue": _q_priority_revenue,
+        "running_totals": _q_running_totals,
+        "urgent_revenue": _q_urgent_revenue,
     }
 
 
@@ -1863,5 +1960,35 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "running_totals": (
+            # fixed-point v_micro shared with the engine; ROWS frame (not
+            # the default RANGE) so tie handling is positional, and the
+            # (ts, event_id) order is per-user unique so ranks are
+            # deterministic; delta coalesces to v on first rows (both
+            # sides) to keep the column null-free int64
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro "
+            "FROM events) "
+            "SELECT user_id, ts, event_id, v_micro, "
+            "CAST(sum(v_micro) OVER w AS BIGINT) AS cum_micro, "
+            "coalesce(v_micro - lag(v_micro) OVER w, v_micro) "
+            "  AS delta_micro "
+            "FROM e WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "ORDER BY user_id, ts, event_id"
+        ),
+        "urgent_revenue": (
+            # the bloom-pruned + exact-verified semi-join must equal the
+            # plain IN-subquery semi-join
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) "
+            "  AS BIGINT) AS qty_cents, "
+            "count(*) AS n "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders "
+            " WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
     }

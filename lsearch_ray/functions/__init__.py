@@ -28,6 +28,10 @@ from lsearch_ray.functions.ann_lsh import (  # noqa: F401
     embedding_dedup,
     lsh_cosine_topk,
 )
+from lsearch_ray.functions.bloom import (  # noqa: F401
+    bloom_semi_join,
+    build_bloom_filter,
+)
 from lsearch_ray.functions.dedup import (  # noqa: F401
     exact_dedup,
     exact_dedup_by_content,
@@ -36,7 +40,10 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
     minhash_dedup,
     ngram_jaccard_dedup,
 )
-from lsearch_ray.functions.grouped import grouped_topk_ds  # noqa: F401
+from lsearch_ray.functions.grouped import (  # noqa: F401
+    grouped_running_ds,
+    grouped_topk_ds,
+)
 from lsearch_ray.functions.ngrams import (  # noqa: F401
     benchmark_grams,
     decontaminate_ds,

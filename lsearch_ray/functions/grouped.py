@@ -117,3 +117,83 @@ def grouped_topk_ds(
         .groupby("__part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_running_ds(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    cum_col: str = "cum",
+    delta_col: str = "delta",
+    num_partitions: int = 32,
+):
+    """Per-key running aggregates — ``sum(v) OVER (PARTITION BY key ORDER
+    BY order ROWS UNBOUNDED PRECEDING)`` and ``v - lag(v) OVER (...)`` —
+    as a Ray Data composition (the reference has no window surface; see
+    grouped_topk_ds above for the family rationale).
+
+    ``value_col`` must be a non-null integer column (integer cumsum is
+    order-of-evaluation-free, so the result is bit-stable across engines;
+    callers quantize floats first — the fixed-point oracle convention).
+    ``order_cols`` must be a per-key unique ordering (include an id
+    column) or run output is nondeterministic.
+
+    Scale design: running aggregates cannot be map-side pruned (every row
+    is output), so this is ONE hash-partition shuffle on the key (shared
+    ``partition_ids`` arithmetic) and one vectorized mergesort +
+    run-boundary cumsum pass per partition — no per-group Python, any
+    number of keys. ``delta`` is null on each key's first row; callers
+    wanting lag-default-0 semantics coalesce it downstream
+    (``pc.coalesce(delta, v)``).
+    """
+    cols = [key_col, *order_cols, value_col]
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(cols)
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [key_col], num_partitions))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in [key_col, *order_cols]]
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(cum_col, pa.array([], pa.int64())).append_column(
+                delta_col, pa.array([], pa.int64())
+            )
+        vcol = t[value_col].combine_chunks()
+        if vcol.null_count:
+            raise ValueError(
+                f"grouped_running_ds: {value_col} has nulls; "
+                "quantize/fill upstream"
+            )
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.int64)
+        karr = t[key_col].combine_chunks()
+        if not pa.types.is_dictionary(karr.type):
+            karr = karr.dictionary_encode()
+        codes = np.asarray(karr.indices).astype(np.int64)
+        new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_of = np.cumsum(new_run) - 1
+        total = np.cumsum(v)
+        base = (total[starts] - v[starts])[run_of]
+        cum = total - base
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = v[:-1]
+        prev[0] = 0
+        delta = pa.array(v - prev, type=pa.int64(), mask=new_run)
+        return t.append_column(cum_col, pa.array(cum)).append_column(
+            delta_col, delta
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -660,3 +660,133 @@ def test_skew_join_hot_key_cap_raises():
             rd.from_arrow(left), rd.from_arrow(right), "k",
             hot_threshold=2, max_hot_keys=3,
         )
+
+
+def test_grouped_running_matches_pandas():
+    import pandas as pd
+
+    from lsearch_ray.functions.grouped import grouped_running_ds
+
+    rng = np.random.RandomState(11)
+    n = 500
+    t = pa.table(
+        {
+            "k": rng.randint(0, 40, size=n).astype(np.int64),
+            "ts": rng.randint(0, 10_000, size=n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.randint(-50, 50, size=n).astype(np.int64),
+        }
+    )
+    out = (
+        grouped_running_ds(
+            rd.from_arrow(t).repartition(5),
+            "k",
+            ["ts", "id"],
+            "v",
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    g = df.groupby("k")["v"]
+    assert (out["cum"].to_numpy() == g.cumsum().to_numpy()).all()
+    expect_delta = df["v"] - g.shift(1)
+    got = out["delta"]
+    assert got.isna().to_numpy().tolist() == expect_delta.isna().to_numpy().tolist()
+    m = ~expect_delta.isna()
+    assert (got[m].to_numpy().astype(np.int64) == expect_delta[m].to_numpy().astype(np.int64)).all()
+
+
+def test_grouped_running_rejects_null_values():
+    from lsearch_ray.functions.grouped import grouped_running_ds
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "o": pa.array([1, 2], pa.int64()),
+            "v": pa.array([3, None], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="nulls"):
+        grouped_running_ds(rd.from_arrow(t), "k", ["o"], "v").take_all()
+
+
+def test_bloom_filter_no_false_negatives():
+    from lsearch_ray.functions.bloom import _positions, build_bloom_filter
+
+    keys = pa.table({"k": np.arange(0, 3000, 3, dtype=np.int64)})
+    bits = build_bloom_filter(
+        rd.from_arrow(keys).repartition(4), "k", m_bits=1 << 12
+    )
+    col = keys["k"].combine_chunks()
+    hit = np.ones(len(col), dtype=bool)
+    for idx in _positions(col, 1 << 12, 4):
+        hit &= (
+            (bits[(idx >> np.uint64(6)).astype(np.int64)]
+             >> (idx & np.uint64(63)))
+            & np.uint64(1)
+        ).astype(bool)
+    assert hit.all()
+
+
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 1])
+def test_bloom_semi_join_exact(broadcast_limit):
+    """Tiny m_bits forces real false positives; the exact verify (both
+    the broadcast and the distributed-join legs) must remove them."""
+    from lsearch_ray.functions.bloom import bloom_semi_join
+
+    rng = np.random.RandomState(3)
+    fact = pa.table(
+        {
+            "k": rng.randint(0, 1000, size=800).astype(np.int64),
+            "v": np.arange(800, dtype=np.int64),
+        }
+    )
+    member = np.arange(0, 1000, 7, dtype=np.int64)
+    keys = pa.table({"kk": np.concatenate([member, member[:20]])})  # dupes
+    out = (
+        bloom_semi_join(
+            rd.from_arrow(fact).repartition(4),
+            rd.from_arrow(keys).repartition(3),
+            "k",
+            key_col="kk",
+            m_bits=1 << 8,
+            broadcast_limit=broadcast_limit,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    df = fact.to_pandas()
+    ref = (
+        df[df["k"].isin(member)]
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert (out["k"].to_numpy() == ref["k"].to_numpy()).all()
+    assert (out["v"].to_numpy() == ref["v"].to_numpy()).all()
+
+
+def test_bloom_semi_join_nulls_and_inexact():
+    from lsearch_ray.functions.bloom import bloom_semi_join
+
+    fact = pa.table(
+        {
+            "k": pa.array([1, None, 2, 3, None, 50], pa.int64()),
+            "v": pa.array(range(6), pa.int64()),
+        }
+    )
+    keys = pa.table({"k": pa.array([1, 3, None], pa.int64())})
+    exact = bloom_semi_join(
+        rd.from_arrow(fact), rd.from_arrow(keys), "k", m_bits=1 << 10
+    ).take_all()
+    assert sorted(r["k"] for r in exact) == [1, 3]
+    # inexact = bloom-only: superset of the true members, nulls dropped
+    loose = bloom_semi_join(
+        rd.from_arrow(fact), rd.from_arrow(keys), "k",
+        m_bits=1 << 10, exact=False,
+    ).take_all()
+    got = {r["k"] for r in loose}
+    assert {1, 3} <= got and None not in got
