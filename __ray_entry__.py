@@ -852,6 +852,31 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate_ds(corpus, grams, n=_DECON_N).sort("doc_id")
 
 
+_FUZZY_MOD = 5
+_FUZZY_TAU = 0.8
+
+
+def _q_fuzzy_decontaminate(sf_dir: str):
+    """Fuzzy benchmark decontamination: the doc_id % 5 == 0 slice plays
+    the eval suite; corpus docs with exact 3-gram Jaccard ≥ 0.8 against
+    any bench doc are flagged. Candidates from MinHash banding over the
+    union (cross-table pairs only), exact shingle-set verify through
+    hash joins (functions.minhash.fuzzy_decontaminate)."""
+    from lsearch_ray.functions import fuzzy_decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _slice(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        mod = np.asarray(batch["doc_id"]) % _FUZZY_MOD == 0
+        return batch.filter(pa.array(mod if keep_bench else ~mod))
+
+    bench = docs.map_batches(lambda b: _slice(b, True), batch_format="pyarrow")
+    corpus = docs.map_batches(lambda b: _slice(b, False), batch_format="pyarrow")
+    return fuzzy_decontaminate(corpus, bench, threshold=_FUZZY_TAU).sort(
+        "doc_id"
+    )
+
+
 _REP_N = 2
 
 
@@ -1208,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": _q_priority_revenue,
         "running_totals": _q_running_totals,
         "urgent_revenue": _q_urgent_revenue,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
     }
 
 
@@ -1990,5 +2016,38 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_orderkey FROM orders "
             " WHERE o_orderpriority = '1-URGENT') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "fuzzy_decontaminate": (
+            # brute-force cross-table exact-Jaccard twin (shingle CTE
+            # shared with _ngram_jaccard_sql; the engine's banding at
+            # b=32/r=4 has miss prob < 1e-7 at jaccard 0.8)
+            f"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2] AS s
+  FROM l, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+  WHERE len(toks) >= 3
+  UNION
+  SELECT DISTINCT doc_id, list_aggregate(toks, 'string_agg', chr(1)) AS s
+  FROM l WHERE len(toks) BETWEEN 1 AND 2
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_id AS c, b.doc_id AS b, count(*) AS i
+  FROM sh c JOIN sh b ON c.s = b.s
+  AND c.doc_id % {_FUZZY_MOD} <> 0 AND b.doc_id % {_FUZZY_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT DISTINCT i.c AS doc_id FROM inter i
+JOIN sz sc ON i.c = sc.doc_id JOIN sz sb ON i.b = sb.doc_id
+WHERE i.i * 1.0 / (sc.n + sb.n - i.i) >= {_FUZZY_TAU}
+ORDER BY doc_id
+"""
         ),
     }

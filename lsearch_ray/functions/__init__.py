@@ -37,6 +37,7 @@ from lsearch_ray.functions.dedup import (  # noqa: F401
     exact_dedup_by_content,
 )
 from lsearch_ray.functions.minhash import (  # noqa: F401
+    fuzzy_decontaminate,
     minhash_dedup,
     ngram_jaccard_dedup,
 )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from lsearch_ray.analyzer import flat_tokens_arrow
 
@@ -409,3 +410,110 @@ def ngram_jaccard_dedup(
 
     verified = joined.map_batches(verify, batch_format="pyarrow")
     return apply_verified_pairs(ds, verified, id_col, num_partitions=np_eff)
+
+
+def fuzzy_decontaminate(
+    corpus_ds,
+    bench_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 12345,
+    max_bench_ids: int = 10_000_000,
+):
+    """Cross-table fuzzy benchmark decontamination: ids of corpus docs
+    whose EXACT n-gram Jaccard against ANY benchmark doc reaches
+    ``threshold`` (the near-dup companion to the exact-gram
+    ``decontaminate_ds`` — catches lightly edited eval contamination
+    that exact 8-gram matching misses).
+
+    Same skeleton as :func:`ngram_jaccard_dedup`, restricted to
+    cross-table pairs: MinHash banding over the UNION generates
+    candidates; bench ids (eval suites are tiny next to a corpus — the
+    cap guards the assumption) are broadcast to keep only corpus×bench
+    pairs; each survivor is exact-verified on true shingle-set blobs
+    through hash joins; output is the distinct flagged corpus id column.
+
+    Corpus and bench id spaces must be disjoint. Caveat shared with the
+    banding generator: an over-cap LSH bucket (≥64 near-identical docs)
+    emits pairs only against its minimum id, so a contaminated doc whose
+    every shared bucket is over cap can be missed — raise
+    ``bucket_pairs_ds``'s cap for strict audit runs.
+    """
+    from lsearch_ray.functions.dedup import exact_dedup
+
+    bench_id_rows = bench_ds.select_columns([id_col]).take(max_bench_ids + 1)
+    if len(bench_id_rows) > max_bench_ids:
+        raise ValueError(
+            f"fuzzy_decontaminate: more than {max_bench_ids} benchmark "
+            "ids; that is not an eval suite"
+        )
+    if not bench_id_rows:
+        return corpus_ds.select_columns([id_col]).map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow"
+        )
+    bench_ids = pa.array(
+        sorted(r[id_col] for r in bench_id_rows), type=pa.int64()
+    )
+
+    cols = [id_col, text_col]
+    union = corpus_ds.select_columns(cols).union(bench_ds.select_columns(cols))
+    _, pairs = minhash_candidate_pairs(
+        union,
+        text_col=text_col,
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+        ngram=ngram,
+        seed=seed,
+    )
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        in_a = np.asarray(pc.is_in(b["a"], value_set=bench_ids))
+        in_b = np.asarray(pc.is_in(b["b"], value_set=bench_ids))
+        keep = in_a != in_b  # exactly one endpoint is a benchmark doc
+        t = b.filter(pa.array(keep))
+        # normalize: a = corpus id, b = bench id
+        swap = np.asarray(pc.is_in(t["a"], value_set=bench_ids))
+        a = np.asarray(t["a"]).copy()
+        bcol = np.asarray(t["b"]).copy()
+        a[swap], bcol[swap] = np.asarray(t["b"])[swap], np.asarray(t["a"])[swap]
+        return pa.table({"a": pa.array(a), "b": pa.array(bcol)})
+
+    pairs = pairs.map_batches(cross_only, batch_format="pyarrow").materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return corpus_ds.select_columns([id_col]).map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow"
+        )
+    np_eff = _pair_partitions(n_pairs)
+    shingle_blobs = union.map_batches(
+        ShingleSets(ngram, text_col, id_col), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table({id_col: b[id_col], "sh": list_to_blob(b["shingles"])}),
+        batch_format="pyarrow",
+    )
+    joined = attach_pair_payloads(pairs, shingle_blobs, id_col, num_partitions=np_eff)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        offs_a, flat_a = blob_lists(b["sh_a"])
+        offs_b, flat_b = blob_lists(b["sh_b"])
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i in range(b.num_rows):
+            sa = flat_a[offs_a[i] : offs_a[i + 1]]
+            sb = flat_b[offs_b[i] : offs_b[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union_n = len(sa) + len(sb) - inter
+            jac = (inter / union_n) if union_n else 1.0
+            keep[i] = jac >= threshold
+        return pa.table({id_col: b["a"]}).filter(pa.array(keep))
+
+    flagged = joined.map_batches(verify, batch_format="pyarrow")
+    # a corpus doc may match several bench docs — distinct ids out
+    return exact_dedup(flagged, [id_col], [id_col], num_partitions=np_eff)

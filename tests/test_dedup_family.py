@@ -215,3 +215,55 @@ def test_exact_dedup_by_content_join_path_matches_broadcast():
     )
     # doc 2 is a byte-exact dup of doc 1; both regimes keep min-id survivors
     assert bc == joined == [1, 3, 4, 5]
+
+
+def test_fuzzy_decontaminate_flags_near_matches():
+    """Corpus docs near a benchmark doc are flagged; unrelated ones are
+    not. Bench ids BELOW the corpus ids exercise the a/b swap
+    normalization (candidate pairs are emitted with a < b)."""
+    from lsearch_ray.functions import fuzzy_decontaminate
+
+    bench = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": [BASE, "unrelated benchmark prompt about "
+                               "astronomy stars planets and moons orbiting"]})
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": [
+                BASE.replace("lazy", "sleepy"),  # near dup of bench 1
+                "completely different content about database engines and "
+                "distributed query processing over columnar storage files",
+                BASE,  # exact dup of bench 1
+            ],
+        }
+    )
+    out = fuzzy_decontaminate(
+        rd.from_arrow(corpus).repartition(2),
+        rd.from_arrow(bench),
+        # the one-token edit shifts 3 of ~24 shingles → jaccard ≈ 0.78
+        threshold=0.75,
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [10, 12]
+
+
+def test_fuzzy_decontaminate_no_bench_or_no_hits():
+    from lsearch_ray.functions import fuzzy_decontaminate
+
+    corpus = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": [BASE]}
+    )
+    empty_bench = corpus.slice(0, 0)
+    out = fuzzy_decontaminate(
+        rd.from_arrow(corpus), rd.from_arrow(empty_bench)
+    ).take_all()
+    assert out == []
+    far_bench = pa.table(
+        {
+            "doc_id": pa.array([99], pa.int64()),
+            "text": ["nothing in common with the corpus at all here"],
+        }
+    )
+    out = fuzzy_decontaminate(
+        rd.from_arrow(corpus), rd.from_arrow(far_bench)
+    ).take_all()
+    assert out == []
