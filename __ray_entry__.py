@@ -629,6 +629,48 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10, nplanes=10)
 
 
+def _q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) — subtotals and grand
+    total via one combiner-aggregated groupby per rollup level
+    (functions.grouped.rollup_sum_ds), quantity quantized to cents."""
+    from lsearch_ray.functions import rollup_sum_ds
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(qty),
+            }
+        )
+
+    return rollup_sum_ds(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        "qty",
+        sum_col="qty_cents",
+    ).sort(["l_returnflag", "l_linestatus"])
+
+
+_KNN_K = 5
+
+
+def _q_knn_join(sf_dir: str):
+    """All-pairs similarity search: every embedding's top-k cosine
+    neighbors (functions.ann.knn_join — matrix broadcast once, one
+    matmul per batch, k·N output rows)."""
+    from lsearch_ray.functions import knn_join
+
+    return knn_join(_read(sf_dir, "embeddings"), k=_KNN_K).sort(
+        ["vec_id", "rn"]
+    )
+
+
 def _q_join_revenue(sf_dir: str):
     """lineitem ⋈ orders (partitioned hash join) with a broadcast
     semi-join against BUILDING-segment customers; revenue per priority."""
@@ -1234,6 +1276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "urgent_revenue": _q_urgent_revenue,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "knn_join": _q_knn_join,
+        "rollup_revenue": _q_rollup_revenue,
     }
 
 
@@ -2049,5 +2093,29 @@ JOIN sz sc ON i.c = sc.doc_id JOIN sz sb ON i.b = sb.doc_id
 WHERE i.i * 1.0 / (sc.n + sb.n - i.i) >= {_FUZZY_TAU}
 ORDER BY doc_id
 """
+        ),
+        "knn_join": (
+            # fixed-point sims (the kmeans rounding contract); rank by
+            # (sim_micro DESC, neighbor_id) is integer-deterministic
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+            "CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0 "
+            "  + 0.5) AS BIGINT) AS sim_micro "
+            "FROM e a JOIN e b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY sim_micro DESC, neighbor_id) AS rn FROM p) "
+            f"SELECT vec_id, neighbor_id, rn, sim_micro FROM r "
+            f"WHERE rn <= {_KNN_K} ORDER BY vec_id, rn"
+        ),
+        "rollup_revenue": (
+            # aggregated-out dims coalesce to the engine's total label
+            "SELECT coalesce(l_returnflag, '<all>') AS l_returnflag, "
+            "coalesce(l_linestatus, '<all>') AS l_linestatus, "
+            "CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) "
+            "  AS BIGINT) AS qty_cents, "
+            "count(*) AS n "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "ORDER BY 1, 2"
         ),
     }

@@ -7,7 +7,7 @@ quality, token counting, fingerprints), multimodal plumbing, and skew
 helpers for Zipf-keyed shuffles.
 """
 
-from lsearch_ray.functions.ann import cosine_topk  # noqa: F401
+from lsearch_ray.functions.ann import cosine_topk, knn_join  # noqa: F401
 from lsearch_ray.functions.ann_ivf import (  # noqa: F401
     build_ivf_index,
     ivf_cosine_topk,
@@ -44,6 +44,7 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
 from lsearch_ray.functions.grouped import (  # noqa: F401
     grouped_running_ds,
     grouped_topk_ds,
+    rollup_sum_ds,
 )
 from lsearch_ray.functions.ngrams import (  # noqa: F401
     benchmark_grams,

@@ -197,3 +197,69 @@ def grouped_running_ds(
         .groupby("__part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def rollup_sum_ds(
+    ds,
+    dims: list[str],
+    value_col: str,
+    *,
+    total_label: str = "<all>",
+    sum_col: str | None = None,
+    count_col: str = "n",
+):
+    """``GROUP BY ROLLUP(dims)`` with sum + count — the subtotal/grand-
+    total reporting shape. One combiner-aggregated groupby per rollup
+    level (each level's shuffle carries only its pre-aggregated partial
+    rows); aggregated-out dims are filled with ``total_label`` (callers
+    spell the same ``coalesce`` in SQL twins), levels unioned.
+
+    ``value_col`` must be integer (bit-stable sums across engines —
+    quantize floats upstream). Level count is len(dims)+1, so the extra
+    cost over a flat groupby is one tiny shuffle per rollup level.
+    """
+    from ray.data.aggregate import Sum
+
+    scol = sum_col or f"{value_col}_sum"
+
+    def level_ds(keep: list[str]):
+        def partial(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in keep}
+            cols["__v"] = b[value_col]
+            t = pa.table(cols)
+            if not keep:
+                t = t.append_column(
+                    "__g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+                )
+            gcols = keep or ["__g"]
+            return t.group_by(gcols).aggregate([("__v", "sum"), ("__v", "count")])
+
+        gkey = keep if len(keep) > 1 else (keep[0] if keep else "__g")
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(gkey)
+            .aggregate(
+                Sum("__v_sum", alias_name=scol),
+                Sum("__v_count", alias_name=count_col),
+            )
+        )
+
+        def unify(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {}
+            for d in dims:
+                cols[d] = (
+                    b[d]
+                    if d in keep
+                    else pa.array([total_label] * n, pa.string())
+                )
+            cols[scol] = b[scol].cast(pa.int64())
+            cols[count_col] = b[count_col].cast(pa.int64())
+            return pa.table(cols)
+
+        return agg.map_batches(unify, batch_format="pyarrow")
+
+    out = level_ds(list(dims))
+    for lvl in range(len(dims) - 1, -1, -1):
+        out = out.union(level_ds(list(dims[:lvl])))
+    return out

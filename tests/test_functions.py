@@ -790,3 +790,100 @@ def test_bloom_semi_join_nulls_and_inexact():
     ).take_all()
     got = {r["k"] for r in loose}
     assert {1, 3} <= got and None not in got
+
+
+def test_knn_join_matches_bruteforce():
+    import pandas as pd
+
+    from lsearch_ray.functions.ann import knn_join
+
+    rng = np.random.RandomState(5)
+    n, d, k = 40, 8, 3
+    m = rng.randn(n, d)
+    t = pa.table(
+        {
+            "vec_id": np.arange(100, 100 + n, dtype=np.int64),
+            "embedding": pa.array(list(m.astype(np.float32)),
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        knn_join(rd.from_arrow(t).repartition(4), k=k)
+        .to_pandas()
+        .sort_values(["vec_id", "rn"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == n * k
+    # reference: float64 sims on the float32-rounded data, same fixed point
+    mf = m.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(mf, axis=1)
+    sims = (mf @ mf.T) / (norms[:, None] * norms[None, :])
+    micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    rows = []
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i),
+            key=lambda j: (-micro[i, j], ids[j]),
+        )[:k]
+        for rnk, j in enumerate(order, 1):
+            rows.append((ids[i], ids[j], rnk, micro[i, j]))
+    ref = pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "rn", "sim_micro"])
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_knn_join_k_exceeds_rows_and_cap():
+    from lsearch_ray.functions.ann import knn_join
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0]], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = knn_join(rd.from_arrow(t), k=5).take_all()
+    assert len(out) == 2  # k clamps to n-1 = 1 neighbor each
+    assert all(r["rn"] == 1 for r in out)
+    with pytest.raises(ValueError, match="broadcast cap"):
+        knn_join(rd.from_arrow(t), k=1, max_broadcast_rows=1)
+
+
+def test_rollup_sum_matches_pandas():
+    from lsearch_ray.functions.grouped import rollup_sum_ds
+
+    rng = np.random.RandomState(13)
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y", "z"], 200)),
+            "b": pa.array(rng.choice(["p", "q"], 200)),
+            "v": rng.randint(0, 100, 200).astype(np.int64),
+        }
+    )
+    out = (
+        rollup_sum_ds(
+            rd.from_arrow(t).repartition(4), ["a", "b"], "v", sum_col="s"
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    lv2 = df.groupby(["a", "b"], as_index=False).agg(s=("v", "sum"), n=("v", "count"))
+    lv1 = df.groupby(["a"], as_index=False).agg(s=("v", "sum"), n=("v", "count"))
+    lv1["b"] = "<all>"
+    lv0 = df.agg(s=("v", "sum"), n=("v", "count"))
+    import pandas as pd
+
+    lv0 = pd.DataFrame(
+        {"a": ["<all>"], "b": ["<all>"], "s": [df["v"].sum()], "n": [len(df)]}
+    )
+    ref = (
+        pd.concat([lv2, lv1, lv0], ignore_index=True)[["a", "b", "s", "n"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert (out["a"] == ref["a"]).all() and (out["b"] == ref["b"]).all()
+    assert (out["s"].to_numpy() == ref["s"].to_numpy()).all()
+    assert (out["n"].to_numpy() == ref["n"].to_numpy()).all()
