@@ -629,6 +629,50 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10, nplanes=10)
 
 
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def _q_funnel_counts(sf_dir: str):
+    """Ordered funnel over the event stream (view → click → purchase,
+    strictly increasing timestamps): per-user max stage via ONE
+    hash-partition shuffle + a reduceat pass per stage
+    (functions.funnel.funnel_stages), then users-reaching-stage counts."""
+    import pandas as pd
+
+    from lsearch_ray.functions import funnel_stages
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    per_user = funnel_stages(ev, _FUNNEL, num_partitions=16)
+    counts = (
+        per_user.groupby("stage_reached").count().to_pandas()
+    )  # ≤ len(stages)+1 tiny rows
+    by_stage = dict(zip(counts["stage_reached"], counts["count()"]))
+    n_users = [
+        int(sum(v for s, v in by_stage.items() if s >= i))
+        for i in range(1, len(_FUNNEL) + 1)
+    ]
+    return pd.DataFrame(
+        {
+            "stage_idx": pd.array(range(1, len(_FUNNEL) + 1), dtype="int64"),
+            "stage": _FUNNEL,
+            "n_users": pd.array(n_users, dtype="int64"),
+        }
+    )
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type
+    (functions.funnel.grouped_distinct_count_ds)."""
+    from lsearch_ray.functions import grouped_distinct_count_ds
+
+    return grouped_distinct_count_ds(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+        num_partitions=16,
+    ).sort("event_type")
+
+
 def _q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP(returnflag, linestatus) — subtotals and grand
     total via one combiner-aggregated groupby per rollup level
@@ -1278,6 +1322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "knn_join": _q_knn_join,
         "rollup_revenue": _q_rollup_revenue,
+        "funnel_counts": _q_funnel_counts,
+        "distinct_users_by_type": _q_distinct_users_by_type,
     }
 
 
@@ -2117,5 +2163,30 @@ ORDER BY doc_id
             "count(*) AS n "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
             "ORDER BY 1, 2"
+        ),
+        "funnel_counts": (
+            # strictly-after semantics: each stage's first time must
+            # exceed the key's previous-stage first time (same > both
+            # engines)
+            "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events "
+            f"  WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1), "
+            "t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t "
+            f"  WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY 1), "
+            "t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t "
+            f"  WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY 1) "
+            "SELECT * FROM ("
+            f"  SELECT 1 AS stage_idx, '{_FUNNEL[0]}' AS stage, "
+            "     (SELECT count(*) FROM t1) AS n_users "
+            f"  UNION ALL SELECT 2, '{_FUNNEL[1]}', "
+            "     (SELECT count(*) FROM t2) "
+            f"  UNION ALL SELECT 3, '{_FUNNEL[2]}', "
+            "     (SELECT count(*) FROM t3)"
+            ") ORDER BY stage_idx"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
     }

@@ -41,6 +41,10 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
     minhash_dedup,
     ngram_jaccard_dedup,
 )
+from lsearch_ray.functions.funnel import (  # noqa: F401
+    funnel_stages,
+    grouped_distinct_count_ds,
+)
 from lsearch_ray.functions.grouped import (  # noqa: F401
     grouped_running_ds,
     grouped_topk_ds,

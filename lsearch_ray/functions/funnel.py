@@ -1,0 +1,148 @@
+"""Ordered event-funnel analysis and exact grouped distinct counts.
+
+The reference engine has no stateful multi-event surface (its scoring is
+per-record, `/root/reference/src/search.rs:99-123`); these are the
+sequence/cardinality shapes an event-stream pipeline needs.
+
+Both operators follow the repo's hash-partition-then-vectorize skeleton
+(`functions/dedup.py partition_ids`): ONE shuffle co-locates each key's
+rows, then a single numpy pass per partition — no per-key Python at any
+key cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsearch_ray.functions.dedup import partition_ids
+
+_TS_INF = np.int64(np.iinfo(np.int64).max)
+
+
+def funnel_stages(
+    ds,
+    stages: list[str],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 32,
+):
+    """Per-key ordered funnel: stage ``i`` is reached when an event of
+    type ``stages[i]`` occurs STRICTLY after the key's first completion
+    time of stage ``i-1`` (stage 0: the key's min ts of ``stages[0]``).
+    Ties at the same timestamp do NOT advance the funnel — the same
+    strict ``>`` both engines can spell.
+
+    Returns one row per distinct key: (key_col, stage_reached ∈
+    [0, len(stages)]). Per partition the pass is: sort by key, run
+    boundaries, then per stage one ``np.minimum.reduceat`` over
+    condition-masked timestamps — O(stages · rows), no per-key Python.
+    """
+    cols = [key_col, ts_col, type_col]
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(cols)
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [key_col], num_partitions))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "stage_reached": pa.array([], pa.int64()),
+                }
+            )
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        karr = t[key_col].combine_chunks()
+        if not pa.types.is_dictionary(karr.type):
+            karr = karr.dictionary_encode()
+        codes = np.asarray(karr.indices).astype(np.int64)
+        new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
+        starts = np.flatnonzero(new_run)
+        run_of = np.cumsum(new_run) - 1
+        type_arr = t[type_col].combine_chunks()
+        reached = np.zeros(len(starts), dtype=np.int64)
+        t_prev = np.full(len(starts), -1, dtype=np.int64)  # min ts is > -1
+        for i, stage in enumerate(stages):
+            mask = np.asarray(pc.equal(type_arr, stage)).astype(bool)
+            mask &= ts > t_prev[run_of]
+            arr = np.where(mask, ts, _TS_INF)
+            t_i = np.minimum.reduceat(arr, starts)
+            hit = t_i != _TS_INF
+            reached[hit] = i + 1
+            t_prev = np.where(hit, t_i, _TS_INF)
+        keys_first = t[key_col].take(pa.array(starts))
+        return pa.table(
+            {key_col: keys_first, "stage_reached": pa.array(reached)}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def grouped_distinct_count_ds(
+    ds, group_col: str, value_col: str, *, num_partitions: int = 32
+):
+    """Exact ``COUNT(DISTINCT value) GROUP BY group``: per-batch unique
+    (group, value) pairs (the map-side prune — the shuffle carries at
+    most one row per batch×pair), hash-partition on the PAIR so
+    duplicates co-locate, per-partition dedup + per-group counts, then a
+    tiny final groupby-sum over ≤ groups×partitions rows."""
+    from ray.data.aggregate import Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = (
+            b.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([])
+        )
+        return t.append_column(
+            "__part",
+            pa.array(partition_ids(t, [group_col, value_col], num_partitions)),
+        )
+
+    def count_partition(t: pa.Table) -> pa.Table:
+        t = (
+            t.drop_columns(["__part"])
+            .group_by([group_col, value_col])
+            .aggregate([])
+        )
+        vc = t[group_col].combine_chunks().value_counts()
+        return pa.table(
+            {
+                group_col: vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_partition, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("c", alias_name="n_distinct"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("n_distinct"),
+                "n_distinct",
+                b["n_distinct"].cast(pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    )

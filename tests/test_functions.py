@@ -887,3 +887,73 @@ def test_rollup_sum_matches_pandas():
     assert (out["a"] == ref["a"]).all() and (out["b"] == ref["b"]).all()
     assert (out["s"].to_numpy() == ref["s"].to_numpy()).all()
     assert (out["n"].to_numpy() == ref["n"].to_numpy()).all()
+
+
+def test_funnel_stages_strict_after_semantics():
+    from lsearch_ray.functions.funnel import funnel_stages
+
+    rows = [
+        # u1: full funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE view → stalls at view
+        (2, 20, "click"), (2, 30, "view"),
+        # u3: click at the SAME ts as view → strict > excludes it
+        (3, 10, "view"), (3, 10, "click"), (3, 40, "purchase"),
+        # u4: no view at all → stage 0
+        (4, 5, "click"), (4, 6, "purchase"),
+        # u5: view then purchase (skips click) → stalls after view
+        (5, 1, "view"), (5, 2, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = funnel_stages(
+        rd.from_arrow(t).repartition(3),
+        ["view", "click", "purchase"],
+        num_partitions=4,
+    ).take_all()
+    got = {r["user_id"]: r["stage_reached"] for r in out}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1}
+
+
+def test_funnel_stages_timestamp_column():
+    from lsearch_ray.functions.funnel import funnel_stages
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7], pa.int64()),
+            "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["view", "click"]),
+        }
+    )
+    out = funnel_stages(rd.from_arrow(t), ["view", "click"]).take_all()
+    assert out == [{"user_id": 7, "stage_reached": 2}]
+
+
+def test_grouped_distinct_count_matches_pandas():
+    from lsearch_ray.functions.funnel import grouped_distinct_count_ds
+
+    rng = np.random.RandomState(17)
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], 400)),
+            "v": rng.randint(0, 50, 400).astype(np.int64),
+        }
+    )
+    out = (
+        grouped_distinct_count_ds(
+            rd.from_arrow(t).repartition(5), "g", "v", num_partitions=6
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    ref = (
+        t.to_pandas().groupby("g")["v"].nunique().sort_index()
+    )
+    assert out["g"].tolist() == ref.index.tolist()
+    assert out["n_distinct"].tolist() == ref.tolist()
