@@ -114,6 +114,9 @@ def knn_join(
     """
     import ray
 
+    # materialize ONCE: the same blocks feed both the broadcast gather
+    # and the per-batch probe below (no second read of the input)
+    emb_ds = emb_ds.materialize()
     refs = emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()
     full = pa.concat_tables(ray.get(refs), promote_options="permissive")
     if full.num_rows > max_broadcast_rows:
@@ -125,9 +128,9 @@ def knn_join(
     all_m = _stack_embeddings(full[emb_col]).astype(np.float64)
     all_norms = np.linalg.norm(all_m, axis=1)
     all_norms[all_norms == 0] = 1.0
-    shared = ray.put((all_ids, all_m, all_norms))
-
     n_all = len(all_ids)
+    shared = ray.put((all_ids, all_m, all_norms))
+    del full, all_m, all_norms  # plasma holds the only copy now
     kk = min(k, max(n_all - 1, 0))
 
     def topk_batch(b: pa.Table) -> pa.Table:

@@ -156,14 +156,12 @@ def bloom_semi_join(
     ).materialize()
     n = distinct.count()  # upper bound: per-batch distinct
     if n <= broadcast_limit:
+        from lsearch_ray.functions.joins import broadcast_semi_join
+
         keys = pa.concat_tables(
             ray.get(distinct.to_arrow_refs()), promote_options="permissive"
         )["__bloom_key"].combine_chunks().unique()
-
-        def verify(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b[on], value_set=keys))
-
-        return cand.map_batches(verify, batch_format="pyarrow")
+        return broadcast_semi_join(cand, keys, on)
 
     from lsearch_ray.functions.dedup import exact_dedup
 

@@ -37,6 +37,23 @@ def _col_hash64(col) -> np.ndarray:
     return fnv1a64(pc.cast(col, pa.string())).astype(np.uint64)
 
 
+def value_counts_table(col, key_name: str, count_name: str = "c") -> pa.Table:
+    """(key, int64 count) table of a column's value counts — THE shared
+    map-side combine-before-shuffle partial (term_df, skew_join hot-key
+    detection, grouped distinct counts), one definition so null/offset
+    handling lands everywhere at once. Nulls form their own group (SQL
+    GROUP BY semantics)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vc = col.value_counts()
+    return pa.table(
+        {
+            key_name: vc.field("values"),
+            count_name: vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
 def partition_ids(batch: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
     """FNV-fold hash-partition id per row over ``key_cols`` — THE shared
     partitioning arithmetic for every hash-partition-then-vectorize

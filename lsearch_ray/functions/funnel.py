@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from lsearch_ray.functions.dedup import partition_ids
+from lsearch_ray.functions.dedup import partition_ids, value_counts_table
 
 _TS_INF = np.int64(np.iinfo(np.int64).max)
 
@@ -75,10 +75,13 @@ def funnel_stages(
         run_of = np.cumsum(new_run) - 1
         type_arr = t[type_col].combine_chunks()
         reached = np.zeros(len(starts), dtype=np.int64)
-        t_prev = np.full(len(starts), -1, dtype=np.int64)  # min ts is > -1
+        t_prev = np.empty(len(starts), dtype=np.int64)
         for i, stage in enumerate(stages):
-            mask = np.asarray(pc.equal(type_arr, stage)).astype(bool)
-            mask &= ts > t_prev[run_of]
+            mask = np.asarray(
+                pc.fill_null(pc.equal(type_arr, stage), False)
+            ).astype(bool)
+            if i > 0:  # stage 0 is unconditional min ts of its type
+                mask &= ts > t_prev[run_of]
             arr = np.where(mask, ts, _TS_INF)
             t_i = np.minimum.reduceat(arr, starts)
             hit = t_i != _TS_INF
@@ -107,11 +110,11 @@ def grouped_distinct_count_ds(
     from ray.data.aggregate import Sum
 
     def pairs(b: pa.Table) -> pa.Table:
-        t = (
-            b.select([group_col, value_col])
-            .group_by([group_col, value_col])
-            .aggregate([])
-        )
+        t = b.select([group_col, value_col])
+        # SQL COUNT(DISTINCT v) ignores null values; null GROUPS are kept
+        # (SQL GROUP BY forms a null group)
+        t = t.filter(pc.is_valid(t[value_col]))
+        t = t.group_by([group_col, value_col]).aggregate([])
         return t.append_column(
             "__part",
             pa.array(partition_ids(t, [group_col, value_col], num_partitions)),
@@ -123,13 +126,7 @@ def grouped_distinct_count_ds(
             .group_by([group_col, value_col])
             .aggregate([])
         )
-        vc = t[group_col].combine_chunks().value_counts()
-        return pa.table(
-            {
-                group_col: vc.field("values"),
-                "c": vc.field("counts").cast(pa.int64()),
-            }
-        )
+        return value_counts_table(t[group_col], group_col)
 
     return (
         ds.map_batches(pairs, batch_format="pyarrow")

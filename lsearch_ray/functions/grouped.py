@@ -215,8 +215,11 @@ def rollup_sum_ds(
     spell the same ``coalesce`` in SQL twins), levels unioned.
 
     ``value_col`` must be integer (bit-stable sums across engines —
-    quantize floats upstream). Level count is len(dims)+1, so the extra
-    cost over a flat groupby is one tiny shuffle per rollup level.
+    quantize floats upstream). Dim columns must be non-null strings:
+    the total label fills aggregated-out dims in the same column, and a
+    null dim would collide with a SQL twin's ``coalesce`` — both are
+    raised on, not silently mangled. Level count is len(dims)+1, so the
+    extra cost over a flat groupby is one tiny shuffle per rollup level.
     """
     from ray.data.aggregate import Sum
 
@@ -224,6 +227,22 @@ def rollup_sum_ds(
 
     def level_ds(keep: list[str]):
         def partial(b: pa.Table) -> pa.Table:
+            for d in keep:
+                col = b[d]
+                if not (
+                    pa.types.is_string(col.type)
+                    or pa.types.is_large_string(col.type)
+                ):
+                    raise TypeError(
+                        f"rollup_sum_ds: dim {d!r} must be a string "
+                        f"column (got {col.type}); cast upstream"
+                    )
+                if col.null_count:
+                    raise ValueError(
+                        f"rollup_sum_ds: dim {d!r} has nulls; fill "
+                        "upstream (they would collide with the total "
+                        "label under SQL coalesce)"
+                    )
             cols = {c: b[c] for c in keep}
             cols["__v"] = b[value_col]
             t = pa.table(cols)

@@ -391,16 +391,16 @@ def skew_join(
 
     from ray.data.aggregate import Sum
 
+    from lsearch_ray.functions.dedup import value_counts_table
+
     rkey = right_on or on
+    # both sides are consumed by more than one leg below — materialize
+    # once instead of re-running the upstream reads per leg
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
 
     def count_partial(b: pa.Table) -> pa.Table:
-        vc = b[on].combine_chunks().value_counts()
-        return pa.table(
-            {
-                "k": vc.field("values"),
-                "c": vc.field("counts").cast(pa.int64()),
-            }
-        )
+        return value_counts_table(b[on], "k")
 
     hot_rows = (
         left_ds.select_columns([on])

@@ -404,7 +404,10 @@ def ngram_jaccard_dedup(
             sb = flat_b[offs_b[i] : offs_b[i + 1]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
-            jac = (inter / union) if union else 1.0
+            # empty∩empty is NOT a match: the SQL twins' shingle CTEs
+            # emit no rows for 0-token docs, so they can never pair —
+            # mirror that (Jaccard of two empty sets is undefined anyway)
+            jac = (inter / union) if union else 0.0
             keep[i] = jac >= threshold
         return pa.table({"a": b["a"], "b": b["b"]}).filter(pa.array(keep))
 
@@ -510,7 +513,9 @@ def fuzzy_decontaminate(
             sb = flat_b[offs_b[i] : offs_b[i + 1]]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union_n = len(sa) + len(sb) - inter
-            jac = (inter / union_n) if union_n else 1.0
+            # empty∩empty never flags — parity with the SQL twin, which
+            # emits no shingle rows for 0-token docs
+            jac = (inter / union_n) if union_n else 0.0
             keep[i] = jac >= threshold
         return pa.table({id_col: b["a"]}).filter(pa.array(keep))
 

@@ -36,14 +36,10 @@ def term_df(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """
     from ray.data.aggregate import Sum
 
+    from lsearch_ray.functions.dedup import value_counts_table
+
     def partial(b: pa.Table) -> pa.Table:
-        vc = b["term"].combine_chunks().value_counts()
-        return pa.table(
-            {
-                "term": vc.field("values"),
-                "c": vc.field("counts").cast(pa.int64()),
-            }
-        )
+        return value_counts_table(b["term"], "term")
 
     return (
         tf_triples(docs_ds, text_col, id_col)

@@ -267,3 +267,19 @@ def test_fuzzy_decontaminate_no_bench_or_no_hits():
         rd.from_arrow(corpus), rd.from_arrow(far_bench)
     ).take_all()
     assert out == []
+
+
+def test_fuzzy_decontaminate_empty_docs_never_match():
+    """Two 0-token docs share the sentinel MinHash signature (candidate
+    pair), but exact verify treats empty∩empty as NO match — parity with
+    the SQL twin, whose shingle CTE emits no rows for empty docs."""
+    from lsearch_ray.functions import fuzzy_decontaminate
+
+    corpus = pa.table(
+        {"doc_id": pa.array([10], pa.int64()), "text": ["   "]}
+    )
+    bench = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [""]})
+    out = fuzzy_decontaminate(
+        rd.from_arrow(corpus), rd.from_arrow(bench)
+    ).take_all()
+    assert out == []

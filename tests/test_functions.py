@@ -957,3 +957,47 @@ def test_grouped_distinct_count_matches_pandas():
     )
     assert out["g"].tolist() == ref.index.tolist()
     assert out["n_distinct"].tolist() == ref.tolist()
+
+
+def test_funnel_stage0_negative_ts():
+    from lsearch_ray.functions.funnel import funnel_stages
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([-10, 5], pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+        }
+    )
+    out = funnel_stages(rd.from_arrow(t), ["view", "click"]).take_all()
+    assert out == [{"user_id": 1, "stage_reached": 2}]
+
+
+def test_grouped_distinct_count_null_values_ignored():
+    from lsearch_ray.functions.funnel import grouped_distinct_count_ds
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "b"]),
+            "v": pa.array([1, None, None], pa.int64()),
+        }
+    )
+    out = grouped_distinct_count_ds(rd.from_arrow(t), "g", "v").take_all()
+    # null values never count; group 'b' has no non-null values → no row
+    # (matches the oracle shape: GROUP BY over the value-filtered rows)
+    assert out == [{"g": "a", "n_distinct": 1}]
+
+
+def test_rollup_rejects_nonstring_and_null_dims():
+    from lsearch_ray.functions.grouped import rollup_sum_ds
+
+    bad_type = pa.table(
+        {"d": pa.array([1, 2], pa.int64()), "v": pa.array([1, 2], pa.int64())}
+    )
+    with pytest.raises(Exception, match="string"):
+        rollup_sum_ds(rd.from_arrow(bad_type), ["d"], "v").take_all()
+    bad_null = pa.table(
+        {"d": pa.array(["x", None]), "v": pa.array([1, 2], pa.int64())}
+    )
+    with pytest.raises(Exception, match="null"):
+        rollup_sum_ds(rd.from_arrow(bad_null), ["d"], "v").take_all()
