@@ -629,6 +629,43 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10, nplanes=10)
 
 
+_RANGE_WIN_US = 3_600_000_000  # 1h trailing window
+
+
+def _q_trailing_window(sf_dir: str):
+    """Per-user trailing 1-hour RANGE-frame window sum/count over the
+    event stream (functions.grouped.grouped_range_window_ds): one
+    hash-partition shuffle, then composite-timestamp searchsorted +
+    prefix-sum gather per partition."""
+    from lsearch_ray.functions.grouped import grouped_range_window_ds
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "v_micro": pa.array(v),
+            }
+        )
+
+    out = grouped_range_window_ds(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "v_micro",
+        window=_RANGE_WIN_US,
+        carry_cols=["event_id"],
+        num_partitions=16,
+    )
+    return out.sort(["user_id", "ts", "event_id"])
+
+
 _FUNNEL = ["view", "click", "purchase"]
 
 
@@ -972,6 +1009,19 @@ def _q_doc_repetition(sf_dir: str):
     return doc_repetition_stats(
         _docs(sf_dir, ["doc_id", "text"]), n=_REP_N
     ).sort("doc_id")
+
+
+_EXTRACT_PAT = "s[a-z]+"
+
+
+def _q_extract_matches(sf_dir: str):
+    """Regex extract-all + explode (functions.textstats.extract_matches
+    — the vectorized mark/split composition of Arrow RE2 kernels)."""
+    from lsearch_ray.functions import extract_matches_ds
+
+    return extract_matches_ds(
+        _docs(sf_dir, ["doc_id", "text"]), _EXTRACT_PAT
+    ).sort(["doc_id", "idx"])
 
 
 def _q_redact(sf_dir: str):
@@ -1323,6 +1373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn_join,
         "rollup_revenue": _q_rollup_revenue,
         "funnel_counts": _q_funnel_counts,
+        "trailing_window": _q_trailing_window,
+        "extract_matches": _q_extract_matches,
         "distinct_users_by_type": _q_distinct_users_by_type,
     }
 
@@ -2188,5 +2240,29 @@ ORDER BY doc_id
         "distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "trailing_window": (
+            # value-based RANGE frame over integer epoch-µs — ties at
+            # the same ts are all included, matching the engine's
+            # searchsorted(side='right') bound; integer sums bit-stable
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro "
+            "FROM events) "
+            "SELECT user_id, ts, event_id, v_micro, "
+            "CAST(sum(v_micro) OVER w AS BIGINT) AS w_sum, "
+            "CAST(count(*) OVER w AS BIGINT) AS w_n "
+            "FROM e WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts) "
+            f"RANGE BETWEEN {_RANGE_WIN_US} PRECEDING AND CURRENT ROW) "
+            "ORDER BY user_id, ts, event_id"
+        ),
+        "extract_matches": (
+            # both engines are RE2: leftmost non-overlapping greedy
+            # matches coincide; generate_subscripts is 1-based like the
+            # engine's idx
+            "SELECT doc_id, generate_subscripts(ms, 1) AS idx, "
+            "unnest(ms) AS match FROM (SELECT doc_id, "
+            f"regexp_extract_all(text, '{_EXTRACT_PAT}') AS ms "
+            "FROM documents) ORDER BY doc_id, idx"
         ),
     }

@@ -74,6 +74,7 @@ from lsearch_ray.functions.windows import (  # noqa: F401
 from lsearch_ray.functions.textstats import (  # noqa: F401
     LangId,
     bpe_ish_token_count,
+    extract_matches_ds,
     fingerprint,
     quality_stats,
     redact_ds,

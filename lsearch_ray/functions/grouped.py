@@ -282,3 +282,91 @@ def rollup_sum_ds(
     for lvl in range(len(dims) - 1, -1, -1):
         out = out.union(level_ds(list(dims[:lvl])))
     return out
+
+
+def grouped_range_window_ds(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: int,
+    carry_cols: list[str] | None = None,
+    sum_col: str = "w_sum",
+    count_col: str = "w_n",
+    num_partitions: int = 32,
+):
+    """Per-key trailing time-range window aggregates: for every row, the
+    sum and count of ``value_col`` over rows of the same key whose ts
+    lies in ``[ts - window, ts]`` — SQL's ``RANGE BETWEEN window
+    PRECEDING AND CURRENT ROW`` (a VALUE-based frame: all rows tied with
+    the current ts are included regardless of position, which is why the
+    result is well-defined without a unique ordering).
+
+    ``ts_col`` may be integer or timestamp[us] (window is then in µs);
+    ``value_col`` must be non-null integer (bit-stable sums). One
+    hash-partition shuffle on the key, then per partition a single
+    sort + TWO vectorized ``searchsorted`` passes over a run-offset
+    composite timestamp (each key's ts values are shifted onto a
+    disjoint segment, so one global binary search answers every row's
+    frame bounds) and a prefix-sum gather — no per-key Python.
+    """
+    carry = list(carry_cols or [])
+    cols = [key_col, ts_col, value_col, *carry]
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(cols)
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [key_col], num_partitions))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(sum_col, pa.array([], pa.int64())).append_column(
+                count_col, pa.array([], pa.int64())
+            )
+        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        vcol = t[value_col].combine_chunks()
+        if vcol.null_count:
+            raise ValueError(
+                f"grouped_range_window_ds: {value_col} has nulls"
+            )
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.int64)
+        karr = t[key_col].combine_chunks()
+        if not pa.types.is_dictionary(karr.type):
+            karr = karr.dictionary_encode()
+        codes = np.asarray(karr.indices).astype(np.int64)
+        new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
+        run_of = np.cumsum(new_run) - 1
+        lo, hi = int(ts.min()), int(ts.max())
+        span = hi - lo
+        offset = span + int(window) + 1
+        n_runs = int(run_of[-1]) + 1
+        if n_runs * offset >= 2**62:  # composite would overflow int64
+            raise ValueError(
+                "grouped_range_window_ds: ts span x keys-per-partition "
+                "overflows the composite timestamp; raise num_partitions"
+            )
+        ts2 = run_of * np.int64(offset) + (ts - np.int64(lo))
+        left = np.searchsorted(ts2, ts2 - np.int64(window), side="left")
+        right = np.searchsorted(ts2, ts2, side="right")
+        prefix = np.concatenate(([0], np.cumsum(v)))
+        return t.append_column(
+            sum_col, pa.array(prefix[right] - prefix[left])
+        ).append_column(count_col, pa.array(right - left))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )

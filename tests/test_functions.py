@@ -1001,3 +1001,87 @@ def test_rollup_rejects_nonstring_and_null_dims():
     )
     with pytest.raises(Exception, match="null"):
         rollup_sum_ds(rd.from_arrow(bad_null), ["d"], "v").take_all()
+
+
+def test_grouped_range_window_matches_bruteforce():
+    from lsearch_ray.functions.grouped import grouped_range_window_ds
+
+    rng = np.random.RandomState(23)
+    n, W = 400, 50
+    t = pa.table(
+        {
+            "k": rng.randint(0, 20, n).astype(np.int64),
+            "ts": rng.randint(0, 1000, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.randint(-10, 10, n).astype(np.int64),
+        }
+    )
+    out = (
+        grouped_range_window_ds(
+            rd.from_arrow(t).repartition(4),
+            "k",
+            "ts",
+            "v",
+            window=W,
+            carry_cols=["id"],
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["k", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    # brute-force RANGE frame: ALL same-key rows with ts in [ts_i-W, ts_i]
+    ks, tss, vs = df["k"].to_numpy(), df["ts"].to_numpy(), df["v"].to_numpy()
+    sums, cnts = [], []
+    order = np.lexsort((df["id"].to_numpy(), tss, ks))
+    for i in order:
+        m = (ks == ks[i]) & (tss >= tss[i] - W) & (tss <= tss[i])
+        sums.append(vs[m].sum())
+        cnts.append(int(m.sum()))
+    assert out["w_sum"].tolist() == sums
+    assert out["w_n"].tolist() == cnts
+
+
+def test_grouped_range_window_timestamp_and_ties():
+    from lsearch_ray.functions.grouped import grouped_range_window_ds
+
+    # two events at the SAME ts: value-based frame includes both in both
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([100, 100, 5000], pa.timestamp("us")),
+            "v": pa.array([3, 4, 5], pa.int64()),
+        }
+    )
+    out = (
+        grouped_range_window_ds(rd.from_arrow(t), "k", "ts", "v", window=1000)
+        .to_pandas()
+        .sort_values(["ts", "v"])
+        .reset_index(drop=True)
+    )
+    assert out["w_sum"].tolist() == [7, 7, 5]
+    assert out["w_n"].tolist() == [2, 2, 1]
+
+
+def test_extract_matches_equals_re_findall():
+    import re
+
+    from lsearch_ray.functions.textstats import extract_matches
+
+    texts = [
+        "fast slow sort",
+        "",
+        None,
+        "spark stream scan",
+        "misses entirely xyz",
+    ]
+    b = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = extract_matches(b, "s[a-z]+").to_pandas()
+    expect = []
+    for i, s in enumerate(texts):
+        for j, m in enumerate(re.findall("s[a-z]+", s or ""), 1):
+            expect.append((i, j, m))
+    assert list(map(tuple, out.itertuples(index=False))) == expect
