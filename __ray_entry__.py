@@ -629,6 +629,59 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10, nplanes=10)
 
 
+_WINSOR_LO, _WINSOR_HI = 0.05, 0.95
+
+
+def _q_winsorized_sums(sf_dir: str):
+    """Winsorized robust aggregate: clip value at the exact p05/p95
+    order statistics (functions.quantiles.exact_quantiles — histogram
+    refinement, no full sort), then per-type clipped fixed-point sums
+    with a per-batch combiner. The clip picks exact data values, so no
+    new arithmetic happens before quantization — bit-stable."""
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).materialize()
+    qt = exact_quantiles(ev, "value", [_WINSOR_LO, _WINSOR_HI])
+    lo, hi = qt["value"][0].as_py(), qt["value"][1].as_py()
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        v = np.minimum(np.maximum(v[fin], lo), hi)
+        vm = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b["event_type"].filter(pa.array(fin)),
+                "vm": pa.array(vm),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("vm", "sum"), ("vm", "count")]
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("vm_sum", alias_name="wsum_micro"),
+            Sum("vm_count", alias_name="n"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "wsum_micro": b["wsum_micro"].cast(pa.int64()),
+                    "n": b["n"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("event_type")
+    )
+
+
 _RANGE_WIN_US = 3_600_000_000  # 1h trailing window
 
 
@@ -1375,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "trailing_window": _q_trailing_window,
         "extract_matches": _q_extract_matches,
+        "winsorized_sums": _q_winsorized_sums,
         "distinct_users_by_type": _q_distinct_users_by_type,
     }
 
@@ -2264,5 +2318,25 @@ ORDER BY doc_id
             "unnest(ms) AS match FROM (SELECT doc_id, "
             f"regexp_extract_all(text, '{_EXTRACT_PAT}') AS ms "
             "FROM documents) ORDER BY doc_id, idx"
+        ),
+        "winsorized_sums": (
+            # thresholds at the engine's floor(q*(n-1)) order-statistic
+            # ranks; clipping selects exact data values so the micro
+            # quantization sees identical floats
+            "WITH f AS (SELECT event_type, value FROM events "
+            "  WHERE isfinite(value)), "
+            "s AS (SELECT value, row_number() OVER (ORDER BY value) - 1 "
+            "  AS rn FROM f), "
+            "n AS (SELECT count(*) AS c FROM f), "
+            "lo AS (SELECT value AS v FROM s WHERE rn = CAST(floor("
+            f"  {_WINSOR_LO} * ((SELECT c FROM n) - 1)) AS BIGINT)), "
+            "hi AS (SELECT value AS v FROM s WHERE rn = CAST(floor("
+            f"  {_WINSOR_HI} * ((SELECT c FROM n) - 1)) AS BIGINT)) "
+            "SELECT event_type, "
+            "CAST(sum(CAST(floor(least(greatest(value, (SELECT v FROM lo)), "
+            "  (SELECT v FROM hi)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "  AS wsum_micro, "
+            "count(*) AS n "
+            "FROM f GROUP BY event_type ORDER BY event_type"
         ),
     }
