@@ -1028,6 +1028,22 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate_ds(corpus, grams, n=_DECON_N).sort("doc_id")
 
 
+_SKIP_W = 2
+_SKIP_K = 25
+
+
+def _q_skipgram_counts(sf_dir: str):
+    """Top-k skip-gram co-occurrence counts (window 2): ordered token
+    pairs within 2 positions, per-batch value_counts partials, one
+    groupby-sum, per-block top-k prune (functions.ngrams
+    skipgram_counts_ds)."""
+    from lsearch_ray.functions import skipgram_counts_ds
+
+    return skipgram_counts_ds(
+        _docs(sf_dir, ["text"]), window=_SKIP_W, k=_SKIP_K
+    )
+
+
 _FUZZY_MOD = 5
 _FUZZY_TAU = 0.8
 
@@ -1430,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_matches": _q_extract_matches,
         "winsorized_sums": _q_winsorized_sums,
         "distinct_users_by_type": _q_distinct_users_by_type,
+        "skipgram_counts": _q_skipgram_counts,
     }
 
 
@@ -2338,5 +2355,19 @@ ORDER BY doc_id
             "  AS wsum_micro, "
             "count(*) AS n "
             "FROM f GROUP BY event_type ORDER BY event_type"
+        ),
+        "skipgram_counts": (
+            # ordered pairs within the window; the engine's joined-gram
+            # tie-break equals (w1, w2) because the separator byte sorts
+            # below every token character
+            "WITH l AS (SELECT doc_id, "
+            "  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "              x -> x <> '') AS toks FROM documents), "
+            "t AS (SELECT doc_id, toks[i] AS w, i FROM l, "
+            "  UNNEST(range(1, len(toks) + 1)) AS u(i)), "
+            "p AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n "
+            "  FROM t a JOIN t b ON a.doc_id = b.doc_id "
+            f"  AND b.i - a.i BETWEEN 1 AND {_SKIP_W} GROUP BY 1, 2) "
+            f"SELECT w1, w2, n FROM p ORDER BY n DESC, w1, w2 LIMIT {_SKIP_K}"
         ),
     }

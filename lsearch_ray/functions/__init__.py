@@ -57,6 +57,7 @@ from lsearch_ray.functions.ngrams import (  # noqa: F401
     doc_repetition_stats,
     ngram_counts_ds,
     pmi_bigrams_ds,
+    skipgram_counts_ds,
 )
 from lsearch_ray.functions.chunks import (  # noqa: F401
     chunk_exact_dedup,

@@ -382,3 +382,81 @@ def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text
             ),
         }
     )
+
+
+def skipgram_pairs(
+    texts: pa.ChunkedArray | pa.Array, window: int
+) -> pa.Array:
+    """Ordered within-row token pairs (i, i+d) for 1 ≤ d ≤ ``window``,
+    rendered as ``w1 GRAM_SEP w2`` — the word2vec-style co-occurrence
+    universe. Vectorized exactly like :func:`doc_ngrams`: one zero-copy
+    slice pair + boundary mask per offset d."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    parents, flat = flat_tokens_arrow(texts)
+    chunks = []
+    for d in range(1, window + 1):
+        m = len(flat) - d
+        if m <= 0:
+            break
+        valid = parents[:m] == parents[d:]
+        if not valid.any():
+            continue
+        mask = pa.array(valid)
+        chunks.append(
+            pc.binary_join_element_wise(
+                flat.slice(0, m).filter(mask),
+                flat.slice(d, m).filter(mask),
+                pa.scalar(GRAM_SEP, type=pa.large_string()),
+            )
+        )
+    if not chunks:
+        return pa.array([], type=pa.large_string())
+    return pa.concat_arrays([c.cast(pa.large_string()) for c in chunks])
+
+
+def skipgram_counts_ds(
+    ds, *, window: int = 2, k: int = 20, text_col: str = "text"
+) -> pa.Table:
+    """Top-k skip-gram co-occurrence counts of a corpus: ordered token
+    pairs within ``window`` positions, ranked by (count desc, w1, w2).
+
+    Same scale plan as :func:`ngram_counts_ds`: per-batch ``value_counts``
+    partials (the shuffle carries one row per distinct pair per batch,
+    never per occurrence — pair volume is ``window × tokens``), one
+    groupby-sum, lossless per-block top-k prune, tiny global sort.
+    Returns an Arrow table (w1, w2, n).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = skipgram_pairs(batch[text_col], window)
+        if len(pairs) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.large_string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = pairs.value_counts()
+        return pa.table(
+            {"gram": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("gram").sum("n")
+    pruned = agg.map_batches(
+        lambda t: _block_topk(pa.table({"gram": t["gram"], "n": t["sum(n)"]}), k),
+        batch_format="pyarrow",
+    )
+    top = pruned.sort(["n", "gram"], descending=[True, False]).limit(k).take_all()
+    w1, w2 = [], []
+    for r in top:
+        a, b = r["gram"].split(GRAM_SEP, 1)
+        w1.append(a)
+        w2.append(b)
+    return pa.table(
+        {
+            "w1": pa.array(w1, type=pa.large_string()),
+            "w2": pa.array(w2, type=pa.large_string()),
+            "n": pa.array([int(r["n"]) for r in top], type=pa.int64()),
+        }
+    )

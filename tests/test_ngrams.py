@@ -197,3 +197,39 @@ def test_doc_repetition_matches_python_reference():
         c = Counter(_pyref(t, 3))
         exp = (sum(c.values()), len(c), max(c.values()) if c else 0)
         assert out[i] == exp, (i, t)
+
+
+def test_skipgram_pairs_window_and_boundaries():
+    from lsearch_ray.functions.ngrams import GRAM_SEP, skipgram_pairs
+
+    texts = pa.array(["a b c d", "x y"])
+    got = sorted(skipgram_pairs(texts, 2).to_pylist())
+    sep = GRAM_SEP
+    want = sorted(
+        [
+            f"a{sep}b", f"b{sep}c", f"c{sep}d",  # d=1 row 0
+            f"a{sep}c", f"b{sep}d",              # d=2 row 0
+            f"x{sep}y",                          # d=1 row 1 (no d=2)
+        ]
+    )
+    assert got == want
+
+
+def test_skipgram_counts_matches_bruteforce():
+    import itertools
+
+    from lsearch_ray.functions.ngrams import skipgram_counts_ds
+
+    texts = ["the cat sat on the mat", "the cat ran", "on the mat the cat"]
+    t = pa.table({"text": texts})
+    out = skipgram_counts_ds(rd.from_arrow(t).repartition(2), window=2, k=50)
+    counts = {}
+    for s in texts:
+        toks = s.split()
+        for i, j in itertools.combinations(range(len(toks)), 2):
+            if 1 <= j - i <= 2:
+                counts[(toks[i], toks[j])] = counts.get((toks[i], toks[j]), 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = list(zip(zip(out["w1"].to_pylist(), out["w2"].to_pylist()),
+                   out["n"].to_pylist()))
+    assert got == [((a, b), n) for (a, b), n in want]
