@@ -1028,6 +1028,53 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate_ds(corpus, grams, n=_DECON_N).sort("doc_id")
 
 
+def _q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    including zero-order customers — a distributed left-outer hash join
+    (functions.joins.hash_join how='left_outer'), per-customer counts
+    with a combiner, then the tiny count-of-counts groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from lsearch_ray.functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        cust, orders, "c_custkey", right_on="o_custkey",
+        how="left_outer", num_partitions=16,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        # count matched orders per customer: unmatched rows carry null
+        # o_orderkey, which Arrow's count (valid-only) excludes
+        return b.group_by("c_custkey").aggregate([("o_orderkey", "count")])
+
+    per_cust = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("o_orderkey_count", alias_name="c_count"))
+    )
+    dist = (
+        per_cust.map_batches(
+            lambda b: pa.table(
+                {"c_count": b["c_count"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_count")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+    return dist.map_batches(
+        lambda b: pa.table(
+            {
+                "c_count": b["c_count"],
+                "n_customers": b["n_customers"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["n_customers", "c_count"], descending=[True, True])
+
+
 _SKIP_W = 2
 _SKIP_K = 25
 
@@ -1447,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_sums": _q_winsorized_sums,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "skipgram_counts": _q_skipgram_counts,
+        "cust_order_dist": _q_cust_order_dist,
     }
 
 
@@ -2369,5 +2417,15 @@ ORDER BY doc_id
             "  FROM t a JOIN t b ON a.doc_id = b.doc_id "
             f"  AND b.i - a.i BETWEEN 1 AND {_SKIP_W} GROUP BY 1, 2) "
             f"SELECT w1, w2, n FROM p ORDER BY n DESC, w1, w2 LIMIT {_SKIP_K}"
+        ),
+        "cust_order_dist": (
+            # TPC-H Q13: count(o_orderkey) is valid-only, so zero-order
+            # customers land in the c_count = 0 bucket on both engines
+            "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY 1) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "count(*) AS n_customers FROM pc GROUP BY 1 "
+            "ORDER BY n_customers DESC, c_count DESC"
         ),
     }
