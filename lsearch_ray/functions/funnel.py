@@ -61,18 +61,17 @@ def funnel_stages(
                     "stage_reached": pa.array([], pa.int64()),
                 }
             )
-        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tscol = t[ts_col].combine_chunks()
+        if tscol.null_count:  # int64-with-null would detour via float64
+            raise ValueError(f"funnel_stages: {ts_col} has nulls")
+        ts = tscol.to_numpy(zero_copy_only=False)
         if ts.dtype.kind == "M":
             ts = ts.astype("datetime64[us]").view(np.int64)
         else:
             ts = ts.astype(np.int64)
-        karr = t[key_col].combine_chunks()
-        if not pa.types.is_dictionary(karr.type):
-            karr = karr.dictionary_encode()
-        codes = np.asarray(karr.indices).astype(np.int64)
-        new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
-        starts = np.flatnonzero(new_run)
-        run_of = np.cumsum(new_run) - 1
+        from lsearch_ray.functions.grouped import run_bounds
+
+        _, starts, run_of = run_bounds(t[key_col])
         type_arr = t[type_col].combine_chunks()
         reached = np.zeros(len(starts), dtype=np.int64)
         t_prev = np.empty(len(starts), dtype=np.int64)

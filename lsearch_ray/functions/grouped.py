@@ -27,6 +27,26 @@ import pyarrow.compute as pc
 from lsearch_ray.functions.dedup import partition_ids
 
 
+def run_bounds(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(new_run, starts, run_of) over adjacent equality of a SORTED Arrow
+    array — THE shared run-boundary idiom for every sort-then-scan
+    operator in this module (and funnel.py). Dictionary codes give a
+    cheap neighbor-inequality test on strings (codes are batch-local;
+    only equality of neighbors is used); parquet may hand the column
+    already dictionary-encoded."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e.astype(bool), e, e
+    if not pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_encode()
+    codes = np.asarray(arr.indices).astype(np.int64)
+    new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
+    starts = np.flatnonzero(new_run)
+    return new_run, starts, np.cumsum(new_run) - 1
+
+
 def _topk_per_run(
     t: pa.Table, group_col: str, order_col: str, id_col: str, k: int
 ) -> tuple[pa.Table, np.ndarray]:
@@ -44,16 +64,7 @@ def _topk_per_run(
     n = t.num_rows
     if n == 0:
         return t, np.empty(0, dtype=np.int64)
-    # per-batch dictionary codes give a cheap adjacent-inequality test on
-    # string groups (codes are batch-local, only equality of neighbors is
-    # used); parquet may hand the column already dictionary-encoded
-    arr = t[group_col].combine_chunks()
-    if not pa.types.is_dictionary(arr.type):
-        arr = arr.dictionary_encode()
-    codes = np.asarray(arr.indices).astype(np.int64)
-    new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
-    starts = np.flatnonzero(new_run)
-    run_of = np.cumsum(new_run) - 1
+    _, starts, run_of = run_bounds(t[group_col])
     rnk = np.arange(n, dtype=np.int64) - starts[run_of] + 1
     return t, rnk
 
@@ -174,13 +185,7 @@ def grouped_running_ds(
                 "quantize/fill upstream"
             )
         v = vcol.to_numpy(zero_copy_only=False).astype(np.int64)
-        karr = t[key_col].combine_chunks()
-        if not pa.types.is_dictionary(karr.type):
-            karr = karr.dictionary_encode()
-        codes = np.asarray(karr.indices).astype(np.int64)
-        new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
-        starts = np.flatnonzero(new_run)
-        run_of = np.cumsum(new_run) - 1
+        new_run, starts, run_of = run_bounds(t[key_col])
         total = np.cumsum(v)
         base = (total[starts] - v[starts])[run_of]
         cum = total - base
@@ -331,7 +336,10 @@ def grouped_range_window_ds(
             return t.append_column(sum_col, pa.array([], pa.int64())).append_column(
                 count_col, pa.array([], pa.int64())
             )
-        ts = t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tscol = t[ts_col].combine_chunks()
+        if tscol.null_count:  # int64-with-null would detour via float64
+            raise ValueError(f"grouped_range_window_ds: {ts_col} has nulls")
+        ts = tscol.to_numpy(zero_copy_only=False)
         if ts.dtype.kind == "M":
             ts = ts.astype("datetime64[us]").view(np.int64)
         else:
@@ -342,12 +350,7 @@ def grouped_range_window_ds(
                 f"grouped_range_window_ds: {value_col} has nulls"
             )
         v = vcol.to_numpy(zero_copy_only=False).astype(np.int64)
-        karr = t[key_col].combine_chunks()
-        if not pa.types.is_dictionary(karr.type):
-            karr = karr.dictionary_encode()
-        codes = np.asarray(karr.indices).astype(np.int64)
-        new_run = np.concatenate(([True], codes[1:] != codes[:-1]))
-        run_of = np.cumsum(new_run) - 1
+        _, _, run_of = run_bounds(t[key_col])
         lo, hi = int(ts.min()), int(ts.max())
         span = hi - lo
         offset = span + int(window) + 1

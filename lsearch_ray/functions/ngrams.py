@@ -428,18 +428,11 @@ def skipgram_counts_ds(
     Returns an Arrow table (w1, w2, n).
     """
 
+    from lsearch_ray.functions.dedup import value_counts_table
+
     def partial(batch: pa.Table) -> pa.Table:
-        pairs = skipgram_pairs(batch[text_col], window)
-        if len(pairs) == 0:
-            return pa.table(
-                {
-                    "gram": pa.array([], type=pa.large_string()),
-                    "n": pa.array([], type=pa.int64()),
-                }
-            )
-        vc = pairs.value_counts()
-        return pa.table(
-            {"gram": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        return value_counts_table(
+            skipgram_pairs(batch[text_col], window), "gram", "n"
         )
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("gram").sum("n")

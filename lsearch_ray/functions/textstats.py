@@ -252,7 +252,8 @@ def extract_matches(
     both are RE2.
     """
     ids = batch[id_col].combine_chunks()
-    txt = pc.fill_null(batch[text_col].combine_chunks(), "")
+    raw = batch[text_col].combine_chunks()
+    txt = pc.fill_null(raw, "")
     marked = pc.replace_substring_regex(
         txt, pattern="(" + pattern + ")", replacement="\x00\\1\x01"
     )
@@ -261,11 +262,22 @@ def extract_matches(
     flat = lists.values
     keep = np.ones(len(flat), dtype=bool)
     keep[offs[:-1]] = False  # each doc's first piece is pre-match text
+    if raw.null_count:
+        # fill_null("") would let empty-matching patterns (x*) emit a
+        # row for null text; SQL's regexp_extract_all(NULL, ...) yields
+        # none — drop every piece of null rows
+        null_rows = np.asarray(pc.is_null(raw))
+        row_of = np.repeat(
+            np.arange(len(ids), dtype=np.int64), np.diff(offs)
+        )
+        keep &= ~null_rows[row_of]
     pieces = flat.filter(pa.array(keep))
     match = pc.list_element(
         pc.split_pattern(pieces, pattern="\x01", max_splits=1), 0
     )
-    n_per = np.diff(offs) - 1
+    # matches per row = kept pieces per row (offs are strictly
+    # increasing: split always yields at least one piece per row)
+    n_per = np.add.reduceat(keep.astype(np.int64), offs[:-1])
     parents = np.repeat(np.arange(len(ids), dtype=np.int64), n_per)
     starts = np.concatenate(([0], np.cumsum(n_per)))
     idx = np.arange(len(match), dtype=np.int64) - starts[parents] + 1

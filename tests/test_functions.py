@@ -1085,3 +1085,30 @@ def test_extract_matches_equals_re_findall():
         for j, m in enumerate(re.findall("s[a-z]+", s or ""), 1):
             expect.append((i, j, m))
     assert list(map(tuple, out.itertuples(index=False))) == expect
+
+
+def test_extract_matches_null_text_empty_pattern():
+    from lsearch_ray.functions.textstats import extract_matches
+
+    b = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()), "text": [None, "x"]}
+    )
+    # x* matches the empty string — null text must STILL yield no rows
+    out = extract_matches(b, "x*")
+    assert out["doc_id"].to_pylist() == [1]
+
+
+def test_grouped_range_window_null_ts_raises():
+    from lsearch_ray.functions.grouped import grouped_range_window_ds
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([1, None], pa.int64()),
+            "v": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="nulls"):
+        grouped_range_window_ds(
+            rd.from_arrow(t), "k", "ts", "v", window=10
+        ).take_all()
