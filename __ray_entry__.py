@@ -1127,6 +1127,15 @@ def _q_doc_repetition(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_doc_entropy(sf_dir: str):
+    """Per-doc token-distribution entropy in exact integer micro-nat·dl
+    units (functions.textstats.doc_entropy — lnm rounded per distinct
+    count BEFORE the weighted sum, the unigram_nll convention)."""
+    from lsearch_ray.functions import doc_entropy_ds
+
+    return doc_entropy_ds(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
 _EXTRACT_PAT = "s[a-z]+"
 
 
@@ -1495,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "skipgram_counts": _q_skipgram_counts,
         "cust_order_dist": _q_cust_order_dist,
+        "doc_entropy": _q_doc_entropy,
     }
 
 
@@ -2427,5 +2437,23 @@ ORDER BY doc_id
             "SELECT CAST(c_count AS BIGINT) AS c_count, "
             "count(*) AS n_customers FROM pc GROUP BY 1 "
             "ORDER BY n_customers DESC, c_count DESC"
+        ),
+        "doc_entropy": (
+            # lnm(x) = floor(ln(x)*1e6 + 0.5) per integer count — both
+            # engines take libm ln of integers, so the rounded values
+            # coincide; everything after is integer arithmetic
+            f"WITH toks AS ({_TOKS}), "
+            "tf AS (SELECT doc_id, term, count(*) AS c FROM toks "
+            "  GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "contrib AS (SELECT doc_id, "
+            "  sum(c * CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT)) "
+            "  AS s FROM tf GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(dl.dl, 0) AS dl, "
+            "CAST(coalesce(dl.dl * CAST(floor(ln(dl.dl) * 1000000.0 "
+            "  + 0.5) AS BIGINT) - contrib.s, 0) AS BIGINT) AS ent_microdl "
+            "FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id "
+            "LEFT JOIN contrib ON d.doc_id = contrib.doc_id "
+            "ORDER BY d.doc_id"
         ),
     }

@@ -75,6 +75,7 @@ from lsearch_ray.functions.windows import (  # noqa: F401
 from lsearch_ray.functions.textstats import (  # noqa: F401
     LangId,
     bpe_ish_token_count,
+    doc_entropy_ds,
     extract_matches_ds,
     fingerprint,
     quality_stats,

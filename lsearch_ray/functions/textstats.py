@@ -298,3 +298,56 @@ def extract_matches_ds(
         lambda b: extract_matches(b, pattern, text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+def doc_entropy(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc token-distribution entropy as an exact integer quality
+    signal: ``ent_microdl = dl·lnm(dl) − Σ_t c_t·lnm(c_t)`` where lnm(x)
+    is ln(x) rounded half-up to integer micro-nats — this is dl·1e6
+    times the Shannon entropy H = ln dl − (1/dl)Σ c ln c, kept as a pure
+    integer so both engines agree bit-for-bit (the unigram_nll
+    round-before-weighted-sum convention; boilerplate → 0, uniform
+    vocabulary → dl·ln(dl)·1e6). Token-less docs emit (dl=0, 0).
+    Pure map-side — no shuffle."""
+    from lsearch_ray.analyzer import flat_tokens_arrow
+    from lsearch_ray.functions.ngrams import _ln_of_counts
+
+    n = batch.num_rows
+    parents, flat = flat_tokens_arrow(batch[text_col])
+    dl = (
+        np.bincount(parents, minlength=n).astype(np.int64)
+        if len(parents)
+        else np.zeros(n, dtype=np.int64)
+    )
+    acc = np.zeros(n, dtype=np.int64)
+    if len(parents):
+        tf = (
+            pa.table({"d": pa.array(parents), "w": flat})
+            .group_by(["d", "w"])
+            .aggregate([("w", "count")])
+        )
+        d_idx = tf["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tf["w_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lnm_c = np.floor(_ln_of_counts(c) * 1e6 + 0.5).astype(np.int64)
+        np.add.at(acc, d_idx, c * lnm_c)
+    ent = np.zeros(n, dtype=np.int64)
+    pos = dl > 0
+    if pos.any():
+        lnm_dl = np.floor(_ln_of_counts(dl[pos]) * 1e6 + 0.5).astype(np.int64)
+        ent[pos] = dl[pos] * lnm_dl - acc[pos]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "dl": pa.array(dl),
+            "ent_microdl": pa.array(ent),
+        }
+    )
+
+
+def doc_entropy_ds(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset form of :func:`doc_entropy` — pure map-side."""
+    return ds.map_batches(
+        lambda b: doc_entropy(b, text_col, id_col), batch_format="pyarrow"
+    )

@@ -477,3 +477,33 @@ def test_redact_ds_matches_duckdb():
     assert [
         (r["doc_id"], r["n_email"], r["n_serial"], r["clean_text"]) for r in got
     ] == [tuple(r) for r in exp]
+
+
+def test_doc_entropy_reference_values():
+    import math
+
+    from lsearch_ray.functions.textstats import doc_entropy
+
+    def lnm(x):
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "a a a a",          # boilerplate: entropy 0
+                "a b c d",          # uniform: dl*lnm(dl)
+                "a a b",            # mixed
+                "",                 # token-less: (0, 0)
+            ],
+        }
+    )
+    out = doc_entropy(b)
+    assert out["dl"].to_pylist() == [4, 4, 3, 0]
+    want = [
+        4 * lnm(4) - 4 * lnm(4),
+        4 * lnm(4) - 4 * 0,  # four counts of 1, lnm(1)=0
+        3 * lnm(3) - 2 * lnm(2),
+        0,
+    ]
+    assert out["ent_microdl"].to_pylist() == want
