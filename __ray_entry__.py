@@ -1127,6 +1127,29 @@ def _q_doc_repetition(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_name_matches(sf_dir: str):
+    """Fuzzy string matching (entity-resolution shape): distinct part
+    names within Levenshtein distance 1, via symmetric-deletion banding
+    + vectorized alignment verify (functions.editdist.edit1_matches_ds)
+    — never an all-pairs comparison."""
+    from lsearch_ray.functions.dedup import exact_dedup
+    from lsearch_ray.functions.editdist import edit1_matches_ds
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    distinct = exact_dedup(parts, ["p_name"], ["p_partkey"])
+    pairs = edit1_matches_ds(distinct, "p_name", "p_partkey")
+
+    def by_name(b: pa.Table) -> pa.Table:
+        # id order is arbitrary relative to name order — normalize
+        lo = pc.min_element_wise(b["nm_a"], b["nm_b"])
+        hi = pc.max_element_wise(b["nm_a"], b["nm_b"])
+        return pa.table({"name_a": lo, "name_b": hi})
+
+    return pairs.map_batches(by_name, batch_format="pyarrow").sort(
+        ["name_a", "name_b"]
+    )
+
+
 def _q_doc_entropy(sf_dir: str):
     """Per-doc token-distribution entropy in exact integer micro-nat·dl
     units (functions.textstats.doc_entropy — lnm rounded per distinct
@@ -1505,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_counts": _q_skipgram_counts,
         "cust_order_dist": _q_cust_order_dist,
         "doc_entropy": _q_doc_entropy,
+        "name_matches": _q_name_matches,
     }
 
 
@@ -2455,5 +2479,15 @@ ORDER BY doc_id
             "FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id "
             "LEFT JOIN contrib ON d.doc_id = contrib.doc_id "
             "ORDER BY d.doc_id"
+        ),
+        "name_matches": (
+            # the deletion-banded + alignment-verified pairs must equal
+            # the brute-force levenshtein join (names are ASCII, so
+            # byte- and codepoint-distance coincide)
+            "WITH n AS (SELECT DISTINCT p_name FROM part) "
+            "SELECT a.p_name AS name_a, b.p_name AS name_b "
+            "FROM n a JOIN n b ON a.p_name < b.p_name "
+            "AND levenshtein(a.p_name, b.p_name) <= 1 "
+            "ORDER BY 1, 2"
         ),
     }

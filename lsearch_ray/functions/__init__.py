@@ -41,6 +41,11 @@ from lsearch_ray.functions.minhash import (  # noqa: F401
     minhash_dedup,
     ngram_jaccard_dedup,
 )
+from lsearch_ray.functions.editdist import (  # noqa: F401
+    deletion_variants,
+    edit1_mask,
+    edit1_matches_ds,
+)
 from lsearch_ray.functions.funnel import (  # noqa: F401
     funnel_stages,
     grouped_distinct_count_ds,
