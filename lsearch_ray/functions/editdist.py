@@ -165,7 +165,8 @@ def edit1_matches_ds(
         batch_format="pyarrow",
     )
     pairs = pairs.materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pairs
     # a pair can share several neighborhood members — dedupe on (a, b)
     pairs = exact_dedup(pairs, ["a", "b"], ["a"], num_partitions=num_partitions)
@@ -173,7 +174,14 @@ def edit1_matches_ds(
         lambda b: pa.table({id_col: b[id_col], "nm": b[col]}),
         batch_format="pyarrow",
     )
-    joined = attach_pair_payloads(pairs, names, id_col, num_partitions=4)
+    # join partitions sized to the pair volume: Ray's hash-join rejects
+    # fully-empty partitions, which tiny pair sets with many partitions
+    # produce (the minhash _pair_partitions rule)
+    from lsearch_ray.functions.minhash import _pair_partitions
+
+    joined = attach_pair_payloads(
+        pairs, names, id_col, num_partitions=_pair_partitions(n_pairs)
+    )
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
