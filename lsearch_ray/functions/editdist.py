@@ -21,10 +21,12 @@ Plan shape (the shared dedup-family skeleton):
    prefix/suffix-alignment check (padded byte matrices + cumprods)
    decides distance ≤ 1 — no per-pair Python, no DP table.
 
-Positions are CODEUNITS (bytes): exact for ASCII; for multi-byte UTF-8
-a codepoint deletion spans 2-4 codeunits, so non-ASCII neighborhoods
-under-generate — documented contract, verify semantics are byte-level
-throughout.
+Deletion positions are CODEPOINTS (``pc.utf8_slice_codeunits`` slices
+whole codepoints despite its name), while the verify is byte-level —
+generation is therefore a SUPERSET of what byte-distance-1 needs on
+valid UTF-8, and the operator is exact byte-level Levenshtein ≤ 1 for
+any valid UTF-8 input. Null strings are skipped (SQL semantics:
+``levenshtein(NULL, x)`` is NULL, never a match).
 """
 
 from __future__ import annotations
@@ -136,10 +138,16 @@ def edit1_matches_ds(
     from lsearch_ray.functions.cluster import (
         attach_pair_payloads,
         bucket_pairs_ds,
+        unique_pairs,
     )
-    from lsearch_ray.functions.dedup import exact_dedup
+
+    # consumed twice below (variants + name payloads): materialize once
+    ds = ds.select_columns([id_col, col]).materialize()
 
     def variants(b: pa.Table) -> pa.Table:
+        # null names never match (SQL levenshtein(NULL, x) semantics) —
+        # and a shared null variant would pair them spuriously
+        b = b.filter(pc.is_valid(b[col]))
         parents, vars_ = deletion_variants(b[col])
         t = pa.table(
             {
@@ -152,9 +160,7 @@ def edit1_matches_ds(
         # bucket and emit a self-pair
         return t.group_by(["variant", id_col]).aggregate([])
 
-    vds = ds.select_columns([id_col, col]).map_batches(
-        variants, batch_format="pyarrow"
-    )
+    vds = ds.map_batches(variants, batch_format="pyarrow")
     pairs = bucket_pairs_ds(
         vds, ["variant"], id_col=id_col,
         cap=bucket_cap, num_partitions=num_partitions,
@@ -164,19 +170,18 @@ def edit1_matches_ds(
         lambda b: b.filter(pc.invert(pc.equal(b["a"], b["b"]))),
         batch_format="pyarrow",
     )
-    pairs = pairs.materialize()
+    # a pair can share several neighborhood members — shared pair dedup
+    pairs = unique_pairs(pairs).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return pairs
-    # a pair can share several neighborhood members — dedupe on (a, b)
-    pairs = exact_dedup(pairs, ["a", "b"], ["a"], num_partitions=num_partitions)
-    names = ds.select_columns([id_col, col]).map_batches(
+    names = ds.map_batches(
         lambda b: pa.table({id_col: b[id_col], "nm": b[col]}),
         batch_format="pyarrow",
     )
-    # join partitions sized to the pair volume: Ray's hash-join rejects
-    # fully-empty partitions, which tiny pair sets with many partitions
-    # produce (the minhash _pair_partitions rule)
+    # join partitions sized to the (deduped) pair volume: Ray's hash-join
+    # rejects fully-empty partitions, which tiny pair sets with many
+    # partitions produce (the minhash _pair_partitions rule)
     from lsearch_ray.functions.minhash import _pair_partitions
 
     joined = attach_pair_payloads(

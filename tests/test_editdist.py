@@ -71,3 +71,14 @@ def test_edit1_matches_ds_exact_no_self_pairs():
     )
     assert got == want
     assert all(a != b for a, b in got)
+
+
+def test_edit1_matches_null_names_never_match():
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "s": pa.array(["abc", None, None], pa.large_string()),
+        }
+    )
+    out = edit1_matches_ds(rd.from_arrow(t), "s", "id").take_all()
+    assert out == []
