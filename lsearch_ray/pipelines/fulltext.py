@@ -89,17 +89,74 @@ def bm25_topk_dataset(
                 "score": pa.array([], type=pa.float64()),
             }
         )
-    stats = doc_stats(docs_ds, text_col, id_col)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     triples = tf_triples(docs_ds, text_col, id_col)
     term_set = pa.array(terms)
-    # materialize: `matched` is tiny (only the query terms' rows) and is
-    # consumed TWICE (df aggregate + scoring) — without this the whole
-    # read+tokenize chain re-executes for each consumer
+    sch = docs_ds.schema()  # ray Schema: parallel names/types lists
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not pa.types.is_integer(id_type):
+        # the sidecar sentinel below needs an integer id space — fall
+        # back to the separate stats pass for exotic id types
+        stats = doc_stats(docs_ds, text_col, id_col)
+        return _bm25_score_matched(
+            triples.map_batches(
+                lambda b: b.filter(
+                    pa.compute.is_in(b["term"], value_set=term_set)
+                ),
+                batch_format="pyarrow",
+            ).materialize(),
+            terms, stats["n_docs"], stats["avgdl"], k, mode, id_col, round_to,
+        )
+
+    # Corpus avgdl rides the SAME tokenize pass as the term filter: each
+    # batch appends one sidecar row (doc_id = -1) carrying its token
+    # total, so the corpus is tokenized ONCE (doc_stats would be a whole
+    # second pass). n_docs comes from the metadata-only count().
+    def match_and_count(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.is_in(b["term"], value_set=term_set))
+        total = pa.compute.sum(b["tf"]).as_py() or 0
+        sidecar = pa.table(
+            {
+                "term": pa.array([""], type=b["term"].type),
+                id_col: pa.array([-1], type=b[id_col].type),
+                "tf": pa.array([total], type=b["tf"].type),
+                "dl": pa.array([0], type=b["dl"].type),
+            }
+        ).select(t.schema.names)
+        return pa.concat_tables([t, sidecar])
+
+    # materialize: `matched` is tiny (only the query terms' rows plus one
+    # sidecar per batch) and is consumed THREE times (stats, df
+    # aggregate, scoring) — without this the whole read+tokenize chain
+    # re-executes for each consumer
     matched = triples.map_batches(
-        lambda b: b.filter(pa.compute.is_in(b["term"], value_set=term_set)),
-        batch_format="pyarrow",
+        match_and_count, batch_format="pyarrow"
     ).materialize()
+
+    def split(b: pa.Table, sidecars: bool) -> pa.Table:
+        is_side = pa.compute.equal(b[id_col], pa.scalar(-1, b[id_col].type))
+        return b.filter(is_side if sidecars else pa.compute.invert(is_side))
+
+    n_docs = docs_ds.count()
+    total_tokens = sum(
+        r["tf"]
+        for r in matched.map_batches(
+            lambda b: split(b, True), batch_format="pyarrow"
+        ).take_all()
+    )
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    matched = matched.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    return _bm25_score_matched(
+        matched, terms, n_docs, avgdl, k, mode, id_col, round_to
+    )
+
+
+def _bm25_score_matched(
+    matched, terms, n_docs, avgdl, k, mode, id_col, round_to
+) -> pa.Table:
+    """Score a (term, id, tf, dl) Dataset already filtered to the query
+    terms: broadcast idf lookup, groupby-sum, round-before-sort top-k."""
     # df per query term: tiny aggregate (≤ len(terms) rows)
     from ray.data.aggregate import Count
 
@@ -125,7 +182,7 @@ def bm25_topk_dataset(
         c = w * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
         return pa.table(
             {
-                "doc_id": b["doc_id"],
+                "doc_id": b[id_col],
                 "contrib": pa.array(c, type=pa.float64()),
                 "hit": pa.array(np.ones(len(c), dtype=np.int64)),
             }
