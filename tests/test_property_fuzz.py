@@ -369,3 +369,50 @@ def test_quota_sample_partition_invariant_fuzz(seed, parts):
     for s, c in by.items():
         assert c <= caps.get(s, 0), (s, c)
     assert "s3" not in by
+
+
+def _lev_dp(a: str, b: str) -> int:
+    ab, bb = a.encode(), b.encode()
+    dp = list(range(len(bb) + 1))
+    for i, ca in enumerate(ab, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(bb, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(bb)]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=0, max_size=7),
+            st.text(alphabet="abc", min_size=0, max_size=7),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_edit1_mask_matches_dp(pairs):
+    from lsearch_ray.functions.editdist import edit1_mask
+
+    got = edit1_mask([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([_lev_dp(a, b) <= 1 for a, b in pairs])
+    assert (got == want).all()
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=0, max_size=5), min_size=2, max_size=25))
+@settings(max_examples=100, deadline=None)
+def test_deletion_banding_is_exact_for_edit1(words):
+    """SymSpell identity: deletion-1 neighborhoods intersect ⟺ the pair
+    is a candidate; must NEVER under-generate for true lev≤1 pairs."""
+    import itertools
+
+    from lsearch_ray.functions.editdist import deletion_variants
+
+    parents, variants = deletion_variants(pa.array(words, type=pa.large_string()))
+    neigh: dict[int, set] = {i: set() for i in range(len(words))}
+    for p, v in zip(parents, variants.to_pylist()):
+        neigh[int(p)].add(v)
+    for i, j in itertools.combinations(range(len(words)), 2):
+        if _lev_dp(words[i], words[j]) <= 1:
+            assert neigh[i] & neigh[j], (words[i], words[j])
