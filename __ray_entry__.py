@@ -1150,6 +1150,20 @@ def _q_name_matches(sf_dir: str):
     )
 
 
+_OVL_W, _OVL_S = 8, 4
+
+
+def _q_overlap_chunks(sf_dir: str):
+    """RAG-style sliding-window chunking: width-8 word windows every 4
+    tokens (functions.chunks.doc_chunks_overlap — one vectorized gather
+    over the flat token stream, pure map-side)."""
+    from lsearch_ray.functions import overlap_chunks_ds
+
+    return overlap_chunks_ds(
+        _docs(sf_dir, ["doc_id", "text"]), width=_OVL_W, stride=_OVL_S
+    ).sort(["doc_id", "chunk_idx"])
+
+
 def _q_doc_entropy(sf_dir: str):
     """Per-doc token-distribution entropy in exact integer micro-nat·dl
     units (functions.textstats.doc_entropy — lnm rounded per distinct
@@ -1529,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_dist": _q_cust_order_dist,
         "doc_entropy": _q_doc_entropy,
         "name_matches": _q_name_matches,
+        "overlap_chunks": _q_overlap_chunks,
     }
 
 
@@ -2489,5 +2504,22 @@ ORDER BY doc_id
             "FROM n a JOIN n b ON a.p_name < b.p_name "
             "AND levenshtein(a.p_name, b.p_name) <= 1 "
             "ORDER BY 1, 2"
+        ),
+        "overlap_chunks": (
+            # window starts at token ordinals 0, stride, 2·stride, …;
+            # each window aggregates up to `width` tokens in position
+            # order; token-less docs contribute none (empty range)
+            "WITH l AS (SELECT doc_id, "
+            "  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "              x -> x <> '') AS toks FROM documents), "
+            "st AS (SELECT doc_id, u.s AS s FROM l, "
+            f"  UNNEST(range(0, greatest(len(toks), 0), {_OVL_S})) u(s)), "
+            "t AS (SELECT doc_id, toks[i] AS w, i - 1 AS pos FROM l, "
+            "  UNNEST(range(1, len(toks) + 1)) AS u(i)) "
+            f"SELECT st.doc_id, CAST(st.s / {_OVL_S} AS BIGINT) AS chunk_idx, "
+            "string_agg(t.w, ' ' ORDER BY t.pos) AS chunk "
+            "FROM st JOIN t ON st.doc_id = t.doc_id "
+            f"AND t.pos >= st.s AND t.pos < st.s + {_OVL_W} "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
     }

@@ -67,6 +67,8 @@ from lsearch_ray.functions.ngrams import (  # noqa: F401
 from lsearch_ray.functions.chunks import (  # noqa: F401
     chunk_exact_dedup,
     doc_chunks,
+    doc_chunks_overlap,
+    overlap_chunks_ds,
 )
 from lsearch_ray.functions.kmeans import kmeans_assign  # noqa: F401
 from lsearch_ray.functions.mixture import quota_sample  # noqa: F401

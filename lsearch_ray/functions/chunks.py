@@ -102,3 +102,70 @@ def chunk_exact_dedup(
         order_cols=[id_col, "chunk_idx"],
         num_partitions=num_partitions,
     )
+
+
+def doc_chunks_overlap(
+    texts: pa.ChunkedArray | pa.Array, width: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Sliding word windows: a chunk starts every ``stride`` tokens and
+    covers up to ``width`` tokens (stride < width ⇒ RAG-style overlap;
+    stride == width ≡ :func:`doc_chunks`). Returns (parents, chunk_idx,
+    chunks). Overlapping windows cannot share one ListArray offsets
+    vector (list slices must be consecutive), so the flat token stream
+    is re-GATHERED once per output token — one vectorized take, then the
+    same list-wrap + binary_join kernels.
+    """
+    if width < 1 or stride < 1:
+        raise ValueError(f"width and stride must be >= 1, got {width}, {stride}")
+    parents, flat = flat_tokens_arrow(texts)
+    n = len(parents)
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        pa.array([], type=pa.large_string()),
+    )
+    if n == 0:
+        return empty
+    first = np.concatenate(([True], parents[1:] != parents[:-1]))
+    run_start = np.flatnonzero(first)
+    run_of = np.cumsum(first) - 1
+    ordinal = np.arange(n, dtype=np.int64) - run_start[run_of]
+    # chunk starts: every token whose within-row ordinal is a multiple
+    # of stride begins a window
+    s = np.flatnonzero(ordinal % stride == 0)
+    if len(s) == 0:
+        return empty
+    run_end = np.append(run_start[1:], n)  # flat end of each row's run
+    lens = np.minimum(s + width, run_end[run_of[s]]) - s
+    total = int(lens.sum())
+    # gather indices: for window i, s[i] .. s[i]+lens[i)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    gather = np.repeat(s - bounds[:-1], lens) + np.arange(total, dtype=np.int64)
+    taken = flat.take(pa.array(gather))
+    lists = pa.LargeListArray.from_arrays(pa.array(bounds), taken)
+    chunks = pc.binary_join(lists, pa.scalar(" ", type=pa.large_string()))
+    return parents[s], ordinal[s] // stride, chunks
+
+
+def overlap_chunks_ds(
+    docs_ds,
+    *,
+    width: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dataset form of :func:`doc_chunks_overlap` — pure map-side
+    (doc_id, chunk_idx, chunk) rows, the RAG chunking shape."""
+
+    def chunk(b: pa.Table) -> pa.Table:
+        parents, idx, chunks = doc_chunks_overlap(b[text_col], width, stride)
+        return pa.table(
+            {
+                id_col: b[id_col].take(pa.array(parents)),
+                "chunk_idx": pa.array(idx, type=pa.int64()),
+                "chunk": chunks.cast(pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(chunk, batch_format="pyarrow")

@@ -89,3 +89,28 @@ def test_chunk_dedup_matches_duckdb():
     con.register("documents", t)
     exp = con.execute(entry_mod.oracle_sql()["chunk_dedup"]).fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def test_doc_chunks_overlap_reference():
+    from lsearch_ray.functions.chunks import doc_chunks_overlap
+
+    texts = ["a b c d e f g", "x y z", "", "solo"]
+    p, idx, ch = doc_chunks_overlap(pa.array(texts), 4, 2)
+    got = list(zip(p.tolist(), idx.tolist(), ch.to_pylist()))
+    want = []
+    for r, t in enumerate(texts):
+        toks = t.split()
+        for c, s in enumerate(range(0, len(toks), 2)):
+            want.append((r, c, " ".join(toks[s : s + 4])))
+    assert got == want
+
+
+def test_doc_chunks_overlap_stride_eq_width_matches_fixed():
+    from lsearch_ray.functions.chunks import doc_chunks, doc_chunks_overlap
+
+    texts = pa.array(["a b c d e", "q w", ""])
+    p1, i1, c1 = doc_chunks(texts, 3)
+    p2, i2, c2 = doc_chunks_overlap(texts, 3, 3)
+    assert p1.tolist() == p2.tolist()
+    assert i1.tolist() == i2.tolist()
+    assert c1.to_pylist() == c2.to_pylist()
