@@ -389,6 +389,13 @@ def _empty_triples_table() -> pa.Table:
     )
 
 
+# On-disk index format generation. v2 = doc-ordinal postings (docs blobs
+# reference a per-shard doc table embedded as the docs_tab column); indexes
+# written before the ordinal codec carry no version field and are treated
+# as v0 — their postings lack docs_tab, so this reader cannot decode them.
+FORMAT_VERSION = 2
+
+
 @dataclass
 class IndexMeta:
     num_shards: int
@@ -398,6 +405,7 @@ class IndexMeta:
     k1: float = K1
     b: float = B
     has_positions: bool = False
+    format_version: int = FORMAT_VERSION
 
     @classmethod
     def load(cls, index_dir: str, filesystem=None) -> "IndexMeta":
@@ -406,10 +414,19 @@ class IndexMeta:
                 d = json.load(f)
         else:
             d = fsio.read_json(filesystem, fsio.join(index_dir, "meta.json"))
+        version = int(d.get("format_version", 0))
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"index format v{version} "
+                f"{'(raw-delta docs, no docs_tab) ' if version < 2 else ''}"
+                f"at {index_dir} is incompatible with this reader "
+                f"(v{FORMAT_VERSION}) — rebuild required"
+            )
         keys = ("num_shards", "n_docs", "avgdl", "block_size", "k1", "b")
         return cls(
             **{k: d[k] for k in keys},
             has_positions=bool(d.get("has_positions", False)),
+            format_version=version,
         )
 
     def save(self, index_dir: str, filesystem=None) -> None:

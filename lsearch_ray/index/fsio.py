@@ -45,6 +45,23 @@ def is_local(fs) -> bool:
     return isinstance(fs, pafs.LocalFileSystem)
 
 
+def local_real_path(fs, path: str) -> str | None:
+    """Host-OS path when ``fs`` bottoms out at LocalFileSystem (recursing
+    through SubTreeFileSystem wrappers), else None. Writes to such a
+    target must use tmp + ``os.replace``: ``open_output_stream`` on a
+    local-backed fs is truncate-then-write, NOT atomic-on-close the way
+    an object-store multipart upload is, so a crash mid-write would
+    otherwise leave a partial file that the commit-marker protocol
+    (manifest.json/meta.json last) would treat as a valid commit."""
+    if fs is None or isinstance(fs, pafs.LocalFileSystem):
+        return path
+    if isinstance(fs, pafs.SubTreeFileSystem):
+        base = local_real_path(fs.base_fs, fs.base_path)
+        if base is not None:
+            return f"{base.rstrip('/')}/{path}" if path else base
+    return None
+
+
 def join(*parts: str) -> str:
     """fs-path join (generic filesystems use '/' regardless of host OS)."""
     return "/".join(p.rstrip("/") for p in parts if p != "")
@@ -78,10 +95,11 @@ def listdir(fs, path: str) -> list[str]:
 
 def write_table(fs, path: str, table) -> None:
     """Publish one parquet file atomically (see module docstring)."""
-    if is_local(fs):
-        tmp = f"{path}.tmp.{os.getpid()}"
+    real = local_real_path(fs, path)
+    if real is not None:
+        tmp = f"{real}.tmp.{os.getpid()}"
         pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        os.replace(tmp, real)
     else:
         with fs.open_output_stream(path) as f:
             pq.write_table(table, f)
@@ -146,11 +164,12 @@ def parquet_schema_names(fs, path: str) -> list[str]:
 
 
 def write_text(fs, path: str, text: str) -> None:
-    if is_local(fs):
-        tmp = f"{path}.tmp.{os.getpid()}"
+    real = local_real_path(fs, path)
+    if real is not None:
+        tmp = f"{real}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(text)
-        os.replace(tmp, path)
+        os.replace(tmp, real)
     else:
         with fs.open_output_stream(path) as f:
             f.write(text.encode())

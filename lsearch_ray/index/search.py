@@ -66,36 +66,43 @@ def _postings_files(index_dir: str, num_shards: int, fs=None) -> list[str]:
 _DOC_TABLE_CACHE: dict[tuple, tuple[tuple[int, int], np.ndarray]] = {}
 
 
-_BLOCK_SIZE_CACHE: dict[tuple, int] = {}
+# value: (meta.json (mtime_ns, size) freshness key — or None when the
+# index has no meta.json yet — , block_size); re-validated on every hit
+# like _DOC_TABLE_CACHE so an in-place rebuild with a different
+# block_size is picked up by live serving processes
+_BLOCK_SIZE_CACHE: dict[tuple, tuple[tuple[int, int] | None, int]] = {}
 
 
 def _block_size_for(postings_path: str, fs=None) -> int:
     """The index's block size (codec delta-reset stride) for a shard
-    file, from the index's meta.json (finalize-time); cached per dir."""
+    file, from the index's meta.json (finalize-time); cached per dir,
+    invalidated by the meta.json mtime+size."""
     import json
 
     idx_dir = os.path.dirname(os.path.dirname(postings_path))
     cache_key = (fsio.fs_cache_key(fs), idx_dir)
-    bs = _BLOCK_SIZE_CACHE.get(cache_key)
-    if bs is None:
-        from lsearch_ray.index.codec import DEFAULT_BLOCK_SIZE
+    meta_path = (
+        os.path.join(idx_dir, "meta.json")
+        if fs is None
+        else fsio.join(idx_dir, "meta.json")
+    )
+    meta_exists = (
+        os.path.exists(meta_path) if fs is None else fsio.exists(fs, meta_path)
+    )
+    fkey = fsio.file_key(fs, meta_path) if meta_exists else None
+    ent = _BLOCK_SIZE_CACHE.get(cache_key)
+    if ent is not None and ent[0] == fkey:
+        return ent[1]
+    from lsearch_ray.index.codec import DEFAULT_BLOCK_SIZE
 
-        meta_path = (
-            os.path.join(idx_dir, "meta.json")
-            if fs is None
-            else fsio.join(idx_dir, "meta.json")
-        )
-        if fs is None:
-            if os.path.exists(meta_path):
-                with open(meta_path) as f:
-                    bs = int(json.load(f)["block_size"])
-            else:
-                bs = DEFAULT_BLOCK_SIZE
-        elif fsio.exists(fs, meta_path):
-            bs = int(fsio.read_json(fs, meta_path)["block_size"])
-        else:
-            bs = DEFAULT_BLOCK_SIZE
-        _BLOCK_SIZE_CACHE[cache_key] = bs
+    if not meta_exists:
+        bs = DEFAULT_BLOCK_SIZE
+    elif fs is None:
+        with open(meta_path) as f:
+            bs = int(json.load(f)["block_size"])
+    else:
+        bs = int(fsio.read_json(fs, meta_path)["block_size"])
+    _BLOCK_SIZE_CACHE[cache_key] = (fkey, bs)
     return bs
 
 

@@ -91,35 +91,27 @@ def bm25_topk_dataset(
         )
     triples = tf_triples(docs_ds, text_col, id_col)
     term_set = pa.array(terms)
-    sch = docs_ds.schema()  # ray Schema: parallel names/types lists
-    id_type = dict(zip(sch.names, sch.types))[id_col]
-    if not pa.types.is_integer(id_type):
-        # the sidecar sentinel below needs an integer id space — fall
-        # back to the separate stats pass for exotic id types
-        stats = doc_stats(docs_ds, text_col, id_col)
-        return _bm25_score_matched(
-            triples.map_batches(
-                lambda b: b.filter(
-                    pa.compute.is_in(b["term"], value_set=term_set)
-                ),
-                batch_format="pyarrow",
-            ).materialize(),
-            terms, stats["n_docs"], stats["avgdl"], k, mode, id_col, round_to,
-        )
 
     # Corpus avgdl rides the SAME tokenize pass as the term filter: each
-    # batch appends one sidecar row (doc_id = -1) carrying its token
-    # total, so the corpus is tokenized ONCE (doc_stats would be a whole
-    # second pass). n_docs comes from the metadata-only count().
+    # batch appends one sidecar row carrying its token total, so the
+    # corpus is tokenized ONCE (doc_stats would be a whole second pass).
+    # The sidecar is flagged by a dedicated ``_side`` marker column with
+    # a NULL id — never an in-band id value, so no real doc id (of any
+    # type, any sign) can collide with it. n_docs comes from the
+    # metadata-only count().
     def match_and_count(b: pa.Table) -> pa.Table:
         t = b.filter(pa.compute.is_in(b["term"], value_set=term_set))
+        t = t.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        )
         total = pa.compute.sum(b["tf"]).as_py() or 0
         sidecar = pa.table(
             {
                 "term": pa.array([""], type=b["term"].type),
-                id_col: pa.array([-1], type=b[id_col].type),
+                id_col: pa.array([None], type=b[id_col].type),
                 "tf": pa.array([total], type=b["tf"].type),
                 "dl": pa.array([0], type=b["dl"].type),
+                "_side": pa.array([1], type=pa.int8()),
             }
         ).select(t.schema.names)
         return pa.concat_tables([t, sidecar])
@@ -133,8 +125,9 @@ def bm25_topk_dataset(
     ).materialize()
 
     def split(b: pa.Table, sidecars: bool) -> pa.Table:
-        is_side = pa.compute.equal(b[id_col], pa.scalar(-1, b[id_col].type))
-        return b.filter(is_side if sidecars else pa.compute.invert(is_side))
+        is_side = pa.compute.equal(b["_side"], pa.scalar(1, pa.int8()))
+        keep = b.filter(is_side if sidecars else pa.compute.invert(is_side))
+        return keep.drop_columns(["_side"])
 
     n_docs = docs_ds.count()
     total_tokens = sum(
