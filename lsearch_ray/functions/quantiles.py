@@ -21,7 +21,11 @@ largest single bucket's mass; for continuous-ish values 2-3 rounds reach
 the collect threshold. Constant-width rounds can stall only when one
 value repeats beyond ``collect_limit`` — detected (range stops
 shrinking with lo == hi impossible to split) and answered exactly with
-that value.
+that value. A range that stops narrowing WITHOUT collapsing to a point
+(adjacent-float mass) is resolved by count-bracket bisection — streaming
+``count(x <= mid)`` passes locate the smallest value whose cumulative
+count exceeds the rank — so the collect pass NEVER pulls more than
+``collect_limit`` rows to the driver, even on adversarial tie columns.
 
 The result is the value at 0-indexed rank ``floor(q * (n-1))`` of the
 sorted column (numpy ``'lower'`` convention) — tie-order-independent,
@@ -98,6 +102,50 @@ def _histogram_pass(ds, col: str, edges: np.ndarray) -> np.ndarray:
     for r in rows:
         counts[int(r["bucket"])] = int(r["c"])
     return counts
+
+
+# telemetry: rows pulled driver-side by the most recent exact_quantiles
+# collect pass (max over its ranges) — lets tests assert the driver-row
+# budget holds on tie-heavy fixtures
+LAST_COLLECTED_ROWS: int = 0
+
+
+def _count_le(ds, col: str, v: float) -> int:
+    """ONE streaming pass: how many finite rows have value <= v."""
+    from ray.data.aggregate import Sum
+
+    def cnt(b: pa.Table) -> pa.Table:
+        vals = _finite_f64(b, col)
+        return pa.table(
+            {"n": pa.array([int((vals <= v).sum())], type=pa.int64())}
+        )
+
+    agg = ds.map_batches(cnt, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n")
+    )
+    return int(agg["n"] or 0)
+
+
+def _rank_value_by_counts(ds, col: str, lo: float, hi: float, rank: int) -> float:
+    """The global rank-th (0-indexed) order statistic, known to lie in
+    [lo, hi], via float bisection on ``count(x <= mid)`` — NO row
+    collection, so tie runs of any size cost only O(log ulps-in-range)
+    streaming count passes (the stalled ranges this serves are already
+    narrowed to a few ulps, so a handful in practice).
+
+    Invariant: the answer is the smallest v with count(x <= v) > rank;
+    that v is always a data value (a smaller float would have the same
+    cumulative count, contradicting minimality)."""
+    a, b = float(lo), float(hi)
+    while a < b:
+        mid = a / 2.0 + b / 2.0  # overflow-free midpoint
+        if not (a <= mid < b):
+            mid = a  # adjacent floats: probe the lower endpoint
+        if _count_le(ds, col, mid) > rank:
+            b = mid
+        else:
+            a = float(np.nextafter(mid, np.inf))
+    return a
 
 
 def exact_quantiles(
@@ -217,8 +265,8 @@ def exact_quantiles(
             # mass concentrated: probe the ACTUAL value range in the
             # bucket — a point mass answers immediately, a tighter span
             # keeps refining, no tightening means refinement is done
-            # (rare; falls to collect, which may exceed collect_limit —
-            # the honest fallback)
+            # (adjacent-float mass; resolved below by count-bracket
+            # bisection, never a driver-side collect)
             mn, mx = minmax_in_range(lo, hi, hi == ghi)
             if mn == mx:
                 for s in members:
@@ -236,13 +284,24 @@ def exact_quantiles(
                 else:
                     s["lo"], s["hi"] = tight
 
-    # collect pass: again one pass per distinct remaining range
+    # collect pass: again one pass per distinct remaining range; ranges
+    # whose row count exceeds the driver budget (refinement gave up —
+    # massive tie runs) are resolved by count-bracket bisection instead,
+    # so LAST_COLLECTED_ROWS never exceeds collect_limit
+    global LAST_COLLECTED_ROWS
+    LAST_COLLECTED_ROWS = 0
     pending: dict[tuple[float, float], list[dict]] = {}
     for s in state:
         if s["answer"] is None:
             pending.setdefault((s["lo"], s["hi"]), []).append(s)
     for (lo, hi), members in pending.items():
         last = hi == ghi  # last bucket is closed at the global max
+        if any(s["inside"] > collect_limit for s in members):
+            for s in members:
+                s["answer"] = _rank_value_by_counts(
+                    ds, col, lo, hi, s["rank"]
+                )
+            continue
 
         def in_range(b: pa.Table, lo=lo, hi=hi, last=last) -> pa.Table:
             m = pc.and_(
@@ -259,6 +318,7 @@ def exact_quantiles(
             .to_numpy()
             .astype(np.float64)
         )
+        LAST_COLLECTED_ROWS = max(LAST_COLLECTED_ROWS, len(vals))
         for s in members:
             k_in = s["rank"] - s["below"]
             s["answer"] = float(np.partition(vals, k_in)[k_in])
