@@ -9,6 +9,8 @@ top-k (combiner) so the final sort/limit shuffles only
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -95,16 +97,27 @@ def knn_join(
     emb_col: str = "embedding",
     k: int = 5,
     max_broadcast_rows: int = 2_000_000,
+    n_clusters: int = 64,
+    nprobe: int | None = None,
+    ivf_dir: str | None = None,
 ):
     """Every row's top-k nearest neighbors by cosine (self excluded):
     the all-pairs similarity-search form (dedup candidate mining,
     retrieval eval). Returns (id, neighbor_id, rn ∈ [1,k], sim_micro).
 
-    Brute-force baseline: the full (id, vector) table is broadcast once
-    via ``ray.put`` (capped — beyond the cap use the IVF layout in
-    functions/ann_ivf.py as the scale path and probe per batch); each
-    batch computes batch×all dots in ONE matmul and emits only its rows'
+    Brute-force baseline (≤ ``max_broadcast_rows``): the full
+    (id, vector) table is broadcast once via ``ray.put``; each batch
+    computes batch×all dots in ONE matmul and emits only its rows'
     top-k — k·N output rows, never an N² materialization.
+
+    Beyond the cap the operator routes through the IVF layout
+    (functions/ann_ivf.py) instead of raising: the corpus is
+    materialized ONCE as cluster-partitioned Parquet, then an actor
+    pool probes per batch, holding only per-cluster blocks in memory
+    (LRU-capped) rather than the whole corpus. With ``nprobe=None``
+    every cluster is visited — EXACT, identical ranks to the broadcast
+    path (parity-tested); setting ``nprobe < n_clusters`` trades recall
+    for probe cost like any IVF index.
 
     Similarity is fixed-point ``floor(cos·1e6 + 0.5)`` (the kmeans
     rounding contract: engines' summation orders differ at ~1e-16, which
@@ -117,13 +130,18 @@ def knn_join(
     # materialize ONCE: the same blocks feed both the broadcast gather
     # and the per-batch probe below (no second read of the input)
     emb_ds = emb_ds.materialize()
+    if emb_ds.count() > max_broadcast_rows:
+        return _knn_join_ivf(
+            emb_ds,
+            id_col=id_col,
+            emb_col=emb_col,
+            k=k,
+            n_clusters=n_clusters,
+            nprobe=nprobe,
+            ivf_dir=ivf_dir,
+        )
     refs = emb_ds.select_columns([id_col, emb_col]).to_arrow_refs()
     full = pa.concat_tables(ray.get(refs), promote_options="permissive")
-    if full.num_rows > max_broadcast_rows:
-        raise ValueError(
-            f"knn_join: {full.num_rows} rows exceeds the broadcast cap "
-            f"({max_broadcast_rows}); use the IVF probe path"
-        )
     all_ids = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     all_m = _stack_embeddings(full[emb_col]).astype(np.float64)
     all_norms = np.linalg.norm(all_m, axis=1)
@@ -175,3 +193,185 @@ def knn_join(
         )
 
     return emb_ds.map_batches(topk_batch, batch_format="pyarrow")
+
+
+def _knn_empty(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64()),
+        }
+    )
+
+
+class _IvfKnnJoin:
+    """Actor-pool stage for the beyond-broadcast-cap knn_join route:
+    each actor lazily loads cluster partitions from the materialized IVF
+    layout (LRU-capped cache — memory per actor is bounded by
+    ``cache_clusters`` blocks, never the whole corpus) and merges
+    per-cluster top-k candidates into each query row's exact top-k.
+
+    Per-cluster rows are sorted by id at load so the cluster-local
+    position doubles as the id-ascending tie-break; the final merge
+    lexsorts candidates by (row, sim_micro desc, neighbor_id asc) —
+    the exact ordering contract of the broadcast path."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        kk: int,
+        id_col: str,
+        emb_col: str,
+        nprobe: int | None,
+        cache_clusters: int = 16,
+    ):
+        import json
+
+        self.index_dir = index_dir
+        self.kk = kk
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.n_clusters = int(json.load(f)["n_clusters"])
+        self.nprobe = (
+            self.n_clusters if nprobe is None else min(nprobe, self.n_clusters)
+        )
+        self.cache_clusters = cache_clusters
+        self._cache: dict[int, tuple] = {}  # insertion-ordered (LRU)
+
+    def _cluster(self, c: int):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        hit = self._cache.pop(c, None)
+        if hit is None:
+            files = sorted(
+                glob.glob(os.path.join(self.index_dir, f"cluster={c}", "*.parquet"))
+            )
+            if not files:
+                hit = (np.empty(0, np.int64), np.empty((0, 0)), np.empty(0))
+            else:
+                t = pq.read_table(files, columns=[self.id_col, self.emb_col])
+                ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = _stack_embeddings(t[self.emb_col]).astype(np.float64)
+                order = np.argsort(ids, kind="mergesort")
+                ids, m = ids[order], m[order]
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0] = 1.0
+                hit = (ids, m, norms)
+        self._cache[c] = hit  # re-insert: most recently used
+        while len(self._cache) > self.cache_clusters:
+            self._cache.pop(next(iter(self._cache)))
+        return hit
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        mb = _stack_embeddings(b[self.emb_col]).astype(np.float64)
+        nb = b.num_rows
+        if nb == 0 or self.kk == 0:
+            return _knn_empty(self.id_col)
+        bids = b[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bnorms = np.linalg.norm(mb, axis=1)
+        bnorms[bnorms == 0] = 1.0
+        if self.nprobe >= self.n_clusters:
+            visit = {c: np.arange(nb) for c in range(self.n_clusters)}
+        else:
+            cen = (mb / bnorms[:, None]) @ self.centroids.T
+            probes = np.argpartition(-cen, self.nprobe - 1, axis=1)[
+                :, : self.nprobe
+            ]
+            visit = {
+                int(c): np.nonzero((probes == c).any(axis=1))[0]
+                for c in np.unique(probes)
+            }
+        cand_row, cand_nid, cand_sim = [], [], []
+        for c, rows in visit.items():
+            ids_c, m_c, norms_c = self._cluster(c)
+            n_c = len(ids_c)
+            if n_c == 0 or len(rows) == 0:
+                continue
+            sims = (mb[rows] @ m_c.T) / (bnorms[rows, None] * norms_c[None, :])
+            sm = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+            # per-cluster prune: top (kk+1) by (sim desc, local pos asc);
+            # +1 leaves room for the self row, dropped at the merge
+            take = min(self.kk + 1, n_c)
+            if n_c > take:
+                key = -sm * np.int64(n_c + 1) + np.arange(n_c)[None, :]
+                picks = np.argpartition(key, take - 1, axis=1)[:, :take]
+            else:
+                picks = np.broadcast_to(np.arange(n_c), (len(rows), n_c))
+            cand_row.append(np.repeat(rows, picks.shape[1]))
+            cand_nid.append(ids_c[picks].ravel())
+            cand_sim.append(np.take_along_axis(sm, picks, axis=1).ravel())
+        if not cand_row:
+            return _knn_empty(self.id_col)
+        row = np.concatenate(cand_row)
+        nid = np.concatenate(cand_nid)
+        sim = np.concatenate(cand_sim)
+        not_self = nid != bids[row]
+        row, nid, sim = row[not_self], nid[not_self], sim[not_self]
+        order = np.lexsort((nid, -sim, row))
+        row, nid, sim = row[order], nid[order], sim[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(row)) + 1]
+        ) if len(row) else np.empty(0, np.int64)
+        counts = np.diff(np.concatenate([starts, [len(row)]]))
+        rank = np.arange(len(row)) - np.repeat(starts, counts)
+        keep = rank < self.kk
+        return pa.table(
+            {
+                self.id_col: pa.array(bids[row[keep]]),
+                "neighbor_id": pa.array(nid[keep]),
+                "rn": pa.array(rank[keep] + 1),
+                "sim_micro": pa.array(sim[keep]),
+            }
+        )
+
+
+def _knn_join_ivf(
+    emb_ds,
+    *,
+    id_col: str,
+    emb_col: str,
+    k: int,
+    n_clusters: int,
+    nprobe: int | None,
+    ivf_dir: str | None,
+    concurrency: int = 4,
+):
+    """knn_join's beyond-broadcast-cap route: materialize the IVF layout
+    once (cluster-partitioned Parquet), then probe per batch with an
+    actor pool whose memory is bounded by its cluster cache — the scale
+    path the broadcast cap documents. ``nprobe=None`` visits every
+    cluster (exact, rank-identical to the broadcast path)."""
+    import tempfile
+
+    from lsearch_ray.functions.ann_ivf import build_ivf_index
+
+    n_total = emb_ds.count()
+    kk = min(k, max(n_total - 1, 0))
+    index_dir = ivf_dir or os.path.join(
+        tempfile.gettempdir(), f"lsr_knn_ivf_{os.getpid()}"
+    )
+    build_ivf_index(
+        emb_ds.select_columns([id_col, emb_col]),
+        index_dir,
+        n_clusters=n_clusters,
+        emb_col=emb_col,
+    )
+    return emb_ds.map_batches(
+        _IvfKnnJoin,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "kk": kk,
+            "id_col": id_col,
+            "emb_col": emb_col,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
