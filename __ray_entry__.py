@@ -988,6 +988,81 @@ def _q_web_flagship(sf_dir: str):
     return result
 
 
+def _image_embed_knn_result():
+    """Raw multimodal flagship: deterministic PPM fixture → real pure-numpy
+    decode (actor pool) → real classic-CV feature (grid mean-pool + color
+    histogram, L2-normalized) → exact knn_join. Used by
+    tools/make_image_golden.py to regenerate the committed contract."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.ann import knn_join
+    from lsearch_ray.functions.multimodal import (
+        DecodeImage,
+        embed_image,
+        make_ppm_fixture,
+    )
+
+    fixture = make_ppm_fixture(48)
+    decoded = rd.from_arrow(fixture).repartition(4).map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"image_col": "image", "fake": False},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    emb = decoded.map_batches(embed_image, batch_format="pyarrow").select_columns(
+        ["img_id", "embedding"]
+    )
+    out = (
+        knn_join(emb, id_col="img_id", k=3)
+        .sort(["img_id", "rn"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "img_id": pa.array(out["img_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rn": pa.array(out["rn"], type=pa.int64()),
+            "sim_micro": pa.array(out["sim_micro"], type=pa.int64()),
+        }
+    )
+
+
+def _q_image_embed_knn(sf_dir: str):
+    """Multimodal decode → embed → similarity pipeline on the
+    deterministic synthetic PPM fixture (no image table exists in the
+    sf dirs and no SQL can run the decode, so — like web_flagship — the
+    machine-checked contract is the committed golden
+    tests/golden/image_embed_knn.json): the query compares its live
+    (img_id, neighbor_id, rn, sim_micro) rows against the golden and
+    RAISES on drift."""
+    import json
+
+    result = _image_embed_knn_result()
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "golden",
+        "image_embed_knn.json",
+    )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    got = [
+        (int(r["img_id"]), int(r["neighbor_id"]), int(r["rn"]), int(r["sim_micro"]))
+        for r in result.to_pylist()
+    ]
+    want = [
+        (r["img_id"], r["neighbor_id"], r["rn"], r["sim_micro"])
+        for r in golden["rows"]
+    ]
+    if got != want:
+        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
+        raise RuntimeError(
+            f"image_embed_knn drifted from committed golden "
+            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
+        )
+    return result
+
+
 _NGRAM_N = 3
 _NGRAM_K = 20
 _DECON_N = 8
@@ -1544,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _q_doc_entropy,
         "name_matches": _q_name_matches,
         "overlap_chunks": _q_overlap_chunks,
+        "image_embed_knn": _q_image_embed_knn,
     }
 
 

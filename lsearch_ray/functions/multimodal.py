@@ -13,10 +13,12 @@ Real decode paths (``fake=False``), all pure numpy, no media libraries:
 Compressed containers (JPEG without PIL, MP3, MP4, ...) raise
 ``ValueError`` naming the missing dependency — never a silent fake.
 ``fake=True`` keeps deterministic no-dependency stand-ins for
-pipeline-shape tests; the feature extractor (``embed_fake``) remains a
-declared fake (no model runtime here). Everything Ray-side — schema
-handling, actor-pool stage shape, batch sizing for wide binary rows —
-is real and tested.
+pipeline-shape tests. The feature extractor (``embed_image``) is a REAL
+classic-CV global descriptor (grid mean-pool + color histogram,
+L2-normalized) — pure numpy, bit-deterministic, no model runtime —
+feeding decode → embed → knn_join/kmeans pipelines end to end.
+Everything Ray-side — schema handling, actor-pool stage shape, batch
+sizing for wide binary rows — is real and tested.
 
 Scale notes: binary payloads make rows wide — size ``batch_size`` small
 (``suggest_batch_size``) and keep stages in ``batch_format="pyarrow"``
@@ -332,17 +334,92 @@ class SampleFrames:
         return pa.table(cols)
 
 
-def embed_fake(batch: pa.Table, payload_col: str = "pixels", dim: int = 16) -> pa.Table:
-    """Deterministic fake feature extractor: payload bytes → float vector
-    (stands in for a batched model forward pass; the real model loads in
-    an actor's ``__init__`` and runs here per batch)."""
-    col = batch[payload_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+def embed_image(
+    batch: pa.Table,
+    pixel_col: str = "pixels",
+    h_col: str = "height",
+    w_col: str = "width",
+    grid: int = 4,
+    bins: int = 8,
+) -> pa.Table:
+    """REAL deterministic image feature (classic public-knowledge CV, no
+    model runtime): per image, a ``grid×grid`` blocked mean-pool of each
+    RGB channel (means scaled to [0,1]) concatenated with a
+    ``bins``-per-channel color histogram (bin fractions), L2-normalized —
+    the color-layout / color-histogram global-descriptor family. Pure
+    integer-in/float64-out numpy over the decoded RGB payload, so the
+    vector is bit-identical across hosts and decode → embed →
+    knn_join / kmeans pipelines are golden-testable. Output column
+    ``embedding: list<float>`` of dim ``grid²·3 + bins·3`` (72 default).
+
+    At scale this runs as the per-batch body of an actor-pool
+    ``map_batches`` stage right after :class:`DecodeImage`; a learned
+    encoder would slot into the same signature with the model loaded in
+    the actor's ``__init__``."""
+    if 256 % bins:
+        raise ValueError(f"bins={bins} must divide 256")
+    shift = 256 // bins
+    cols = {c: batch[c] for c in (pixel_col, h_col, w_col)}
+    for k, v in cols.items():
+        if isinstance(v, pa.ChunkedArray):
+            cols[k] = v.combine_chunks()
+    heights = np.asarray(cols[h_col], dtype=np.int64)
+    widths = np.asarray(cols[w_col], dtype=np.int64)
     vecs = []
-    for v in col:
-        raw = np.frombuffer(v.as_py() or b"\x00", dtype=np.uint8)
-        acc = np.resize(raw.astype(np.float32), dim)
-        norm = np.linalg.norm(acc)
-        vecs.append((acc / norm if norm else acc).tolist())
-    return batch.append_column("embedding", pa.array(vecs, type=pa.list_(pa.float32())))
+    for i, v in enumerate(cols[pixel_col]):
+        h, w = int(heights[i]), int(widths[i])
+        px = np.frombuffer(v.as_py() or b"", dtype=np.uint8)
+        if h * w == 0 or len(px) != h * w * 3:
+            vecs.append([0.0] * (grid * grid * 3 + bins * 3))
+            continue
+        px = px.reshape(h, w, 3)
+        # blocked mean-pool: map each pixel to its grid cell, channel
+        # sums via ONE bincount per channel over flat cell ids
+        ri = (np.arange(h) * grid) // h
+        ci = (np.arange(w) * grid) // w
+        cell = (ri[:, None] * grid + ci[None, :]).ravel()
+        counts = np.bincount(cell, minlength=grid * grid).astype(np.float64)
+        pooled = np.concatenate(
+            [
+                np.bincount(
+                    cell, weights=px[:, :, c].ravel(), minlength=grid * grid
+                )
+                / (counts * 255.0)
+                for c in range(3)
+            ]
+        )
+        hist = np.concatenate(
+            [
+                np.bincount(px[:, :, c].ravel() // shift, minlength=bins)
+                / float(h * w)
+                for c in range(3)
+            ]
+        )
+        feat = np.concatenate([pooled, hist])
+        feat /= np.linalg.norm(feat)  # hist mass guarantees norm > 0
+        vecs.append(feat.astype(np.float32).tolist())
+    return batch.append_column(
+        "embedding", pa.array(vecs, type=pa.list_(pa.float32()))
+    )
+
+
+def make_ppm_fixture(
+    n: int = 48, *, h: int = 16, w: int = 16, seed: int = 77
+) -> pa.Table:
+    """Deterministic synthetic PPM (P6) image table with built-in
+    near-pair structure — image 2j+1 is image 2j plus a small uniform
+    brightness shift, so the nearest-neighbor graph is stable and
+    golden-testable. Columns (img_id:int64, image:binary)."""
+    imgs = []
+    for i in range(n):
+        rng = np.random.RandomState(seed + (i // 2))
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.int16)
+        if i % 2 == 1:
+            px = np.clip(px + 3, 0, 255)
+        imgs.append(f"P6\n{w} {h}\n255\n".encode() + px.astype(np.uint8).tobytes())
+    return pa.table(
+        {
+            "img_id": pa.array(np.arange(n, dtype=np.int64)),
+            "image": pa.array(imgs, type=pa.binary()),
+        }
+    )

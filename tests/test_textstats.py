@@ -17,7 +17,7 @@ from lsearch_ray.functions import (
 from lsearch_ray.functions.multimodal import (
     DecodeImage,
     SampleFrames,
-    embed_fake,
+    embed_image,
     suggest_batch_size,
 )
 
@@ -178,12 +178,50 @@ def test_sample_frames_flatmap_shape():
     assert all(v == 7 for v in out["vid_id"].to_pylist())
 
 
-def test_embed_fake_normalized():
-    t = pa.table({"pixels": pa.array([b"abcdef" * 10], type=pa.large_binary())})
-    out = embed_fake(t, "pixels", dim=8)
-    v = np.asarray(out["embedding"][0].as_py())
-    assert len(v) == 8
+def test_embed_image_matches_numpy_reference():
+    """The real feature: grid mean-pool + color histogram, L2-normalized,
+    verified against an independent straightforward-numpy computation."""
+    rng = np.random.RandomState(9)
+    h, w, grid, bins = 6, 10, 2, 4
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "pixels": pa.array([px.tobytes()], type=pa.large_binary()),
+            "height": pa.array([h], type=pa.int32()),
+            "width": pa.array([w], type=pa.int32()),
+        }
+    )
+    out = embed_image(t, grid=grid, bins=bins)
+    v = np.asarray(out["embedding"][0].as_py(), dtype=np.float64)
+    assert len(v) == grid * grid * 3 + bins * 3
     assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+    # independent reference: explicit block slicing + np.histogram
+    ref_pool = []
+    for c in range(3):
+        for gi in range(grid):
+            for gj in range(grid):
+                rs = [r for r in range(h) if (r * grid) // h == gi]
+                cs = [cc for cc in range(w) if (cc * grid) // w == gj]
+                ref_pool.append(px[np.ix_(rs, cs, [c])].mean() / 255.0)
+    ref_hist = []
+    for c in range(3):
+        cnt, _ = np.histogram(px[:, :, c], bins=bins, range=(0, 256))
+        ref_hist.extend(cnt / (h * w))
+    ref = np.concatenate([ref_pool, ref_hist])
+    ref = (ref / np.linalg.norm(ref)).astype(np.float32)
+    np.testing.assert_array_equal(v.astype(np.float32), ref)
+
+
+def test_embed_image_zero_payload_guard():
+    t = pa.table(
+        {
+            "pixels": pa.array([b""], type=pa.large_binary()),
+            "height": pa.array([0], type=pa.int32()),
+            "width": pa.array([0], type=pa.int32()),
+        }
+    )
+    v = embed_image(t)["embedding"][0].as_py()
+    assert v == [0.0] * 72
 
 
 def test_suggest_batch_size():
@@ -211,11 +249,74 @@ def test_multimodal_through_ray_pipeline():
             batch_size=suggest_batch_size(64, budget_mb=1),
             concurrency=2,
         )
-        .map_batches(lambda b: embed_fake(b, "pixels", dim=8), batch_format="pyarrow")
+        .map_batches(embed_image, batch_format="pyarrow")
     )
     rows = out.take_all()
     assert len(rows) == 50
-    assert all(len(r["embedding"]) == 8 for r in rows)
+    assert all(len(r["embedding"]) == 72 for r in rows)
+
+
+def test_image_embed_knn_matches_numpy_reference():
+    """End-to-end multimodal flagship (PPM fixture → real decode → real
+    feature → knn_join) vs an independent in-process reference: decode
+    via straightforward byte slicing, feature via np.histogram + block
+    loops, neighbors via a dense cosine matrix."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    from lsearch_ray.functions.multimodal import make_ppm_fixture
+
+    got = em._image_embed_knn_result().to_pylist()
+
+    fixture = make_ppm_fixture(48)
+    feats = []
+    for raw in fixture["image"].to_pylist():
+        # independent PPM parse: header is exactly "P6\n{w} {h}\n255\n"
+        head, body = raw.split(b"\n255\n", 1)
+        w, h = map(int, head.split(b"\n")[1].split())
+        px = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+        grid, bins = 4, 8
+        pool = []
+        for c in range(3):
+            for gi in range(grid):
+                for gj in range(grid):
+                    rs = [r for r in range(h) if (r * grid) // h == gi]
+                    cs = [cc for cc in range(w) if (cc * grid) // w == gj]
+                    pool.append(px[np.ix_(rs, cs, [c])].mean() / 255.0)
+        hist = []
+        for c in range(3):
+            cnt, _ = np.histogram(px[:, :, c], bins=bins, range=(0, 256))
+            hist.extend(cnt / (h * w))
+        f = np.concatenate([pool, hist])
+        feats.append((f / np.linalg.norm(f)).astype(np.float32))
+    m = np.asarray(feats, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / (norms[:, None] * norms[None, :])
+    micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+    want = []
+    for i in range(48):
+        order = sorted(
+            (j for j in range(48) if j != i), key=lambda j: (-micro[i, j], j)
+        )[:3]
+        for rnk, j in enumerate(order, 1):
+            want.append((i, j, rnk, int(micro[i, j])))
+    assert [
+        (r["img_id"], r["neighbor_id"], r["rn"], r["sim_micro"]) for r in got
+    ] == want
+
+
+def test_image_embed_knn_golden_gate():
+    """queries()['image_embed_knn'] raises on drift from the committed
+    golden — run it to prove the gate passes on the current tree."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    out = em.queries()["image_embed_knn"]("/root/testdata/sf0.001")
+    assert out.num_rows == 144
 
 
 def test_broadcast_and_hash_join():

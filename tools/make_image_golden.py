@@ -1,0 +1,54 @@
+"""Regenerate tests/golden/image_embed_knn.json — the committed
+(img_id, neighbor_id, rn, sim_micro) contract of the multimodal
+decode → embed → knn_join pipeline over the deterministic PPM fixture.
+
+No SQL oracle can run the PPM decode, so the conformance contract is
+this golden artifact (same philosophy as web_flagship). The driver
+query (queries()["image_embed_knn"]) compares its live result against
+these bytes and raises on drift. A pytest additionally verifies the
+pipeline against an independent in-process numpy reference, so the
+golden pins determinism while the test pins correctness.
+
+Usage: PYTHONPATH=/root/repo python tools/make_image_golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+OUT = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "golden", "image_embed_knn.json"
+)
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import __ray_entry__
+
+    t = __ray_entry__._image_embed_knn_result()
+    artifact = {
+        "fixture": {"n_images": 48, "h": 16, "w": 16, "seed": 77},
+        "feature": {"grid": 4, "bins": 8, "dim": 72},
+        "k": 3,
+        "rows": [
+            {
+                "img_id": int(r["img_id"]),
+                "neighbor_id": int(r["neighbor_id"]),
+                "rn": int(r["rn"]),
+                "sim_micro": int(r["sim_micro"]),
+            }
+            for r in t.to_pylist()
+        ],
+    }
+    with open(os.path.abspath(OUT), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("wrote", os.path.abspath(OUT), len(artifact["rows"]), "rows")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
