@@ -9,12 +9,20 @@ at num_cpus=$RAY_GRAFT_CPUS (default 32):
                     reported as docs/sec
   - query_p95     — BM25 top-10 p95 latency over 100 queries via the
                     in-memory scatter-gather QueryEngine
-  - query_stream  — 1000 queries streamed through the Dataset
+  - query_stream  — 4000 queries streamed through the Dataset
                     BatchSearcher path (qps)
   - generic ops   — q1_agg, more_rank, bm25 dataset path, dedup, ANN over
                     the testdata tables
 
---index-only: index build only (used by --scaling subprocesses).
+Every suite entry is the MEDIAN OF 3 in-session repetitions (host noise
+on this box swings single runs ±2-4×; BASELINE.md "noise" notes), so the
+one driver invocation is robust to landing in a bad window. The reported
+``value`` is the sum of the per-entry medians. The Zipf routed/unrouted
+affinity-routing pair is NOT part of the suite (opt in with
+LSR_BENCH_ZIPF=1); its measurements live in BASELINE.md.
+
+--index-only: index build only (used by --scaling subprocesses; keeps the
+scaling protocol's best-of-LSR_BENCH_REPS aggregation).
 --scaling: run index build at num_cpus=8 and 32 in fresh processes on the
 same (pre-generated, page-cache-warmed) input; report both throughputs and
 scaling efficiency.
@@ -92,7 +100,15 @@ def ensure_corpus() -> None:
     ).count()
 
 
-def bench_index_build() -> dict:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+
+def bench_index_build(agg: str = "median") -> dict:
+    """Timed index builds after an untimed warm-up. ``agg``:
+    'median' (headline suite — robust to a single bad host window) or
+    'best' (the --scaling protocol's documented best-of-reps)."""
     import ray.data as rd
 
     from lsearch_ray.index.build import build_index
@@ -113,8 +129,9 @@ def bench_index_build() -> dict:
 
     import json as _json
 
-    reps = int(os.environ.get("LSR_BENCH_REPS", "1"))
-    best_dt, n_docs, best_stages = None, 0, {}
+    reps = int(os.environ.get("LSR_BENCH_REPS", "3" if agg == "median" else "1"))
+    runs: list[tuple[float, dict]] = []
+    n_docs = 0
     for _ in range(reps):
         shutil.rmtree(INDEX_DIR, ignore_errors=True)
         docs = rd.read_parquet(CORPUS_DIR, columns=["doc_id", "text"])
@@ -122,18 +139,21 @@ def bench_index_build() -> dict:
         meta = build_index(docs, INDEX_DIR, num_shards=NUM_SHARDS, resume=False)
         dt = time.monotonic() - t0
         n_docs = meta.n_docs
-        if best_dt is None or dt < best_dt:
-            best_dt = dt
-            try:
-                with open(os.path.join(INDEX_DIR, "metrics.json")) as f:
-                    best_stages = _json.load(f)["stages"]
-            except Exception:
-                best_stages = {}
+        try:
+            with open(os.path.join(INDEX_DIR, "metrics.json")) as f:
+                stages = _json.load(f)["stages"]
+        except Exception:
+            stages = {}
+        runs.append((dt, stages))
+    runs.sort(key=lambda r: r[0])
+    pick = runs[len(runs) // 2] if agg == "median" else runs[0]
     return {
-        "sec": best_dt,
+        "sec": pick[0],
         "docs": n_docs,
-        "docs_per_sec": n_docs / best_dt,
-        "stages": best_stages,
+        "docs_per_sec": n_docs / pick[0],
+        "stages": pick[1],
+        "reps": reps,
+        "agg": agg,
     }
 
 
@@ -151,6 +171,9 @@ def _bench_queries_list(n: int) -> list[str]:
 
 
 def bench_query_serving() -> dict:
+    """Median-of-3 latency loops over the same engine: the middle loop
+    reflects steady state; a single loop can land in a host-noise spike
+    (r03's p95 13.8 ms vs the same-day builder's 7.3 ms)."""
     import numpy as np
 
     from lsearch_ray.index.search import QueryEngine
@@ -158,17 +181,22 @@ def bench_query_serving() -> dict:
     eng = QueryEngine(INDEX_DIR, num_actors=min(8, NUM_SHARDS))
     queries = _bench_queries_list(100)
     eng.search("warm up please")  # actor init + warm
-    lat = []
-    for q in queries:
-        t0 = time.monotonic()
-        eng.search(q, k=10)
-        lat.append(time.monotonic() - t0)
-    lat = np.array(lat)
-    return {
-        "sec": float(lat.sum()),
-        "p50_ms": float(np.percentile(lat, 50) * 1e3),
-        "p95_ms": float(np.percentile(lat, 95) * 1e3),
-    }
+    loops = []
+    for _ in range(3):
+        lat = []
+        for q in queries:
+            t0 = time.monotonic()
+            eng.search(q, k=10)
+            lat.append(time.monotonic() - t0)
+        lat = np.array(lat)
+        loops.append(
+            {
+                "sec": float(lat.sum()),
+                "p50_ms": float(np.percentile(lat, 50) * 1e3),
+                "p95_ms": float(np.percentile(lat, 95) * 1e3),
+            }
+        )
+    return {k: _median([r[k] for r in loops]) for k in loops[0]}
 
 
 def _zipf_queries_list(n: int) -> list[str]:
@@ -190,6 +218,7 @@ def _zipf_queries_list(n: int) -> list[str]:
 
 def _stream_queries(queries: list[str], *, routed: bool) -> tuple[float, int]:
     import pyarrow as pa
+    import ray
     import ray.data as rd
 
     from lsearch_ray.index.search import BatchSearcher, route_queries_by_head_term
@@ -200,7 +229,12 @@ def _stream_queries(queries: list[str], *, routed: bool) -> tuple[float, int]:
             "query": queries,
         }
     )
-    ds = rd.from_arrow(qt).repartition(8)  # ONE block would serialize the pool
+    # 32 blocks over 8 actors with a per-actor in-flight cap: without the
+    # cap the executor piles queued batches onto the first actors that
+    # report ready (measured: 3 actors get all the work while 5 idle —
+    # wall 12s vs 6s), and more blocks than actors smooths stragglers;
+    # see BASELINE.md "actor-pool dispatch skew"
+    ds = rd.from_arrow(qt).repartition(32)
     if routed:
         ds = route_queries_by_head_term(
             ds, num_routes=32, index_dir=INDEX_DIR
@@ -210,41 +244,54 @@ def _stream_queries(queries: list[str], *, routed: bool) -> tuple[float, int]:
         BatchSearcher,
         fn_constructor_kwargs={"index_dir": INDEX_DIR, "k": 10},
         batch_format="pyarrow",
-        batch_size=500,  # one batch per actor → one pushdown IO round each
-        concurrency=8,
+        batch_size=125,  # one batch per block
+        compute=ray.data.ActorPoolStrategy(
+            size=8, max_tasks_in_flight_per_actor=2
+        ),
     ).count()
     return time.monotonic() - t0, n
 
 
 def bench_query_stream() -> dict:
+    """Median-of-3 streaming runs (the actor pool is re-created per
+    map_batches call, so single runs swing 6.7-10.3 s at sf0.1 —
+    BASELINE.md noise notes). The Zipf routed/unrouted affinity pair is
+    NOT part of the headline suite (its regime analysis lives in
+    BASELINE.md); opt in with LSR_BENCH_ZIPF=1."""
     queries = _bench_queries_list(4000)
-    dt, n = _stream_queries(queries, routed=False)
-    # term-affinity routing, measured on a Zipf workload (routed vs not,
-    # same queries, same index, same pool)
-    zq = _zipf_queries_list(4000)
-    dt_plain, _ = _stream_queries(zq, routed=False)
-    dt_routed, _ = _stream_queries(zq, routed=True)
-    return {
-        "sec": dt,
-        "result_rows": n,
-        "qps": len(queries) / dt,
-        "zipf_qps_unrouted": len(zq) / dt_plain,
-        "zipf_qps_routed": len(zq) / dt_routed,
-    }
+    runs = []
+    n = 0
+    for _ in range(3):
+        dt, n = _stream_queries(queries, routed=False)
+        runs.append(dt)
+    dt = _median(runs)
+    out = {"sec": dt, "result_rows": n, "qps": len(queries) / dt}
+    if os.environ.get("LSR_BENCH_ZIPF"):
+        zq = _zipf_queries_list(4000)
+        dt_plain, _ = _stream_queries(zq, routed=False)
+        dt_routed, _ = _stream_queries(zq, routed=True)
+        out["zipf_qps_unrouted"] = len(zq) / dt_plain
+        out["zipf_qps_routed"] = len(zq) / dt_routed
+    return out
 
 
 def bench_generic() -> dict:
+    """Median-of-3 per generic op (each rep re-runs the full lazy
+    pipeline including the parquet read)."""
     import __ray_entry__ as entry_mod
 
     out = {}
     qs = entry_mod.queries()
     for name in ["q1_agg", "more_rank", "bm25_or_topk", "dedup_events", "ann_cosine", "term_df"]:
-        t0 = time.monotonic()
-        res = qs[name](SF_DIR)
-        # consume lazily-built datasets
-        if hasattr(res, "count") and not hasattr(res, "num_rows"):
-            res.count()
-        out[name] = time.monotonic() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            res = qs[name](SF_DIR)
+            # consume lazily-built datasets
+            if hasattr(res, "count") and not hasattr(res, "num_rows"):
+                res.count()
+            reps.append(time.monotonic() - t0)
+        out[name] = _median(reps)
     return out
 
 
@@ -252,16 +299,21 @@ def run_default(index_only: bool = False) -> dict:
     _init_ray()
     ensure_corpus()
     queries: dict[str, float] = {}
-    ib = bench_index_build()
+    # --index-only (scaling subprocess) keeps best-of-reps; the headline
+    # suite is median-of-3 per entry
+    ib = bench_index_build(agg="best" if index_only else "median")
     queries["index_build"] = round(ib["sec"], 3)
     result = {
-        "metric": "headline suite wall time",
+        "metric": "headline suite wall time (median-of-3 per entry)"
+        if not index_only
+        else "headline suite wall time",
         "unit": "sec",
         "sf": SF_DIR,
         "num_cpus": NCPU,
         "bench_docs": ib["docs"],
         "index_build_docs_per_sec": round(ib["docs_per_sec"], 1),
         "index_build_stages": ib.get("stages", {}),
+        "index_build_agg": f"{ib['agg']}-of-{ib['reps']}",
     }
     if not index_only:
         qs = bench_query_serving()
@@ -271,8 +323,9 @@ def run_default(index_only: bool = False) -> dict:
         st = bench_query_stream()
         queries["query_stream"] = round(st["sec"], 3)
         result["query_stream_qps"] = round(st["qps"], 1)
-        result["zipf_qps_unrouted"] = round(st["zipf_qps_unrouted"], 1)
-        result["zipf_qps_routed"] = round(st["zipf_qps_routed"], 1)
+        if "zipf_qps_unrouted" in st:
+            result["zipf_qps_unrouted"] = round(st["zipf_qps_unrouted"], 1)
+            result["zipf_qps_routed"] = round(st["zipf_qps_routed"], 1)
         for k, v in bench_generic().items():
             queries[k] = round(v, 3)
     result["queries"] = queries
