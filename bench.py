@@ -295,6 +295,26 @@ def bench_generic() -> dict:
     return out
 
 
+def _host_calibration() -> dict:
+    """Quick in-invocation spin probe (single-thread + all-cores): the
+    host's compute capacity DURING this bench run. Identical code
+    measured 19.0 s vs 30.5 s suite walls 40 minutes apart on this box
+    (BASELINE.md noise notes) — this field lets a reader normalize a
+    single run against the window it landed in."""
+    import multiprocessing as mp
+
+    n = 6_000_000
+    t1 = _spin(n)
+    with mp.Pool(NCPU) as p:
+        t0 = time.perf_counter()
+        p.map(_spin, [n] * NCPU)
+        tp = time.perf_counter() - t0
+    return {
+        "spin_1thread_mops": round(n / t1 / 1e6, 1),
+        "spin_allcores_mops": round(NCPU * n / tp / 1e6, 1),
+    }
+
+
 def run_default(index_only: bool = False) -> dict:
     _init_ray()
     ensure_corpus()
@@ -330,6 +350,8 @@ def run_default(index_only: bool = False) -> dict:
             queries[k] = round(v, 3)
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3)
+    if not index_only:
+        result["host_calibration"] = _host_calibration()
     return result
 
 
