@@ -178,7 +178,11 @@ def bench_query_serving() -> dict:
 
     from lsearch_ray.index.search import QueryEngine
 
-    eng = QueryEngine(INDEX_DIR, num_actors=min(8, NUM_SHARDS))
+    # 4 shard-group actors, not 8: per-query latency is dominated by the
+    # scatter round's per-actor RPC cost at this index size (A/B warm:
+    # p95 7.4-7.9 ms at 2-4 actors vs 9.1 ms at 8; p50 4.8-5.9 vs 6.8) —
+    # wider pools only pay off when per-shard scoring work dominates
+    eng = QueryEngine(INDEX_DIR, num_actors=min(4, NUM_SHARDS))
     queries = _bench_queries_list(100)
     eng.search("warm up please")  # actor init + warm
     loops = []

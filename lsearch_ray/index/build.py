@@ -520,11 +520,16 @@ def build_index(
         ray.get([encode_task.remote(s) for s in missing])
         stage_walls["encode_shards_s"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
+    manifests = _read_all_manifests(fs, idx_path, num_shards, block_size)
     meta = finalize_index(
-        idx_path, num_shards, block_size, positions=positions, filesystem=fs
+        idx_path, num_shards, block_size, positions=positions, filesystem=fs,
+        manifests=manifests,
     )
     stage_walls["finalize_s"] = round(time.monotonic() - t0, 3)
-    _write_build_metrics(idx_path, num_shards, stage_walls, build_t0, filesystem=fs)
+    _write_build_metrics(
+        idx_path, num_shards, stage_walls, build_t0, filesystem=fs,
+        manifests=manifests,
+    )
     if not keep_triples:
         fsio.delete_dir(fs, triples_dir)
         fsio.delete_file(fs, triples_marker)
@@ -533,17 +538,20 @@ def build_index(
 
 def _write_build_metrics(
     index_dir: str, num_shards: int, stage_walls: dict, build_t0: float,
-    filesystem=None,
+    filesystem=None, manifests: list[dict] | None = None,
 ) -> None:
     """metrics.json: build-level stage walls + per-partition metrics rolled
     up from shard manifests (the M3/AppStats counterpart for the build —
     the north rule's "per-partition lineage + metrics")."""
     fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
-    shards = []
-    for s in range(num_shards):
-        mpath = fsio.join(idx_path, f"shard={s:05d}", "manifest.json")
-        if fsio.exists(fs, mpath):
-            shards.append(fsio.read_json(fs, mpath))
+    if manifests is not None:
+        shards = manifests
+    else:
+        shards = []
+        for s in range(num_shards):
+            mpath = fsio.join(idx_path, f"shard={s:05d}", "manifest.json")
+            if fsio.exists(fs, mpath):
+                shards.append(fsio.read_json(fs, mpath))
     metrics = {
         "total_wall_s": round(time.monotonic() - build_t0, 3),
         "stages": stage_walls,
@@ -561,22 +569,38 @@ def _write_build_metrics(
     fsio.write_json(fs, fsio.join(idx_path, "metrics.json"), metrics, indent=1)
 
 
-def finalize_index(
-    index_dir: str, num_shards: int, block_size: int, positions: bool = False,
-    filesystem=None,
-) -> IndexMeta:
-    """Aggregate shard manifests → meta.json + global termstats parquet."""
-    fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
-    n_docs, dl_sum = 0, 0
+def _read_all_manifests(
+    fs, idx_path: str, num_shards: int, block_size: int
+) -> list[dict]:
+    """All shard manifests, encoding an empty shard for any missing one
+    (resume/empty-corpus path). Reads go through a thread pool: 64 tiny
+    sequential JSON reads were ~0.1-0.25 s of pure per-file latency at
+    the small-corpus scale where finalize dominates the build wall (and
+    on an object store each read is a round trip)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = []
     for s in range(num_shards):
         mpath = fsio.join(idx_path, f"shard={s:05d}", "manifest.json")
         if not fsio.exists(fs, mpath):
             encode_shard_table(
                 _empty_triples_table(), idx_path, s, block_size, filesystem=fs
             )
-        m = fsio.read_json(fs, mpath)
-        n_docs += m["n_docs"]
-        dl_sum += m["dl_sum"]
+        paths.append(mpath)
+    with ThreadPoolExecutor(max_workers=min(16, num_shards)) as ex:
+        return list(ex.map(lambda p: fsio.read_json(fs, p), paths))
+
+
+def finalize_index(
+    index_dir: str, num_shards: int, block_size: int, positions: bool = False,
+    filesystem=None, manifests: list[dict] | None = None,
+) -> IndexMeta:
+    """Aggregate shard manifests → meta.json + global termstats parquet."""
+    fs, idx_path = fsio.resolve_fs(index_dir, filesystem)
+    if manifests is None:
+        manifests = _read_all_manifests(fs, idx_path, num_shards, block_size)
+    n_docs = sum(m["n_docs"] for m in manifests)
+    dl_sum = sum(m["dl_sum"] for m in manifests)
 
     # global (term, df): pre-aggregated per shard already (≤ num_shards rows
     # per term) → a small groupby-sum, no skew possible. Small vocabularies
@@ -587,15 +611,13 @@ def finalize_index(
         for s in range(num_shards)
     ]
     final_stats = fsio.join(idx_path, "termstats")
-    n_term_rows = sum(fsio.parquet_num_rows(fs, f) for f in files)
+    # per-shard term counts are in the manifests — no file opens needed
+    n_term_rows = sum(m["n_terms"] for m in manifests)
     small_vocab = n_term_rows <= 5_000_000
 
     def write_stats(target: str) -> None:
         if small_vocab:
-            t = pa.concat_tables(
-                [fsio.read_table(fs, [f], columns=["term", "df"]) for f in files],
-                promote_options="permissive",
-            )
+            t = fsio.read_table(fs, files, columns=["term", "df"])
             t = t.set_column(1, "df", t["df"].cast(pa.int64()))
             agg = t.group_by("term").aggregate([("df", "sum")])
             agg = agg.rename_columns(["term", "df"])
