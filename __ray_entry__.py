@@ -526,6 +526,55 @@ def _q_distinct_users_kmv(sf_dir: str):
     )
 
 
+def _q_hll_users(sf_dir: str):
+    """HyperLogLog register table over user_id (p=9, 512 buckets): the
+    sketch rows are integer-exact (bucket = top hash bits, register =
+    max leading-zero rank), so the SQL twin replays them bit-for-bit;
+    the float estimate (hll_estimate) is pytest-verified separately."""
+    from lsearch_ray.functions.sampling import hll_buckets
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return hll_buckets(ev, "user_id", p=9)
+
+
+def _q_priority_sample(sf_dir: str):
+    """Weighted sample (priority sampling, Duffield-Lund-Thorup): top-50
+    lineitems by q = w/u with hash-derived 40-bit uniforms — pure int64
+    arithmetic, inclusion ∝ l_quantity, deterministic on any split."""
+    from lsearch_ray.functions.sampling import priority_sample
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def add_key(b: pa.Table) -> pa.Table:
+        lk = pc.binary_join_element_wise(
+            pc.cast(b["l_orderkey"], pa.string()),
+            pc.cast(b["l_linenumber"], pa.string()),
+            "-",
+        )
+        return b.append_column("lk", lk)
+
+    out = priority_sample(
+        li.map_batches(add_key, batch_format="pyarrow"),
+        "lk",
+        "l_quantity",
+        50,
+    )
+    rows = out.take_all()  # 50 rows, already (priority desc, h, lk) ordered
+    return pa.table(
+        {
+            "lk": pa.array([r["lk"] for r in rows], type=pa.string()),
+            "qty": pa.array(
+                [int(r["l_quantity"]) for r in rows], type=pa.int64()
+            ),
+            "priority": pa.array(
+                [int(r["priority"]) for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
 def _q_quality(sf_dir: str):
     from lsearch_ray.functions import quality_stats
 
@@ -1574,6 +1623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_value": _q_quantiles_value,
         "quantiles_by_type": _q_quantiles_by_type,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "hll_users": _q_hll_users,
+        "priority_sample_lineitem": _q_priority_sample,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -2181,6 +2232,36 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE (SELECT hv FROM hs ORDER BY hv LIMIT 1 OFFSET 63) "
             "  END AS BIGINT) AS kth_hash, "
             "CAST(64 AS BIGINT) AS k"
+        ),
+        "hll_users": (
+            # HLL register twin: same 63-bit hash → bucket = h >> 54
+            # (// 2^54), register = max(leading zeros of the low 54 bits
+            # + 1) — the rank via MIN over explicit bit probes (never
+            # float log2, which is not correctly rounded at power-of-two
+            # boundaries); 2^(54-j) is exact in double so the CAST is
+            # exact for every probe
+            f"WITH hv AS (SELECT DISTINCT {_mixed_hash63_of('CAST(user_id AS VARCHAR)')} AS h "
+            "            FROM events WHERE user_id IS NOT NULL), "
+            "hb AS (SELECT CAST(h // 18014398509481984 AS BIGINT) AS bucket, "
+            "              CAST(h % 18014398509481984 AS BIGINT) AS rest FROM hv), "
+            "rk AS (SELECT bucket, "
+            "  COALESCE((SELECT MIN(j) FROM range(1, 55) t(j) "
+            "            WHERE (rest // CAST(power(2, 54 - j) AS BIGINT)) % 2 = 1), "
+            "           55) AS rnk FROM hb) "
+            "SELECT bucket, MAX(rnk) AS r FROM rk GROUP BY bucket ORDER BY bucket"
+        ),
+        "priority_sample_lineitem": (
+            # priority-sampling twin: q = floor((w << 40) / ((h >> 23)+1))
+            # in exact integer arithmetic; ties break by (h, lk) — the
+            # hidden h column orders identically in both engines because
+            # it IS the same hash
+            "WITH li AS (SELECT CAST(l_orderkey AS VARCHAR) || '-' || "
+            "                   CAST(l_linenumber AS VARCHAR) AS lk, "
+            "                   CAST(l_quantity AS BIGINT) AS qty FROM lineitem), "
+            f"h AS (SELECT lk, qty, {_mixed_hash63_of('lk')} AS h FROM li) "
+            "SELECT lk, qty, "
+            "CAST((qty * 1099511627776) // ((h // 8388608) + 1) AS BIGINT) AS priority "
+            "FROM h ORDER BY priority DESC, h, lk LIMIT 50"
         ),
         "fingerprint": _fingerprint_sql(),
         "langid": _langid_sql(),

@@ -105,6 +105,169 @@ def stratified_hash_sample(
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+# exact vectorized bit_length for 16-bit chunks (no float log — log2 of
+# integers near powers of two is not guaranteed correctly rounded, and
+# the HLL rank must be integer-exact to replay in SQL)
+_BL16 = np.zeros(1 << 16, dtype=np.int64)
+for _k in range(16):
+    _BL16[1 << _k : 1 << (_k + 1)] = _k + 1
+
+
+def _bit_length63(x: np.ndarray) -> np.ndarray:
+    """Exact bit_length of nonnegative int64 values (< 2^63)."""
+    x = x.astype(np.uint64)
+    hi = (x >> np.uint64(48)).astype(np.int64)
+    m2 = ((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)
+    m1 = ((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)
+    lo = (x & np.uint64(0xFFFF)).astype(np.int64)
+    return np.where(
+        hi > 0,
+        _BL16[hi] + 48,
+        np.where(m2 > 0, _BL16[m2] + 32, np.where(m1 > 0, _BL16[m1] + 16, _BL16[lo])),
+    )
+
+
+def hll_buckets(ds, key_col: str, *, p: int = 9) -> pa.Table:
+    """Distributed HyperLogLog register table (Flajolet et al. '07) for
+    ``key_col``: bucket = top ``p`` bits of the 63-bit key hash, register
+    = max over the bucket's keys of (leading zeros of the remaining
+    ``63-p`` bits + 1). Returns only the non-empty registers as a sorted
+    integer table (bucket:int64, r:int64) — integer-exact, so the SQL
+    oracle replays it bit-for-bit (the estimate itself is float; see
+    :func:`hll_estimate`).
+
+    Scale shape: per batch one vectorized pass folds the batch into ≤ 2^p
+    register rows (``np.maximum.at``); a tiny groupby-max merges
+    partials. Merge state is ≤ 2^p ints regardless of data size —
+    the canonical mergeable-sketch layout (same family as KMV above).
+    Null keys are skipped (SQL: WHERE key IS NOT NULL).
+    """
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    w = 63 - p
+    rest_mask = np.int64((1 << w) - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        h = _key_hash63(col)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "r": pa.array([], type=pa.int64()),
+                }
+            )
+        bucket = h >> w
+        rest = h & rest_mask
+        rank = np.where(rest == 0, w + 1, w - _bit_length63(rest) + 1)
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, bucket, rank)
+        present = np.flatnonzero(reg)
+        return pa.table(
+            {
+                "bucket": pa.array(present.astype(np.int64)),
+                "r": pa.array(reg[present]),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("r", alias_name="r"))
+        .take_all()
+    )  # ≤ 2^p rows — the sketch, not data
+    rows.sort(key=lambda x: x["bucket"])
+    return pa.table(
+        {
+            "bucket": pa.array([int(x["bucket"]) for x in rows], type=pa.int64()),
+            "r": pa.array([int(x["r"]) for x in rows], type=pa.int64()),
+        }
+    )
+
+
+def hll_estimate(buckets: pa.Table, *, p: int = 9) -> float:
+    """Bias-corrected HLL cardinality from :func:`hll_buckets` output
+    (α_m·m²/Σ2^(-r), linear counting below 2.5m when empty registers
+    exist — the standard small-range correction)."""
+    import math
+
+    m = 1 << p
+    ranks = buckets["r"].to_numpy(zero_copy_only=False)
+    zeros = m - len(ranks)
+    harm = zeros * 1.0 + float(np.sum(np.power(2.0, -ranks.astype(np.float64))))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / harm
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def priority_sample(
+    ds,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    hash_shift: int = 23,
+):
+    """Weighted sample of ``n`` rows by PRIORITY SAMPLING (Duffield,
+    Lund & Thorup '07): each row gets priority ``q = w / u`` with a
+    deterministic hash-derived uniform, and the top-``n`` priorities win
+    — inclusion probability ∝ weight for the tail, exactly the weighted
+    analogue of the bottom-k hash sample above.
+
+    Integer determinism: ``u`` is the hash's top 40 bits, so
+    ``q = floor((w << 40) / ((h >> hash_shift) + 1))`` is pure int64
+    arithmetic (weights must be integral and fit 23 bits) and the SQL
+    twin replays it exactly; ordering ties break by (h, key) — both
+    engines see identical bytes. Quantizing u to 40 bits perturbs
+    inclusion odds by ≤ 2^-40, immaterial for sampling.
+
+    Scale shape: per-batch partial top-``n`` (combiner) → final
+    sort+limit over ``n × num_batches`` rows; no shuffle of the input.
+    Returns a Dataset of the sampled rows + ``priority``.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        b = b.filter(valid)
+        if b.num_rows == 0:
+            return b.append_column(
+                "priority", pa.array([], type=pa.int64())
+            ).append_column("_h", pa.array([], type=pa.int64()))
+        h = _key_hash63(b[key_col])
+        w_f = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (w_f != np.floor(w_f)).any():
+            raise ValueError("priority_sample: weights must be integral")
+        w = w_f.astype(np.int64)
+        if (w <= 0).any():
+            raise ValueError("priority_sample: weights must be positive")
+        if (w >= (1 << 23)).any():
+            raise ValueError("priority_sample: weights must fit 23 bits")
+        q = (w << 40) // ((h >> hash_shift) + 1)
+        out = b.append_column("priority", pa.array(q)).append_column(
+            "_h", pa.array(h)
+        )
+        if out.num_rows > n:
+            order = np.lexsort((h, -q))[:n]
+            out = out.take(pa.array(order))
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["priority", "_h", key_col], descending=[True, False, False])
+        .limit(n)
+        .drop_columns(["_h"])
+    )
+
+
 def kmv_distinct(ds, key_col: str, *, k: int = 1024) -> dict:
     """KMV distinct-count estimate for ``key_col``.
 

@@ -155,6 +155,87 @@ def test_kmv_distinct_split_invariant_and_accurate():
     assert s["estimate_e3"] == 100_000
 
 
+def test_hll_split_invariant_and_accurate():
+    from lsearch_ray.functions.sampling import hll_buckets, hll_estimate
+
+    n_distinct = 20_000
+    t = pa.table(
+        {"u": pa.array(np.arange(60_000) % n_distinct, type=pa.int64())}
+    )
+    a = hll_buckets(rd.from_arrow(t), "u", p=9)
+    b = hll_buckets(rd.from_arrow(t).repartition(13), "u", p=9)
+    assert a.equals(b)  # register table bit-identical on any partitioning
+    est = hll_estimate(a, p=9)
+    # p=9 → rse ≈ 1.04/sqrt(512) ≈ 4.6%; allow 3 sigma
+    assert abs(est - n_distinct) / n_distinct < 0.14
+    # registers match a direct single-pass reference
+    from lsearch_ray.functions.sampling import _bit_length63, _key_hash63
+
+    h = np.unique(_key_hash63(t["u"].combine_chunks()))
+    bucket = h >> 54
+    rest = h & ((1 << 54) - 1)
+    rank = np.where(rest == 0, 55, 54 - _bit_length63(rest) + 1)
+    reg = np.zeros(512, dtype=np.int64)
+    np.maximum.at(reg, bucket, rank)
+    present = np.flatnonzero(reg)
+    assert a["bucket"].to_pylist() == present.tolist()
+    assert a["r"].to_pylist() == reg[present].tolist()
+
+
+def test_bit_length63_exact():
+    from lsearch_ray.functions.sampling import _bit_length63
+
+    xs = np.array(
+        [0, 1, 2, 3, 255, 256, (1 << 16) - 1, 1 << 16, (1 << 53) - 1,
+         1 << 53, (1 << 62) | 12345, (1 << 63) - 1],
+        dtype=np.int64,
+    )
+    got = _bit_length63(xs)
+    want = np.array([int(x).bit_length() for x in xs.tolist()])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_priority_sample_weighted_and_split_invariant():
+    from lsearch_ray.functions.sampling import priority_sample
+
+    n = 20_000
+    # two weight classes: weight 9 keys should be ~9x as likely as
+    # weight 1 keys in the sample tail
+    t = pa.table(
+        {
+            "k": pa.array([f"k{i}" for i in range(n)]),
+            "w": pa.array(
+                np.where(np.arange(n) % 2 == 0, 9.0, 1.0), type=pa.float64()
+            ),
+        }
+    )
+    a = priority_sample(rd.from_arrow(t), "k", "w", 400).take_all()
+    b = priority_sample(
+        rd.from_arrow(t).repartition(9), "k", "w", 400
+    ).take_all()
+    assert [r["k"] for r in a] == [r["k"] for r in b]  # split-invariant
+    heavy = sum(1 for r in a if r["w"] == 9.0)
+    # E[heavy] = 400 * 9/10 = 360; binomial sd ≈ 6 — allow wide margin
+    assert 320 <= heavy <= 395
+    # deterministic priorities are the documented integer arithmetic
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    for r in a[:20]:
+        h = int(_key_hash63(pa.array([r["k"]]))[0])
+        assert r["priority"] == (int(r["w"]) << 40) // ((h >> 23) + 1)
+
+
+def test_priority_sample_rejects_bad_weights():
+    from lsearch_ray.functions.sampling import priority_sample
+
+    t = pa.table({"k": pa.array(["a", "b"]), "w": pa.array([1.5, 2.0])})
+    with pytest.raises(Exception, match="integral"):
+        priority_sample(rd.from_arrow(t), "k", "w", 1).take_all()
+    t2 = pa.table({"k": pa.array(["a", "b"]), "w": pa.array([0.0, 2.0])})
+    with pytest.raises(Exception, match="positive"):
+        priority_sample(rd.from_arrow(t2), "k", "w", 1).take_all()
+
+
 def test_asof_join_matches_pandas_reference():
     """asof_join (hash-partition co-group + per-partition merge_asof)
     equals a single global pandas merge_asof."""
