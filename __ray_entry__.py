@@ -575,6 +575,37 @@ def _q_priority_sample(sf_dir: str):
     )
 
 
+_SPARSE_MAX_DF = 200
+_SPARSE_MIN_SIM = 400_000
+
+
+def _q_sparse_dup_pairs(sf_dir: str):
+    """Sparse all-pairs cosine over tf vectors (Bayardo-style df-pruned
+    similarity join): document pairs with pruned-space cosine ≥ 0.4 —
+    the near-dup mining form of the similarity join. One term-partition
+    shuffle emits dots + norms, pair aggregation by hash partition, no
+    broadcast anywhere."""
+    from lsearch_ray.functions.sparse import sparse_cosine_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = sparse_cosine_pairs(
+        docs,
+        max_df=_SPARSE_MAX_DF,
+        min_sim_micro=_SPARSE_MIN_SIM,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "dot": pa.compute.cast(t["dot"], pa.int64()),
+                "sim_micro": t["sim_micro"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_quality(sf_dir: str):
     from lsearch_ray.functions import quality_stats
 
@@ -1625,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_kmv": _q_distinct_users_kmv,
         "hll_users": _q_hll_users,
         "priority_sample_lineitem": _q_priority_sample,
+        "sparse_dup_pairs": _q_sparse_dup_pairs,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -2262,6 +2294,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lk, qty, "
             "CAST((qty * 1099511627776) // ((h // 8388608) + 1) AS BIGINT) AS priority "
             "FROM h ORDER BY priority DESC, h, lk LIMIT 50"
+        ),
+        "sparse_dup_pairs": (
+            # sparse-cosine twin: df-pruned term space (2 <= df <= cap),
+            # integer dots and norms, ONE float expression spelled
+            # identically to the engine (mul, sqrt, div, floor+0.5)
+            f"WITH tf AS ({_TF}), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf "
+            f"         JOIN df USING(term) WHERE df.df BETWEEN 2 AND {_SPARSE_MAX_DF}), "
+            "n2 AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM kept GROUP BY doc_id), "
+            "dots AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "                CAST(SUM(x.tf*y.tf) AS BIGINT) AS dot "
+            "         FROM kept x JOIN kept y ON x.term = y.term "
+            "          AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, dot, sim_micro FROM ("
+            "  SELECT dots.a, dots.b, dots.dot, "
+            "  CAST(floor(dots.dot * 1000000.0 / "
+            "       sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) + 0.5) "
+            "       AS BIGINT) AS sim_micro "
+            "  FROM dots JOIN n2 na ON na.doc_id = dots.a "
+            "            JOIN n2 nb ON nb.doc_id = dots.b) "
+            f"WHERE sim_micro >= {_SPARSE_MIN_SIM} ORDER BY a, b"
         ),
         "fingerprint": _fingerprint_sql(),
         "langid": _langid_sql(),

@@ -236,6 +236,77 @@ def test_priority_sample_rejects_bad_weights():
         priority_sample(rd.from_arrow(t2), "k", "w", 1).take_all()
 
 
+def test_sparse_cosine_pairs_matches_bruteforce():
+    """The df-pruned sparse similarity join equals an exhaustive
+    reference: same pruned kernel, same fixed-point rounding, pair for
+    pair — including an injected identical pair at sim 1.0."""
+    import collections
+    import math
+
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.functions.sparse import sparse_cosine_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.randint(5, 30))) for _ in range(80)
+    ]
+    docs[10] = docs[4]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(80), type=pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    max_df, min_sim = 30, 150_000
+    got = [
+        (r["a"], r["b"], r["dot"], r["sim_micro"])
+        for r in sparse_cosine_pairs(
+            rd.from_arrow(t).repartition(5),
+            max_df=max_df,
+            min_sim_micro=min_sim,
+            num_partitions=32,
+        ).take_all()
+    ]
+    tfs = [collections.Counter(tokenize(d)) for d in docs]
+    df = collections.Counter()
+    for c in tfs:
+        for term in c:
+            df[term] += 1
+    kept = {term for term, d in df.items() if 2 <= d <= max_df}
+    vecs = [{k: v for k, v in c.items() if k in kept} for c in tfs]
+    want = []
+    for a in range(80):
+        for b in range(a + 1, 80):
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            dot = sum(vecs[a][s] * vecs[b][s] for s in shared)
+            n2a = sum(v * v for v in vecs[a].values())
+            n2b = sum(v * v for v in vecs[b].values())
+            sim = math.floor(dot * 1e6 / math.sqrt(float(n2a) * float(n2b)) + 0.5)
+            if sim >= min_sim:
+                want.append((a, b, dot, sim))
+    assert got == sorted(want)
+    assert any(p[:2] == (4, 10) and p[3] == 1_000_000 for p in got)
+
+
+def test_sparse_cosine_pairs_empty_when_df_window_excludes_all():
+    from lsearch_ray.functions.sparse import sparse_cosine_pairs
+
+    # every term appears in every doc → df == n_docs > max_df → no pairs
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10), type=pa.int64()),
+            "text": pa.array(["alpha beta gamma"] * 10),
+        }
+    )
+    out = sparse_cosine_pairs(
+        rd.from_arrow(t), max_df=5, min_sim_micro=1
+    ).take_all()
+    assert out == []
+
+
 def test_asof_join_matches_pandas_reference():
     """asof_join (hash-partition co-group + per-partition merge_asof)
     equals a single global pandas merge_asof."""
