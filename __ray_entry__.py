@@ -606,6 +606,23 @@ def _q_sparse_dup_pairs(sf_dir: str):
     )
 
 
+_CDC_DIVISOR = 4
+
+
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking: boundaries where the token hash ≡ 0
+    (mod 4) — shift-robust chunk grids for sub-document dedup (the
+    rsync/LBFS rolling-boundary idea on the token stream). Pure map-side
+    flat-map, no shuffle."""
+    from lsearch_ray.functions.chunks import cdc_chunks_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: cdc_chunks_table(b, divisor=_CDC_DIVISOR),
+        batch_format="pyarrow",
+    ).sort(["doc_id", "chunk_id"])
+
+
 def _q_quality(sf_dir: str):
     from lsearch_ray.functions import quality_stats
 
@@ -1657,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": _q_hll_users,
         "priority_sample_lineitem": _q_priority_sample,
         "sparse_dup_pairs": _q_sparse_dup_pairs,
+        "cdc_chunks": _q_cdc_chunks,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -2316,6 +2334,25 @@ def oracle_sql() -> dict[str, str]:
             "  FROM dots JOIN n2 na ON na.doc_id = dots.a "
             "            JOIN n2 nb ON nb.doc_id = dots.b) "
             f"WHERE sim_micro >= {_SPARSE_MIN_SIM} ORDER BY a, b"
+        ),
+        "cdc_chunks": (
+            # CDC twin: the same 63-bit mixed hash decides boundaries
+            # (per DISTINCT term, then joined back); chunk_id = count of
+            # boundary tokens strictly before the token within its doc
+            # (a boundary token ENDS its chunk)
+            f"WITH toks AS ({_ORDERED_TOKS}), "
+            "dt AS (SELECT DISTINCT term FROM toks), "
+            f"th AS (SELECT term, ({_mixed_hash63_of('term')}) % {_CDC_DIVISOR} AS hmod FROM dt), "
+            "tb AS (SELECT t.doc_id, t.pos, t.term, (th.hmod = 0) AS bnd "
+            "       FROM toks t JOIN th USING(term)), "
+            "c AS (SELECT doc_id, pos, term, "
+            "  COALESCE(SUM(CASE WHEN bnd THEN 1 ELSE 0 END) OVER ("
+            "    PARTITION BY doc_id ORDER BY pos "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
+            "  FROM tb) "
+            "SELECT doc_id, chunk_id, count(*) AS n_tokens, "
+            "string_agg(term, ' ' ORDER BY pos) AS chunk "
+            "FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"
         ),
         "fingerprint": _fingerprint_sql(),
         "langid": _langid_sql(),

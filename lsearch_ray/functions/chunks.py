@@ -104,6 +104,80 @@ def chunk_exact_dedup(
     )
 
 
+def doc_chunks_cdc(
+    texts: pa.ChunkedArray | pa.Array, *, divisor: int = 16
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """CONTENT-DEFINED chunking at the token level: a chunk boundary
+    falls after every token whose 63-bit hash ≡ 0 (mod ``divisor``), so
+    the expected chunk length is ``divisor`` tokens and boundaries are a
+    pure function of local content — inserting or deleting text upstream
+    shifts fixed-width chunk grids everywhere downstream, but leaves CDC
+    boundaries outside the edit unchanged (the rolling-hash dedup
+    property, rsync/LBFS-style, expressed on the token stream).
+
+    Returns ``(parents, chunk_idx, n_tokens, chunks)``. The classic
+    byte-level CDC min/max chunk-size clamps are deliberately omitted:
+    they make boundaries sequentially dependent (unvectorizable and not
+    SQL-expressible); the pure form keeps the shift-robustness that
+    matters for dedup. Vectorized: one hash pass + one boundary mask
+    over the flat token stream, one LargeListArray wrap, one
+    ``binary_join``.
+    """
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    parents, flat = flat_tokens_arrow(texts)
+    n = len(parents)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            pa.array([], type=pa.large_string()),
+        )
+    h = _key_hash63(flat)
+    boundary = (h % divisor) == 0  # ends its chunk
+    first = np.concatenate(([True], parents[1:] != parents[:-1]))
+    prev_b = np.concatenate(([False], boundary[:-1]))
+    starts_mask = first | (prev_b & ~first)
+    starts = np.flatnonzero(starts_mask)
+    offsets = np.append(starts, n).astype(np.int64)
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
+    chunks = pc.binary_join(lists, pa.scalar(" ", type=pa.large_string()))
+    run_of = np.cumsum(first) - 1
+    cs = np.cumsum(starts_mask)
+    doc_first_cs = cs[np.flatnonzero(first)]
+    chunk_idx = cs[starts] - doc_first_cs[run_of[starts]]
+    return (
+        parents[starts],
+        chunk_idx.astype(np.int64),
+        np.diff(offsets),
+        chunks,
+    )
+
+
+def cdc_chunks_table(
+    batch: pa.Table,
+    *,
+    divisor: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Batch transform: documents → (id, chunk_id, n_tokens, chunk)."""
+    parents, chunk_idx, n_tokens, chunks = doc_chunks_cdc(
+        batch[text_col], divisor=divisor
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col].take(pa.array(parents)),
+            "chunk_id": pa.array(chunk_idx, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "chunk": chunks.cast(pa.string()),
+        }
+    )
+
+
 def doc_chunks_overlap(
     texts: pa.ChunkedArray | pa.Array, width: int, stride: int
 ) -> tuple[np.ndarray, np.ndarray, pa.Array]:

@@ -114,3 +114,52 @@ def test_doc_chunks_overlap_stride_eq_width_matches_fixed():
     assert p1.tolist() == p2.tolist()
     assert i1.tolist() == i2.tolist()
     assert c1.to_pylist() == c2.to_pylist()
+
+
+def test_cdc_chunks_matches_python_reference():
+    from lsearch_ray.functions.chunks import doc_chunks_cdc
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    rng = np.random.RandomState(8)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 60))) for _ in range(30)
+    ]
+    d = 4
+    p, idx, nt, ch = doc_chunks_cdc(pa.array(texts), divisor=d)
+    got = list(zip(p.tolist(), idx.tolist(), nt.tolist(), ch.to_pylist()))
+    bnd = {
+        v: int(_key_hash63(pa.array([v]))[0]) % d == 0 for v in vocab
+    }
+    want = []
+    for r, t in enumerate(texts):
+        toks = t.split()
+        cur: list[str] = []
+        cid = 0
+        for tok in toks:
+            cur.append(tok)
+            if bnd[tok]:
+                want.append((r, cid, len(cur), " ".join(cur)))
+                cur, cid = [], cid + 1
+        if cur:
+            want.append((r, cid, len(cur), " ".join(cur)))
+    assert got == want
+
+
+def test_cdc_chunks_shift_robust():
+    """The CDC property: prepending text to a document changes only the
+    chunks up to the first boundary after the edit — every later chunk
+    string is identical (a fixed-width grid would shift all of them)."""
+    from lsearch_ray.functions.chunks import doc_chunks_cdc
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(40)]
+    base = " ".join(rng.choice(vocab, size=400))
+    edited = "zzz yyy " + base
+    _, _, _, c1 = doc_chunks_cdc(pa.array([base]), divisor=4)
+    _, _, _, c2 = doc_chunks_cdc(pa.array([edited]), divisor=4)
+    s1, s2 = set(c1.to_pylist()), set(c2.to_pylist())
+    shared = s1 & s2
+    # all but the first chunk (the edit region) survive the edit
+    assert len(shared) >= len(s1) - 2
+    assert len(s1) > 10  # real boundary structure, not one blob
