@@ -623,6 +623,22 @@ def _q_cdc_chunks(sf_dir: str):
     ).sort(["doc_id", "chunk_id"])
 
 
+_FH_DIM = 32
+
+
+def _q_feature_hash(sf_dir: str):
+    """Feature-hashing (hashing-trick) document projection: signed tf
+    sums per (doc, dim=h%32) — the no-vocabulary text → vector bridge
+    feeding kmeans/knn/ANN; integer-exact relational form. Pure
+    map-side, no shuffle (a document's triples complete in its batch)."""
+    from lsearch_ray.functions.feathash import feature_hash_relational
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return feature_hash_relational(docs, dim=_FH_DIM).sort(
+        ["doc_id", "dim"]
+    )
+
+
 def _q_quality(sf_dir: str):
     from lsearch_ray.functions import quality_stats
 
@@ -1675,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample_lineitem": _q_priority_sample,
         "sparse_dup_pairs": _q_sparse_dup_pairs,
         "cdc_chunks": _q_cdc_chunks,
+        "feature_hash": _q_feature_hash,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -2353,6 +2370,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, chunk_id, count(*) AS n_tokens, "
             "string_agg(term, ' ' ORDER BY pos) AS chunk "
             "FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"
+        ),
+        "feature_hash": (
+            # hashing-trick twin: bucket = h % 32, sign = bit 10 of the
+            # same hash, signed tf sums — pure integers end to end
+            f"WITH tf AS ({_TF}), "
+            "dt AS (SELECT DISTINCT term FROM tf), "
+            f"th AS (SELECT term, {_mixed_hash63_of('term')} AS h FROM dt), "
+            f"e AS (SELECT tf.doc_id, CAST(th.h % {_FH_DIM} AS BIGINT) AS dim, "
+            "  CASE WHEN (th.h // 1024) % 2 = 1 THEN -tf.tf ELSE tf.tf END AS sv "
+            "  FROM tf JOIN th USING(term)) "
+            "SELECT doc_id, dim, CAST(SUM(sv) AS BIGINT) AS v FROM e "
+            "GROUP BY doc_id, dim ORDER BY doc_id, dim"
         ),
         "fingerprint": _fingerprint_sql(),
         "langid": _langid_sql(),

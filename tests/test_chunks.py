@@ -163,3 +163,43 @@ def test_cdc_chunks_shift_robust():
     # all but the first chunk (the edit region) survive the edit
     assert len(shared) >= len(s1) - 2
     assert len(s1) > 10  # real boundary structure, not one blob
+
+
+def test_feature_hash_dense_consistent_with_relational_and_feeds_knn():
+    """The dense hashing-trick vectors agree with the relational integer
+    form, and the output plugs straight into knn_join (the text→vector
+    bridge contract)."""
+    from lsearch_ray.functions.ann import knn_join
+    from lsearch_ray.functions.feathash import (
+        feature_hash_relational,
+        feature_hash_vectors,
+    )
+
+    rng = np.random.RandomState(12)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 40))) for _ in range(40)
+    ]
+    texts.append("")  # token-less doc keeps the zero vector
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(41), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    rel = feature_hash_relational(rd.from_arrow(t).repartition(3), dim=16)
+    dense = feature_hash_vectors(
+        rd.from_arrow(t).repartition(3), dim=16, normalize=False
+    )
+    by_doc = {}
+    for r in rel.take_all():
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["v"]
+    for r in dense.take_all():
+        want = np.zeros(16)
+        for d, v in by_doc.get(r["doc_id"], {}).items():
+            want[d] = v
+        assert np.asarray(r["embedding"], dtype=np.float64).tolist() == want.tolist()
+    # normalized vectors feed knn_join directly
+    emb = feature_hash_vectors(rd.from_arrow(t).repartition(3), dim=16)
+    out = knn_join(emb, id_col="doc_id", k=2).take_all()
+    assert len(out) == 41 * 2
