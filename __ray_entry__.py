@@ -2372,13 +2372,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"
         ),
         "feature_hash": (
-            # hashing-trick twin: bucket = h % 32, sign = bit 10 of the
-            # same hash, signed tf sums — pure integers end to end
+            # hashing-trick twin: bucket = h % 32, sign = bit 40 of the
+            # same hash (far above the bucket bits), signed tf sums —
+            # pure integers end to end
             f"WITH tf AS ({_TF}), "
             "dt AS (SELECT DISTINCT term FROM tf), "
             f"th AS (SELECT term, {_mixed_hash63_of('term')} AS h FROM dt), "
             f"e AS (SELECT tf.doc_id, CAST(th.h % {_FH_DIM} AS BIGINT) AS dim, "
-            "  CASE WHEN (th.h // 1024) % 2 = 1 THEN -tf.tf ELSE tf.tf END AS sv "
+            "  CASE WHEN (th.h // 1099511627776) % 2 = 1 THEN -tf.tf ELSE tf.tf END AS sv "
             "  FROM tf JOIN th USING(term)) "
             "SELECT doc_id, dim, CAST(SUM(sv) AS BIGINT) AS v FROM e "
             "GROUP BY doc_id, dim ORDER BY doc_id, dim"

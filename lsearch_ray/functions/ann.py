@@ -226,7 +226,7 @@ class _IvfKnnJoin:
         id_col: str,
         emb_col: str,
         nprobe: int | None,
-        cache_clusters: int = 16,
+        cache_clusters: int | None = None,
     ):
         import json
 
@@ -240,6 +240,18 @@ class _IvfKnnJoin:
         self.nprobe = (
             self.n_clusters if nprobe is None else min(nprobe, self.n_clusters)
         )
+        if cache_clusters is None:
+            # the exact sweep (nprobe == n_clusters) visits every cluster
+            # per batch in a cycle — any cache smaller than the cycle is a
+            # 100% miss rate and re-reads the whole corpus per batch, so
+            # it must hold them all (memory ≈ corpus per actor: the price
+            # of exactness beyond the broadcast cap; real deployments set
+            # nprobe). Probed mode keeps 2×nprobe for batch-to-batch reuse.
+            cache_clusters = (
+                self.n_clusters
+                if self.nprobe >= self.n_clusters
+                else min(self.n_clusters, max(16, 2 * self.nprobe))
+            )
         self.cache_clusters = cache_clusters
         self._cache: dict[int, tuple] = {}  # insertion-ordered (LRU)
 
@@ -354,9 +366,12 @@ def _knn_join_ivf(
 
     n_total = emb_ds.count()
     kk = min(k, max(n_total - 1, 0))
-    index_dir = ivf_dir or os.path.join(
-        tempfile.gettempdir(), f"lsr_knn_ivf_{os.getpid()}"
-    )
+    # a UNIQUE dir per call: the result Dataset is lazy, so a second
+    # over-cap knn_join in the same process must not rebuild over the
+    # first call's layout (actors would silently probe the wrong
+    # corpus). The layout is left on disk until the caller removes it —
+    # pass ivf_dir to control placement/cleanup.
+    index_dir = ivf_dir or tempfile.mkdtemp(prefix="lsr_knn_ivf_")
     build_ivf_index(
         emb_ds.select_columns([id_col, emb_col]),
         index_dir,

@@ -22,7 +22,12 @@ import pyarrow as pa
 from lsearch_ray.analyzer import term_counts_table
 from lsearch_ray.functions.sampling import _key_hash63
 
-_SIGN_BIT = 10  # hash bit used for the projection sign
+# hash bit used for the projection sign — far above any plausible dim's
+# bucket bits (h % dim uses the LOW bits), so sign and bucket stay
+# independent; a low bit would make the sign a function of the bucket
+# for dim > 2^bit, breaking the hashing trick's unbiased-inner-product
+# property
+_SIGN_BIT = 40
 
 
 def _doc_dim_sums(

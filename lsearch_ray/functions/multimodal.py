@@ -379,6 +379,11 @@ def embed_image(
         ci = (np.arange(w) * grid) // w
         cell = (ri[:, None] * grid + ci[None, :]).ravel()
         counts = np.bincount(cell, minlength=grid * grid).astype(np.float64)
+        # an image smaller than the grid leaves empty cells: their count
+        # is 0 and 0/0 would poison the whole vector with NaN — an empty
+        # cell pools to 0.0 instead (sum is 0 there, so any positive
+        # denominator works)
+        counts[counts == 0] = 1.0
         pooled = np.concatenate(
             [
                 np.bincount(

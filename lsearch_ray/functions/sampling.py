@@ -256,8 +256,15 @@ def priority_sample(
             "_h", pa.array(h)
         )
         if out.num_rows > n:
-            order = np.lexsort((h, -q))[:n]
-            out = out.take(pa.array(order))
+            # keep a SUPERSET: everything at or above the n-th (q desc,
+            # h asc) boundary INCLUDING its ties — a (q, h) tie at the
+            # cut (only possible on a 63-bit hash collision) must not be
+            # dropped arbitrarily, because the final global sort (and
+            # the SQL twin) breaks it by the key column
+            order = np.lexsort((h, -q))
+            qn, hn = q[order[n - 1]], h[order[n - 1]]
+            keep = (q > qn) | ((q == qn) & (h <= hn))
+            out = out.filter(pa.array(keep))
         return out
 
     return (

@@ -212,6 +212,22 @@ def test_embed_image_matches_numpy_reference():
     np.testing.assert_array_equal(v.astype(np.float32), ref)
 
 
+def test_embed_image_smaller_than_grid_has_no_nan():
+    """An image smaller than the pooling grid leaves empty cells: they
+    must pool to 0.0, never 0/0 = NaN (review finding r4)."""
+    px = np.full((2, 1, 3), 200, dtype=np.uint8)
+    t = pa.table(
+        {
+            "pixels": pa.array([px.tobytes()], type=pa.large_binary()),
+            "height": pa.array([2], type=pa.int32()),
+            "width": pa.array([1], type=pa.int32()),
+        }
+    )
+    v = np.asarray(embed_image(t)["embedding"][0].as_py(), dtype=np.float64)
+    assert np.isfinite(v).all()
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+
 def test_embed_image_zero_payload_guard():
     t = pa.table(
         {
