@@ -609,6 +609,29 @@ def _q_sparse_dup_pairs(sf_dir: str):
 _CDC_DIVISOR = 4
 
 
+def _cdc_sql() -> str:
+    """CDC chunk table (doc_id, chunk_id, n_tokens, chunk) — the same
+    63-bit mixed hash decides boundaries (per DISTINCT term, joined
+    back); chunk_id = count of boundary tokens strictly before the token
+    within its doc (a boundary token ENDS its chunk). Shared by the
+    cdc_chunks and cdc_dedup oracles."""
+    return (
+        "WITH toks AS (" + _ORDERED_TOKS + "), "
+        "dt AS (SELECT DISTINCT term FROM toks), "
+        f"th AS (SELECT term, ({_mixed_hash63_of('term')}) % {_CDC_DIVISOR} AS hmod FROM dt), "
+        "tb AS (SELECT t.doc_id, t.pos, t.term, (th.hmod = 0) AS bnd "
+        "       FROM toks t JOIN th USING(term)), "
+        "c AS (SELECT doc_id, pos, term, "
+        "  COALESCE(SUM(CASE WHEN bnd THEN 1 ELSE 0 END) OVER ("
+        "    PARTITION BY doc_id ORDER BY pos "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
+        "  FROM tb) "
+        "SELECT doc_id, chunk_id, count(*) AS n_tokens, "
+        "string_agg(term, ' ' ORDER BY pos) AS chunk "
+        "FROM c GROUP BY doc_id, chunk_id"
+    )
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking: boundaries where the token hash ≡ 0
     (mod 4) — shift-robust chunk grids for sub-document dedup (the
@@ -620,6 +643,25 @@ def _q_cdc_chunks(sf_dir: str):
     return docs.map_batches(
         lambda b: cdc_chunks_table(b, divisor=_CDC_DIVISOR),
         batch_format="pyarrow",
+    ).sort(["doc_id", "chunk_id"])
+
+
+def _q_cdc_dedup(sf_dir: str):
+    """Content-defined sub-document dedup: CDC chunks → hash-partitioned
+    exact dedup keeping each distinct chunk's first global
+    (doc_id, chunk_id) occurrence — the shift-robust form of
+    chunk_dedup (an upstream edit no longer re-grids every chunk, so
+    repeated boilerplate still collides)."""
+    from lsearch_ray.functions.chunks import cdc_chunks_table
+    from lsearch_ray.functions.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunked = docs.map_batches(
+        lambda b: cdc_chunks_table(b, divisor=_CDC_DIVISOR),
+        batch_format="pyarrow",
+    )
+    return exact_dedup(
+        chunked, key_cols=["chunk"], order_cols=["doc_id", "chunk_id"]
     ).sort(["doc_id", "chunk_id"])
 
 
@@ -1692,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparse_dup_pairs": _q_sparse_dup_pairs,
         "cdc_chunks": _q_cdc_chunks,
         "feature_hash": _q_feature_hash,
+        "cdc_dedup": _q_cdc_dedup,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -2352,24 +2395,16 @@ def oracle_sql() -> dict[str, str]:
             "            JOIN n2 nb ON nb.doc_id = dots.b) "
             f"WHERE sim_micro >= {_SPARSE_MIN_SIM} ORDER BY a, b"
         ),
-        "cdc_chunks": (
-            # CDC twin: the same 63-bit mixed hash decides boundaries
-            # (per DISTINCT term, then joined back); chunk_id = count of
-            # boundary tokens strictly before the token within its doc
-            # (a boundary token ENDS its chunk)
-            f"WITH toks AS ({_ORDERED_TOKS}), "
-            "dt AS (SELECT DISTINCT term FROM toks), "
-            f"th AS (SELECT term, ({_mixed_hash63_of('term')}) % {_CDC_DIVISOR} AS hmod FROM dt), "
-            "tb AS (SELECT t.doc_id, t.pos, t.term, (th.hmod = 0) AS bnd "
-            "       FROM toks t JOIN th USING(term)), "
-            "c AS (SELECT doc_id, pos, term, "
-            "  COALESCE(SUM(CASE WHEN bnd THEN 1 ELSE 0 END) OVER ("
-            "    PARTITION BY doc_id ORDER BY pos "
-            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
-            "  FROM tb) "
-            "SELECT doc_id, chunk_id, count(*) AS n_tokens, "
-            "string_agg(term, ' ' ORDER BY pos) AS chunk "
-            "FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"
+        "cdc_chunks": _cdc_sql() + " ORDER BY doc_id, chunk_id",
+        "cdc_dedup": (
+            # content-defined sub-document dedup: first occurrence of
+            # every distinct CDC chunk in global (doc_id, chunk_id) order
+            "SELECT doc_id, chunk_id, n_tokens, chunk FROM ("
+            "  SELECT doc_id, chunk_id, n_tokens, chunk, "
+            "  row_number() OVER (PARTITION BY chunk "
+            "    ORDER BY doc_id, chunk_id) AS rn "
+            f"  FROM ({_cdc_sql()})"
+            ") WHERE rn = 1 ORDER BY doc_id, chunk_id"
         ),
         "feature_hash": (
             # hashing-trick twin: bucket = h % 32, sign = bit 40 of the
