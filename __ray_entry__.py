@@ -646,6 +646,30 @@ def _q_cdc_chunks(sf_dir: str):
     ).sort(["doc_id", "chunk_id"])
 
 
+def _q_distinct_users_hourly(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per tumbling hour — the windowed
+    form of distinct_users_by_type (streaming-analytics shape): hour
+    truncation map-side, then the pair-partitioned exact distinct."""
+    from lsearch_ray.functions import grouped_distinct_count_ds
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                "user_id": b["user_id"],
+            }
+        )
+
+    return grouped_distinct_count_ds(
+        ev.map_batches(trunc, batch_format="pyarrow"),
+        "hour",
+        "user_id",
+        num_partitions=16,
+    ).sort("hour")
+
+
 def _q_cdc_dedup(sf_dir: str):
     """Content-defined sub-document dedup: CDC chunks → hash-partitioned
     exact dedup keeping each distinct chunk's first global
@@ -1735,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "feature_hash": _q_feature_hash,
         "cdc_dedup": _q_cdc_dedup,
+        "distinct_users_hourly": _q_distinct_users_hourly,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -2721,6 +2746,11 @@ ORDER BY doc_id
         "distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "distinct_users_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, "
+            "count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY 1 ORDER BY hour"
         ),
         "trailing_window": (
             # value-based RANGE frame over integer epoch-µs — ties at
