@@ -670,6 +670,28 @@ def _q_distinct_users_hourly(sf_dir: str):
     ).sort("hour")
 
 
+def _q_props_stats(sf_dir: str):
+    """Semi-structured ETL: vectorized RE2 extraction of the integer
+    'k' field from the flat-JSON props column, per-type integer stats
+    (map-side partial aggregation, one tiny groupby)."""
+    from lsearch_ray.functions.textstats import props_field_stats_ds
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    out = props_field_stats_ds(ev, field="k")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "sum_k": pc.cast(b["sum_k"], pa.int64()),
+                "min_k": pc.cast(b["min_k"], pa.int64()),
+                "max_k": pc.cast(b["max_k"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_type")
+
+
 def _q_cdc_dedup(sf_dir: str):
     """Content-defined sub-document dedup: CDC chunks → hash-partitioned
     exact dedup keeping each distinct chunk's first global
@@ -1760,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash": _q_feature_hash,
         "cdc_dedup": _q_cdc_dedup,
         "distinct_users_hourly": _q_distinct_users_hourly,
+        "props_stats": _q_props_stats,
         "quality_stats": _q_quality,
         "bpe_token_count": _q_bpe_count,
         "salted_term_df": _q_salted_term_df,
@@ -2751,6 +2774,16 @@ ORDER BY doc_id
             "SELECT date_trunc('hour', ts) AS hour, "
             "count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY 1 ORDER BY hour"
+        ),
+        "props_stats": (
+            # flat-JSON field extraction twin: DuckDB regexp_extract is
+            # RE2 like Arrow's extract_regex, so the pattern replays
+            # byte-for-byte; absent/non-integer fields extract '' -> NULL
+            "SELECT event_type, count(k) AS n, sum(k) AS sum_k, "
+            "min(k) AS min_k, max(k) AS max_k FROM ("
+            "  SELECT event_type, CAST(nullif(regexp_extract(props, "
+            "  '\"k\":\\s*(-?\\d+)', 1), '') AS BIGINT) AS k FROM events"
+            ") GROUP BY event_type ORDER BY event_type"
         ),
         "trailing_window": (
             # value-based RANGE frame over integer epoch-µs — ties at

@@ -351,3 +351,59 @@ def doc_entropy_ds(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: doc_entropy(b, text_col, id_col), batch_format="pyarrow"
     )
+
+
+def json_int_field(
+    col: pa.ChunkedArray | pa.Array, field: str
+) -> pa.Array:
+    """Vectorized integer-field extraction from a FLAT-JSON string
+    column: one RE2 ``extract_regex`` pass (`"field": <int>`), null where
+    the field is absent/non-integer. The semi-structured-props ETL
+    primitive — both engines speak RE2, so the DuckDB twin
+    (``regexp_extract``) replays it byte-for-byte. For nested JSON use a
+    real parser in an actor stage; this kernel targets the flat
+    event-props shape."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # extract_regex requires NAMED groups; the SQL twin uses the same
+    # pattern with a plain group + regexp_extract(..., 1)
+    pat = f'"{field}":\\s*(?P<v>-?\\d+)'
+    st = pc.extract_regex(col, pat)
+    return pc.cast(pc.struct_field(st, ["v"]), pa.int64())
+
+
+def props_field_stats_ds(
+    ds,
+    *,
+    props_col: str = "props",
+    group_col: str = "event_type",
+    field: str = "k",
+):
+    """Per-group integer stats (n, sum, min, max) of a flat-JSON props
+    field: map-side extraction + per-batch partial aggregation, one tiny
+    groupby — the events-ETL shape (parse once, aggregate everywhere)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = json_int_field(b[props_col], field)
+        t = pa.table({group_col: b[group_col], "k": k}).filter(
+            pc.is_valid(k)
+        )
+        g = t.group_by(group_col).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        # select by NAME: arrow appends the group key after the aggregates
+        return g.select(
+            [group_col, "k_count", "k_sum", "k_min", "k_max"]
+        ).rename_columns([group_col, "n", "sum_k", "min_k", "max_k"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
