@@ -1748,6 +1748,17 @@ def _q_kmeans(sf_dir: str):
     ).sort("vec_id")
 
 
+def _q_pagerank(sf_dir: str):
+    """Fixed-iteration integer PageRank over the deterministic doc link
+    graph (doc u -> fnv63(term) % n per distinct term of u)."""
+    from lsearch_ray.functions.pagerank import doc_link_edges_ds, pagerank_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()  # parquet metadata count — no scan
+    edges = doc_link_edges_ds(docs, n)
+    return pagerank_ds(edges, n, iters=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -1829,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_matches": _q_name_matches,
         "overlap_chunks": _q_overlap_chunks,
         "image_embed_knn": _q_image_embed_knn,
+        "pagerank_docs": _q_pagerank,
     }
 
 
@@ -2204,6 +2216,44 @@ SELECT d.doc_id,
             ELSE round(t.stop_hits * 1.0 / t.n_tokens, 6) END AS stopword_ratio
 FROM documents d LEFT JOIN tstats t ON d.doc_id = t.doc_id
 """
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Exact twin of functions.pagerank: the edge rule (distinct term →
+    fnv63 % n), then ``iters`` unrolled rounds of the integer recurrence
+    r' = base + (85·(insum + dang//n))//100 with floor division
+    throughout — every intermediate is a non-negative integer, so the
+    replay is bit-exact (the kmeans unrolled-CTE pattern)."""
+    n = "(SELECT count(*) FROM documents)"
+    parts = [
+        f"WITH toks AS ({_ORDERED_TOKS}),",
+        "dt AS (SELECT DISTINCT doc_id AS src, term FROM toks),",
+        f"th AS (SELECT term, CAST({_fnv63_of('term')} % {n} AS BIGINT) AS dst",
+        "      FROM (SELECT DISTINCT term FROM dt)),",
+        "edges AS (SELECT DISTINCT d.src, t.dst FROM dt d",
+        "          JOIN th t USING (term) WHERE t.dst <> d.src),",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        f"r0 AS (SELECT node, CAST(1000000000000 // {n} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+dang{k} AS (SELECT coalesce(sum(r), 0) AS m FROM r{k}
+            WHERE node NOT IN (SELECT src FROM deg)),
+ins{k} AS (SELECT e.dst, sum(r.r // d.deg) AS insum
+           FROM edges e JOIN deg d USING (src) JOIN r{k} r ON r.node = e.src
+           GROUP BY e.dst),
+r{k + 1} AS (SELECT n.node,
+    CAST((15 * 1000000000000) // (100 * {n})
+         + (85 * (coalesce(i.insum, 0) + (SELECT m FROM dang{k}) // {n})) // 100
+         AS BIGINT) AS r
+    FROM nodes n LEFT JOIN ins{k} i ON i.dst = n.node)"""
+        )
+    parts.append(
+        f"\nSELECT node AS doc_id, r AS pr_micro FROM r{iters} ORDER BY doc_id"
+    )
+    return "\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2898,4 +2948,5 @@ ORDER BY doc_id
             f"AND t.pos >= st.s AND t.pos < st.s + {_OVL_W} "
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "pagerank_docs": _pagerank_sql(3),
     }

@@ -1,0 +1,186 @@
+"""Fixed-iteration PageRank over a deterministically-derived web link graph.
+
+The web-graph member of the operator family: a synthetic link graph is
+derived from document text (doc ``u`` links to doc ``fnv63(term) % n``
+for each distinct term of ``u`` — a deterministic stand-in for href
+extraction, which the sf tables don't carry), then a fixed-iteration
+PageRank runs over it.
+
+All rank arithmetic is non-negative int64 in micro-rank units with floor
+division (the kmeans/unigram_nll parity discipline), so any engine —
+including the DuckDB oracle twin — replays it bit-exactly:
+
+    total = 10**12            # conserved mass, micro-units
+    r0    = total // n
+    base  = (15 * total) // (100 * n)          # teleport share
+    r'(v) = base + (85 * (insum(v) + dang // n)) // 100
+    insum(v) = sum over edges (u, v) of r(u) // outdeg(u)
+    dang     = sum of r(u) over nodes with no out-edges
+
+Scale shape: the edge list, degree table and rank vector are Datasets
+throughout (never driver-side); each iteration is one hash join
+(edges ⋈ ranks, partitioned on src), one groupby-sum (the per-iteration
+all-to-all on dst) and one left join back to the node set. The only
+driver-side value per iteration is the dangling-mass scalar. On a real
+cluster the edge Dataset is hash-partitioned once and every iteration
+reuses that key (src), so the join side of each round is shuffle-free
+for the larger operand.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsearch_ray.analyzer import term_counts_table
+from lsearch_ray.corpus import fnv1a64
+from lsearch_ray.functions.dedup import exact_dedup
+
+TOTAL_MICRO = 10**12
+
+
+def _edge_batch(batch: pa.Table, n_docs: int, text_col: str, id_col: str) -> pa.Table:
+    """documents batch -> distinct (src, dst) link rows, self-loops dropped.
+
+    ``term_counts_table`` already emits one row per distinct (doc, term),
+    so the link rule is a vectorized hash + modulo over its output; the
+    within-batch pair-unique prunes the shuffle the global distinct does.
+    """
+    triples = term_counts_table(batch, text_col=text_col, id_col=id_col)
+    if triples.num_rows == 0:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    src = triples[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = (fnv1a64(triples["term"]) % np.int64(n_docs)).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # within-batch unique via composite key (dst < n_docs, so no overflow
+    # for any real doc-id range: src * n + dst < src_max * n)
+    pairs = np.unique(src * np.int64(n_docs) + dst)
+    return pa.table(
+        {
+            "src": pa.array(pairs // np.int64(n_docs), pa.int64()),
+            "dst": pa.array(pairs % np.int64(n_docs), pa.int64()),
+        }
+    )
+
+
+def doc_link_edges_ds(docs_ds, n_docs: int, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_partitions: int = 8):
+    """documents Dataset -> globally-distinct (src, dst) edge Dataset."""
+    raw = docs_ds.map_batches(
+        lambda b: _edge_batch(b, n_docs, text_col, id_col),
+        batch_format="pyarrow",
+    )
+    # global distinct: hash-partition + per-partition drop_duplicates
+    return exact_dedup(raw, ["src", "dst"], ["src"], num_partitions=num_partitions)
+
+
+def pagerank_ds(edges_ds, n_nodes: int, *, iters: int = 3,
+                total: int = TOTAL_MICRO, num_partitions: int = 8):
+    """(src, dst) edge Dataset -> (doc_id, pr_micro) over nodes 0..n-1.
+
+    Fixed ``iters`` rounds of the integer recurrence above; returns the
+    full rank vector sorted by doc_id (deterministic row order for the
+    driver's value hash).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    # Ray's hash-join aggregator fails on fully-empty partitions, which
+    # tiny node sets with many partitions produce (the insum side can be
+    # a handful of hub nodes) — clamp like components/minhash do. At
+    # scale pass num_partitions ≈ cluster cores × 4.
+    num_partitions = max(1, min(num_partitions, max(1, n_nodes // 512)))
+
+    base = (15 * total) // (100 * n_nodes)
+    r0 = total // n_nodes
+
+    deg = edges_ds.groupby("src").aggregate(Count(alias_name="deg")).materialize()
+
+    # edges with the source's out-degree attached, partitioned on src once
+    ewd = edges_ds.join(
+        deg, join_type="inner", num_partitions=num_partitions, on=("src",)
+    ).materialize()
+
+    # node set 0..n-1 with a static is-dangling flag (no out-edges); the
+    # flag rides along so the per-iteration dangling mass needs no join
+    nodes = rd.range(n_nodes).map_batches(
+        lambda b: pa.table({"node": pc.cast(b["id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    flagged = nodes.join(
+        deg,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("node",),
+        right_on=("src",),
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "dang": pc.is_null(b["deg"])}
+        ),
+        batch_format="pyarrow",
+    )
+    ranks = flagged.map_batches(
+        lambda b: b.append_column(
+            "r", pa.array(np.full(b.num_rows, r0, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        dang_mass = (
+            ranks.map_batches(
+                lambda b: b.filter(b["dang"]), batch_format="pyarrow"
+            ).sum("r")
+            or 0
+        )
+        share = dang_mass // n_nodes
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"dst": b["dst"], "c": pa.array(r // d, pa.int64())})
+
+        insum = (
+            ewd.join(
+                ranks.select_columns(["node", "r"]),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("node",),
+            )
+            .map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="insum"))
+        )
+
+        def apply_rank(b: pa.Table, share=share) -> pa.Table:
+            s = pc.fill_null(b["insum"], 0).to_numpy(zero_copy_only=False)
+            s = s.astype(np.int64)
+            r = base + (85 * (s + share)) // 100
+            return pa.table(
+                {"node": b["node"], "dang": b["dang"], "r": pa.array(r, pa.int64())}
+            )
+
+        ranks = (
+            ranks.select_columns(["node", "dang"])
+            .join(
+                insum,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=("dst",),
+            )
+            .map_batches(apply_rank, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return (
+        ranks.map_batches(
+            lambda b: pa.table({"doc_id": b["node"], "pr_micro": b["r"]}),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+    )

@@ -1,0 +1,97 @@
+"""PageRank over the derived doc link graph: the distributed integer
+recurrence must replay bit-exactly against a pure-Python reference, and
+the result must be partition-invariant."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsearch_ray.analyzer import tokenize
+from lsearch_ray.corpus import fnv1a64
+from lsearch_ray.functions.pagerank import (
+    TOTAL_MICRO,
+    doc_link_edges_ds,
+    pagerank_ds,
+)
+
+DOCS = [
+    "alpha beta gamma",
+    "beta gamma delta delta",
+    "gamma",
+    "",  # token-less -> dangling node
+    "alpha alpha zeta",
+    "delta zeta",
+    "beta zeta epsilon",
+    "epsilon",
+]
+
+
+def _ref_edges(n):
+    edges = set()
+    for i, text in enumerate(DOCS):
+        for t in set(tokenize(text)):
+            h = int(fnv1a64(pa.array([t]))[0])
+            dst = h % n
+            if dst != i:
+                edges.add((i, dst))
+    return sorted(edges)
+
+
+def _ref_pagerank(edges, n, iters):
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = (15 * TOTAL_MICRO) // (100 * n)
+    r = {v: TOTAL_MICRO // n for v in range(n)}
+    for _ in range(iters):
+        dang = sum(r[v] for v in range(n) if v not in deg)
+        share = dang // n
+        insum = {v: 0 for v in range(n)}
+        for s, d in edges:
+            insum[d] += r[s] // deg[s]
+        r = {v: base + (85 * (insum[v] + share)) // 100 for v in range(n)}
+    return r
+
+
+def _docs_ds(blocks):
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+            "text": pa.array(DOCS),
+        }
+    )
+    return rd.from_arrow(tab).repartition(blocks)
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_pagerank_matches_pure_python_reference(blocks):
+    n = len(DOCS)
+    edges_ds = doc_link_edges_ds(_docs_ds(blocks), n)
+    got_edges = sorted(
+        (r["src"], r["dst"]) for r in edges_ds.take_all()
+    )
+    assert got_edges == _ref_edges(n)
+
+    out = pagerank_ds(edges_ds, n, iters=3).to_pandas()
+    expect = _ref_pagerank(_ref_edges(n), n, 3)
+    assert list(out["doc_id"]) == list(range(n))
+    got = dict(zip(out["doc_id"], out["pr_micro"]))
+    assert got == expect
+
+
+def test_pagerank_mass_and_dangling():
+    n = len(DOCS)
+    edges = _ref_edges(n)
+    out = pagerank_ds(doc_link_edges_ds(_docs_ds(2), n), n, iters=3).to_pandas()
+    r = out["pr_micro"].to_numpy()
+    base = (15 * TOTAL_MICRO) // (100 * n)
+    # floor division only ever loses mass; teleport floor keeps ranks >= base
+    assert (r >= base).all()
+    assert r.sum() <= TOTAL_MICRO
+    assert r.sum() >= int(0.95 * TOTAL_MICRO)
+    # the dangling doc (index 3) has no in-links in this fixture iff no
+    # term hashes to 3 — then its rank is exactly base + 85*share//100
+    dsts = {d for _, d in edges}
+    if 3 not in dsts:
+        assert r[3] < np.median(r)
