@@ -1759,6 +1759,24 @@ def _q_pagerank(sf_dir: str):
     return pagerank_ds(edges, n, iters=3)
 
 
+def _q_triangles(sf_dir: str):
+    """Exact degree-ordered triangle count of the undirected link graph."""
+    from lsearch_ray.functions.pagerank import doc_link_edges_ds, triangle_count_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    return triangle_count_ds(doc_link_edges_ds(docs, n))
+
+
+def _q_retention(sf_dir: str):
+    """Cohort retention matrix: distinct users active per
+    (first-activity day, days-since) cell."""
+    from lsearch_ray.functions.funnel import retention_cohorts_ds
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    return retention_cohorts_ds(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -1841,6 +1859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_chunks": _q_overlap_chunks,
         "image_embed_knn": _q_image_embed_knn,
         "pagerank_docs": _q_pagerank,
+        "triangle_count": _q_triangles,
+        "retention_cohorts": _q_retention,
     }
 
 
@@ -2218,6 +2238,21 @@ FROM documents d LEFT JOIN tstats t ON d.doc_id = t.doc_id
 """
 
 
+def _link_edges_cte() -> str:
+    """The derived doc link graph shared by the graph-family oracles:
+    doc u -> fnv63(term) % n per distinct term of u, self-loops dropped
+    (exact twin of functions.pagerank.doc_link_edges_ds)."""
+    n = "(SELECT count(*) FROM documents)"
+    return (
+        f"toks AS ({_ORDERED_TOKS}),\n"
+        "dt AS (SELECT DISTINCT doc_id AS src, term FROM toks),\n"
+        f"th AS (SELECT term, CAST({_fnv63_of('term')} % {n} AS BIGINT) AS dst\n"
+        "      FROM (SELECT DISTINCT term FROM dt)),\n"
+        "edges AS (SELECT DISTINCT d.src, t.dst FROM dt d\n"
+        "          JOIN th t USING (term) WHERE t.dst <> d.src)"
+    )
+
+
 def _pagerank_sql(iters: int) -> str:
     """Exact twin of functions.pagerank: the edge rule (distinct term →
     fnv63 % n), then ``iters`` unrolled rounds of the integer recurrence
@@ -2226,12 +2261,7 @@ def _pagerank_sql(iters: int) -> str:
     replay is bit-exact (the kmeans unrolled-CTE pattern)."""
     n = "(SELECT count(*) FROM documents)"
     parts = [
-        f"WITH toks AS ({_ORDERED_TOKS}),",
-        "dt AS (SELECT DISTINCT doc_id AS src, term FROM toks),",
-        f"th AS (SELECT term, CAST({_fnv63_of('term')} % {n} AS BIGINT) AS dst",
-        "      FROM (SELECT DISTINCT term FROM dt)),",
-        "edges AS (SELECT DISTINCT d.src, t.dst FROM dt d",
-        "          JOIN th t USING (term) WHERE t.dst <> d.src),",
+        f"WITH {_link_edges_cte()},",
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
         "nodes AS (SELECT doc_id AS node FROM documents),",
         f"r0 AS (SELECT node, CAST(1000000000000 // {n} AS BIGINT) AS r FROM nodes)",
@@ -2949,4 +2979,38 @@ ORDER BY doc_id
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "pagerank_docs": _pagerank_sql(3),
+        "triangle_count": (
+            # degree-ordered exact triangle count; the (degree, id) total
+            # order makes each triangle one wedge at its unique source
+            f"WITH {_link_edges_cte()},\n"
+            "und AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM edges),\n"
+            "degt AS (SELECT n, count(*) AS d FROM "
+            "  (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) "
+            "  GROUP BY n),\n"
+            "o AS (SELECT CASE WHEN fwd THEN a ELSE b END AS u, "
+            "             CASE WHEN fwd THEN b ELSE a END AS v FROM ("
+            "  SELECT u.a, u.b, "
+            "    (da.d < db.d OR (da.d = db.d AND u.a < u.b)) AS fwd"
+            "  FROM und u JOIN degt da ON da.n = u.a "
+            "             JOIN degt db ON db.n = u.b)),\n"
+            "wg AS (SELECT o1.v AS x, o2.v AS y FROM o o1 "
+            "JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v)\n"
+            "SELECT count(*) AS n_triangles FROM wg "
+            "JOIN und ON und.a = wg.x AND und.b = wg.y"
+        ),
+        "retention_cohorts": (
+            # cohort = first active day per user; cells count distinct
+            # active users; all day math is integer epoch-µs floor-div
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "  (epoch_us(ts) // 86400000000) * 86400000000 AS day_us "
+            "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "co AS (SELECT user_id, min(day_us) AS cohort_us "
+            "       FROM ud GROUP BY user_id) "
+            "SELECT make_timestamp(co.cohort_us) AS cohort, "
+            "(ud.day_us - co.cohort_us) // 86400000000 AS age_days, "
+            "count(DISTINCT ud.user_id) AS n_users "
+            "FROM ud JOIN co USING (user_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
     }

@@ -49,6 +49,7 @@ from lsearch_ray.functions.editdist import (  # noqa: F401
 from lsearch_ray.functions.funnel import (  # noqa: F401
     funnel_stages,
     grouped_distinct_count_ds,
+    retention_cohorts_ds,
 )
 from lsearch_ray.functions.grouped import (  # noqa: F401
     grouped_running_ds,
@@ -88,4 +89,9 @@ from lsearch_ray.functions.textstats import (  # noqa: F401
     quality_stats,
     redact_ds,
     redact_text,
+)
+from lsearch_ray.functions.pagerank import (  # noqa: F401
+    doc_link_edges_ds,
+    pagerank_ds,
+    triangle_count_ds,
 )

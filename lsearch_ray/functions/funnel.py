@@ -99,39 +99,47 @@ def funnel_stages(
 
 
 def grouped_distinct_count_ds(
-    ds, group_col: str, value_col: str, *, num_partitions: int = 32
+    ds,
+    group_col: str | list[str],
+    value_col: str,
+    *,
+    num_partitions: int = 32,
 ):
-    """Exact ``COUNT(DISTINCT value) GROUP BY group``: per-batch unique
-    (group, value) pairs (the map-side prune — the shuffle carries at
-    most one row per batch×pair), hash-partition on the PAIR so
+    """Exact ``COUNT(DISTINCT value) GROUP BY group(s)``: per-batch unique
+    (group, value) tuples (the map-side prune — the shuffle carries at
+    most one row per batch×tuple), hash-partition on the WHOLE tuple so
     duplicates co-locate, per-partition dedup + per-group counts, then a
-    tiny final groupby-sum over ≤ groups×partitions rows."""
+    tiny final groupby-sum over ≤ groups×partitions rows. ``group_col``
+    may be a list for composite keys (e.g. cohort × age)."""
     from ray.data.aggregate import Sum
 
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    all_cols = gcols + [value_col]
+
     def pairs(b: pa.Table) -> pa.Table:
-        t = b.select([group_col, value_col])
+        t = b.select(all_cols)
         # SQL COUNT(DISTINCT v) ignores null values; null GROUPS are kept
         # (SQL GROUP BY forms a null group)
         t = t.filter(pc.is_valid(t[value_col]))
-        t = t.group_by([group_col, value_col]).aggregate([])
+        t = t.group_by(all_cols).aggregate([])
         return t.append_column(
             "__part",
-            pa.array(partition_ids(t, [group_col, value_col], num_partitions)),
+            pa.array(partition_ids(t, all_cols, num_partitions)),
         )
 
     def count_partition(t: pa.Table) -> pa.Table:
-        t = (
-            t.drop_columns(["__part"])
-            .group_by([group_col, value_col])
-            .aggregate([])
-        )
-        return value_counts_table(t[group_col], group_col)
+        t = t.drop_columns(["__part"]).group_by(all_cols).aggregate([])
+        if len(gcols) == 1:
+            return value_counts_table(t[gcols[0]], gcols[0])
+        g = t.group_by(gcols).aggregate([([], "count_all")])
+        # select by NAME: arrow appends the group keys after the aggregate
+        return g.select(gcols + ["count_all"]).rename_columns(gcols + ["c"])
 
     return (
         ds.map_batches(pairs, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(count_partition, batch_format="pyarrow")
-        .groupby(group_col)
+        .groupby(gcols if len(gcols) > 1 else gcols[0])
         .aggregate(Sum("c", alias_name="n_distinct"))
         .map_batches(
             lambda b: b.set_column(
@@ -142,3 +150,88 @@ def grouped_distinct_count_ds(
             batch_format="pyarrow",
         )
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+def retention_cohorts_ds(
+    events_ds,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    num_partitions: int = 16,
+):
+    """Cohort retention: users grouped by first-activity day, counted per
+    (cohort day, days-since-cohort) cell — the product-analytics matrix.
+
+    Shape: one groupby-min finds each user's cohort (map-side partial
+    min per batch keeps the shuffle at one row per batch×user), one hash
+    join tags every event with its user's cohort, then the exact
+    composite-key distinct (:func:`grouped_distinct_count_ds`) counts
+    active users per cell. All day arithmetic is integer epoch-µs floor
+    division — any engine replays it bit-exactly.
+
+    Returns ``(cohort: timestamp[us], age_days: int64, n_users: int64)``.
+    """
+    from ray.data.aggregate import Min
+
+    def to_day(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(pc.is_valid(b[ts_col]), pc.is_valid(b[user_col]))
+        )
+        us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // _DAY_US) * _DAY_US
+        out = pa.table(
+            {user_col: t[user_col], "day_us": pa.array(day, pa.int64())}
+        )
+        # map-side prune to distinct (user, day) pairs: exact for both
+        # consumers — the cohort min and the per-cell distinct count
+        return out.group_by([user_col, "day_us"]).aggregate([])
+
+    # consumed twice (cohort min + the tag join) — materialize once
+    days = events_ds.map_batches(to_day, batch_format="pyarrow").materialize()
+    cohorts = (
+        days.groupby(user_col)
+        .aggregate(Min("day_us", alias_name="cohort_us"))
+        .materialize()
+    )
+
+    # every (user, active day) tagged with the user's cohort; ages are
+    # non-negative by construction (cohort is the min day). Join
+    # partitions sized to row volume — Ray's hash-join aggregator
+    # rejects fully-empty partitions on tiny inputs.
+    from lsearch_ray.functions.minhash import _pair_partitions
+
+    tagged = days.join(
+        cohorts,
+        join_type="inner",
+        num_partitions=_pair_partitions(days.count(), cap=num_partitions),
+        on=(user_col,),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                user_col: b[user_col],
+                "cohort_us": b["cohort_us"],
+                "age_days": pc.divide(
+                    pc.subtract(b["day_us"], b["cohort_us"]), _DAY_US
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    counts = grouped_distinct_count_ds(
+        tagged, ["cohort_us", "age_days"], user_col,
+        num_partitions=num_partitions,
+    )
+    return counts.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort": pc.cast(b["cohort_us"], pa.timestamp("us")),
+                "age_days": b["age_days"],
+                "n_users": b["n_distinct"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["cohort", "age_days"])

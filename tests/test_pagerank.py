@@ -95,3 +95,38 @@ def test_pagerank_mass_and_dangling():
     dsts = {d for _, d in edges}
     if 3 not in dsts:
         assert r[3] < np.median(r)
+
+
+def test_triangle_count_matches_bruteforce():
+    from itertools import combinations
+
+    from lsearch_ray.functions.pagerank import triangle_count_ds
+
+    n = len(DOCS)
+    edges = _ref_edges(n)
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    nodes = sorted({x for e in und for x in e})
+    expect = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in und and (x, z) in und and (y, z) in und
+    )
+    out = triangle_count_ds(doc_link_edges_ds(_docs_ds(2), n)).to_pandas()
+    assert list(out.columns) == ["n_triangles"]
+    assert out["n_triangles"].iloc[0] == expect
+    # the fixture graph must actually contain triangles for this test
+    # to exercise the wedge-close path
+    assert expect > 0
+
+
+def test_triangle_count_empty_graph():
+    import ray.data as rd
+    from lsearch_ray.functions.pagerank import triangle_count_ds
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
+    out = triangle_count_ds(empty).to_pandas()
+    assert out["n_triangles"].iloc[0] == 0
