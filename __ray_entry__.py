@@ -1777,6 +1777,40 @@ def _q_retention(sf_dir: str):
     return retention_cohorts_ds(ev)
 
 
+def _q_dup_components(sf_dir: str):
+    """Duplicate-cluster labels for every document: exact-verified n-gram
+    Jaccard pairs (the ngram_jaccard_dedup pair stage) → distributed
+    min-label propagation → total labeling (edge-free docs label
+    themselves)."""
+    from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return component_labels_ds(docs, pairs, "doc_id", num_partitions=8)
+
+
+def _q_argmax_events(sf_dir: str):
+    """Argmax-per-group duplicate resolution: for each (user, event type)
+    keep the single highest-value event, event_id ascending as the
+    deterministic tiebreak — exact_dedup with a descending order column
+    (the keep-best-duplicate pattern of training-data pipelines)."""
+    from lsearch_ray.functions.dedup import exact_dedup
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    out = exact_dedup(
+        ev,
+        ["user_id", "event_type"],
+        ["value", "event_id"],
+        ascending=[False, True],
+        num_partitions=16,
+    )
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_type", "event_id", "value"]),
+        batch_format="pyarrow",
+    ).sort(["user_id", "event_type"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -1861,6 +1895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": _q_pagerank,
         "triangle_count": _q_triangles,
         "retention_cohorts": _q_retention,
+        "dup_components": _q_dup_components,
+        "argmax_events": _q_argmax_events,
     }
 
 
@@ -2161,14 +2197,33 @@ ORDER BY d.{id_col}
 """
 
 
-def _ngram_jaccard_sql() -> str:
-    """Brute-force exact twin of ngram_jaccard_dedup (threshold 0.8,
-    3-gram token shingles, per-doc unique sets, keep-min-per-component).
-    Shingle semantics mirror minhash._shingle_hashes: docs with 1-2
-    tokens contribute one shingle over the whole run. The SQL considers
-    ALL pairs; the engine's MinHash banding (b=32, r=4) has miss
-    probability < 1e-7 at jaccard 0.8, so the outputs coincide."""
-    edges = """
+def _cc_labels_sql(edges_cte: str, table: str, id_col: str) -> str:
+    """Total component labeling over an ``edges(a, b)`` CTE: every id in
+    ``table`` gets the min id reachable in the symmetrized graph
+    (least of self and all reachable nodes); edge-free ids label
+    themselves — the exact contract of components.component_labels_ds."""
+    return f"""
+{edges_cte},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a
+  ) SELECT src, dst FROM r
+),
+lbl AS (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+SELECT d.{id_col}, CAST(coalesce(l.comp, d.{id_col}) AS BIGINT) AS component
+FROM {table} d LEFT JOIN lbl l ON l.src = d.{id_col}
+ORDER BY d.{id_col}
+"""
+
+
+# brute-force all-pairs exact n-gram Jaccard edges (threshold 0.8,
+# 3-gram token shingles, per-doc unique sets). Shingle semantics mirror
+# minhash._shingle_hashes: docs with 1-2 tokens contribute one shingle
+# over the whole run; 0-token docs emit no shingles and can never pair.
+_NGRAM_EDGES_CTE = """
 WITH l AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2194,7 +2249,15 @@ edges AS (
   JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
   WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
 )"""
-    return _cc_survivors_sql(edges, "documents", "doc_id")
+
+
+def _ngram_jaccard_sql() -> str:
+    """Brute-force exact twin of ngram_jaccard_dedup (threshold 0.8,
+    3-gram token shingles, per-doc unique sets, keep-min-per-component).
+    The SQL considers ALL pairs; the engine's MinHash banding (b=32, r=4)
+    has miss probability < 1e-7 at jaccard 0.8, so the outputs
+    coincide."""
+    return _cc_survivors_sql(_NGRAM_EDGES_CTE, "documents", "doc_id")
 
 
 def _embedding_dedup_sql() -> str:
@@ -2979,6 +3042,16 @@ ORDER BY doc_id
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "pagerank_docs": _pagerank_sql(3),
+        "dup_components": _cc_labels_sql(
+            _NGRAM_EDGES_CTE, "documents", "doc_id"
+        ),
+        "argmax_events": (
+            "SELECT user_id, event_type, event_id, value FROM ("
+            "  SELECT user_id, event_type, event_id, value, "
+            "    row_number() OVER (PARTITION BY user_id, event_type "
+            "      ORDER BY value DESC, event_id) AS rn FROM events"
+            ") WHERE rn = 1 ORDER BY user_id, event_type"
+        ),
         "triangle_count": (
             # degree-ordered exact triangle count; the (degree, id) total
             # order makes each triangle one wedge at its unique source

@@ -116,6 +116,59 @@ def connected_components_ds(
     return labels
 
 
+def component_labels_ds(
+    ids_ds,
+    pairs_ds,
+    id_col: str,
+    *,
+    max_rounds: int = 10,
+    num_partitions: int = 2,
+):
+    """Total component labeling: every id in ``ids_ds`` gets the min id of
+    its connected component in the ``(a, b)`` pair graph; ids touching no
+    edge label themselves. The direct query surface over
+    :func:`connected_components_ds` (which only covers edge endpoints).
+
+    One left-outer hash join of the id universe against the propagated
+    labels — both sides stay Datasets; partitions sized to row volume
+    (Ray's hash-join aggregator rejects fully-empty partitions).
+
+    Returns ``(id_col, component: int64)`` sorted by ``id_col``."""
+    import pyarrow.compute as pc
+
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ids_ds.map_batches(
+            lambda b: pa.table(
+                {id_col: b[id_col], "component": b[id_col]}
+            ),
+            batch_format="pyarrow",
+        ).sort(id_col)
+    labels = connected_components_ds(
+        pairs_ds, max_rounds=max_rounds, num_partitions=num_partitions
+    )
+    from lsearch_ray.functions.minhash import _pair_partitions
+
+    joined = ids_ds.select_columns([id_col]).join(
+        labels,
+        join_type="left_outer",
+        num_partitions=_pair_partitions(ids_ds.count(), cap=num_partitions),
+        on=(id_col,),
+        right_on=("node",),
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "component": pc.coalesce(
+                    pc.cast(b["label"], pa.int64()), b[id_col]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(id_col)
+
+
 def drop_ids_from_pairs_ds(
     pairs_ds, *, max_rounds: int = 10, num_partitions: int = 2
 ):

@@ -68,9 +68,16 @@ def partition_ids(batch: pa.Table, key_cols: list[str], num_partitions: int) -> 
 
 
 def exact_dedup(
-    ds, key_cols: list[str], order_cols: list[str], *, num_partitions: int = 64
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    *,
+    num_partitions: int = 64,
+    ascending: list[bool] | None = None,
 ):
-    """Keep the first row per key group, ordered by ``order_cols``.
+    """Keep the first row per key group, ordered by ``order_cols``
+    (per-column direction via ``ascending`` — all-ascending by default;
+    descending on a value column turns this into argmax-per-group).
 
     Vectorized form of groupby(key)+first: rows are hash-partitioned on
     the key columns, the groupby runs over the partition id (so each
@@ -80,6 +87,9 @@ def exact_dedup(
     no per-group Python. Size ``num_partitions`` ≈ cluster cores × 4 at
     scale so a partition fits a worker's heap.
     """
+    asc = [True] * len(order_cols) if ascending is None else list(ascending)
+    if len(asc) != len(order_cols):
+        raise ValueError("ascending must match order_cols length")
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -87,7 +97,7 @@ def exact_dedup(
         )
 
     def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
+        g = g.sort_values(order_cols, ascending=asc, kind="mergesort")
         return g.drop_duplicates(subset=key_cols, keep="first").drop(
             columns="__part"
         )

@@ -343,7 +343,7 @@ class ShingleSets:
         return pa.table({self.id_col: batch[self.id_col], "shingles": col})
 
 
-def ngram_jaccard_dedup(
+def ngram_jaccard_pairs(
     ds,
     *,
     text_col: str = "text",
@@ -354,17 +354,12 @@ def ngram_jaccard_dedup(
     bands: int = 32,
     seed: int = 12345,
 ):
-    """Near-dup dedup with EXACT n-gram Jaccard verification.
+    """Exact-verified near-dup pair stage shared by
+    :func:`ngram_jaccard_dedup` and the duplicate-component labeling
+    query: MinHash-banded candidates, each verified on the true shingle
+    sets. Returns a materialized ``(a, b)`` Dataset (possibly empty)."""
+    import ray.data as rd
 
-    Candidates come from MinHash banding (same recall), but each surviving
-    pair is verified on the true shingle sets of the two docs — zero
-    false-positive merges at the cost of recomputing shingles for
-    candidates only. Fully distributed: shingle sets travel to the pair
-    rows as sorted-unique int64 blobs through hash joins
-    (cluster.attach_pair_payloads); the per-pair set intersection runs
-    inside map tasks (sorted-array ``np.intersect1d``), clustering and
-    survivor filtering through the same components/anti-join path as
-    minhash_dedup."""
     _, pairs = minhash_candidate_pairs(
         ds,
         text_col=text_col,
@@ -377,7 +372,11 @@ def ngram_jaccard_dedup(
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return ds
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        )
     np_eff = _pair_partitions(n_pairs)
     shingle_blobs = ds.map_batches(
         ShingleSets(ngram, text_col, id_col), batch_format="pyarrow"
@@ -411,8 +410,47 @@ def ngram_jaccard_dedup(
             keep[i] = jac >= threshold
         return pa.table({"a": b["a"], "b": b["b"]}).filter(pa.array(keep))
 
-    verified = joined.map_batches(verify, batch_format="pyarrow")
-    return apply_verified_pairs(ds, verified, id_col, num_partitions=np_eff)
+    return joined.map_batches(verify, batch_format="pyarrow").materialize()
+
+
+def ngram_jaccard_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 12345,
+):
+    """Near-dup dedup with EXACT n-gram Jaccard verification.
+
+    Candidates come from MinHash banding (same recall), but each surviving
+    pair is verified on the true shingle sets of the two docs — zero
+    false-positive merges at the cost of recomputing shingles for
+    candidates only. Fully distributed: shingle sets travel to the pair
+    rows as sorted-unique int64 blobs through hash joins
+    (cluster.attach_pair_payloads); the per-pair set intersection runs
+    inside map tasks (sorted-array ``np.intersect1d``), clustering and
+    survivor filtering through the same components/anti-join path as
+    minhash_dedup."""
+    verified = ngram_jaccard_pairs(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        ngram=ngram,
+        num_perm=num_perm,
+        bands=bands,
+        seed=seed,
+    )
+    n_pairs = verified.count()
+    if n_pairs == 0:
+        return ds
+    return apply_verified_pairs(
+        ds, verified, id_col, num_partitions=_pair_partitions(n_pairs)
+    )
 
 
 def fuzzy_decontaminate(

@@ -283,3 +283,69 @@ def test_fuzzy_decontaminate_empty_docs_never_match():
         rd.from_arrow(corpus), rd.from_arrow(bench)
     ).take_all()
     assert out == []
+
+
+def test_component_labels_ds_total_labeling():
+    from lsearch_ray.functions.components import component_labels_ds
+
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 2, 10], type=pa.int64()),
+            "b": pa.array([2, 3, 11], type=pa.int64()),
+        }
+    )
+    # id universe includes edge-free ids 0 and 5
+    ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3, 5, 10, 11], pa.int64())})
+    )
+    out = component_labels_ds(ids, rd.from_arrow(pairs), "doc_id").to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 5: 5, 10: 10, 11: 10}
+    assert list(out["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_component_labels_ds_no_edges():
+    import pyarrow as _pa
+
+    from lsearch_ray.functions.components import component_labels_ds
+
+    ids = rd.from_arrow(
+        _pa.table({"doc_id": _pa.array([3, 1, 2], _pa.int64())})
+    )
+    empty = rd.from_arrow(
+        _pa.table(
+            {"a": _pa.array([], _pa.int64()), "b": _pa.array([], _pa.int64())}
+        )
+    )
+    out = component_labels_ds(ids, empty, "doc_id").to_pandas()
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["component"]) == [1, 2, 3]
+
+
+def test_ngram_jaccard_pairs_matches_dedup_drop_set():
+    """The exposed pair stage must induce exactly the dedup survivors."""
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+
+    ds = rd.from_arrow(_docs_table())
+    rows = ngram_jaccard_pairs(ds, threshold=0.6).take_all()
+    assert rows, "fixture must contain near-dup pairs"
+    survivors = sorted(
+        r["doc_id"] for r in ngram_jaccard_dedup(ds, threshold=0.6).take_all()
+    )
+    # keep-min-per-component replay of the pair list via union-find
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = _docs_table()["doc_id"].to_pylist()
+    expect = sorted(i for i in all_ids if find(i) == i)
+    assert survivors == expect

@@ -1337,3 +1337,28 @@ def test_grouped_range_window_null_ts_raises():
         grouped_range_window_ds(
             rd.from_arrow(t), "k", "ts", "v", window=10
         ).take_all()
+
+
+def test_exact_dedup_descending_argmax():
+    """ascending=[False, True] turns exact_dedup into argmax-per-group
+    with a deterministic ascending-id tiebreak."""
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": [1.0, 9.0, 9.0, 2.0, -3.0],
+            "id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        }
+    )
+    out = exact_dedup(
+        rd.from_arrow(t), ["k"], ["v", "id"], ascending=[False, True]
+    ).take_all()
+    got = {r["k"]: (r["id"], r["v"]) for r in out}
+    assert got == {"a": (11, 9.0), "b": (13, 2.0)}
+
+
+def test_exact_dedup_ascending_length_mismatch_raises():
+    import pytest as _pytest
+
+    t = pa.table({"k": ["a"], "v": [1.0], "id": pa.array([1], pa.int64())})
+    with _pytest.raises(ValueError, match="ascending"):
+        exact_dedup(rd.from_arrow(t), ["k"], ["v", "id"], ascending=[False])
