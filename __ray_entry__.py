@@ -1811,6 +1811,29 @@ def _q_argmax_events(sf_dir: str):
     ).sort(["user_id", "event_type"])
 
 
+def _q_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient of the derived doc link graph:
+    3·triangles / Σ d(d−1)/2 in integer micro units."""
+    from lsearch_ray.functions.pagerank import (
+        clustering_coeff_ds,
+        doc_link_edges_ds,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    return clustering_coeff_ds(doc_link_edges_ds(docs, n))
+
+
+def _q_audience_overlap(sf_dir: str):
+    """Pairwise segment-audience overlap: exact intersection/union of the
+    distinct-user sets of every event-type pair plus floor-micro
+    Jaccard."""
+    from lsearch_ray.functions.funnel import audience_overlap_ds
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return audience_overlap_ds(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -1897,6 +1920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention,
         "dup_components": _q_dup_components,
         "argmax_events": _q_argmax_events,
+        "clustering_coeff": _q_clustering_coeff,
+        "audience_overlap": _q_audience_overlap,
     }
 
 
@@ -2313,6 +2338,32 @@ def _link_edges_cte() -> str:
         "      FROM (SELECT DISTINCT term FROM dt)),\n"
         "edges AS (SELECT DISTINCT d.src, t.dst FROM dt d\n"
         "          JOIN th t USING (term) WHERE t.dst <> d.src)"
+    )
+
+
+def _triangle_ctes() -> str:
+    """Shared CTE chain for the triangle-family oracles: derived link
+    edges → undirected pairs → degrees → degree-ordered DAG → wedges →
+    closed triangles (``tri``). The (degree, id) total order makes each
+    triangle one wedge at its unique source (exact twin of
+    functions.pagerank._triangles_and_degrees)."""
+    return (
+        f"WITH {_link_edges_cte()},\n"
+        "und AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges),\n"
+        "degt AS (SELECT n, count(*) AS d FROM "
+        "  (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) "
+        "  GROUP BY n),\n"
+        "o AS (SELECT CASE WHEN fwd THEN a ELSE b END AS u, "
+        "             CASE WHEN fwd THEN b ELSE a END AS v FROM ("
+        "  SELECT u.a, u.b, "
+        "    (da.d < db.d OR (da.d = db.d AND u.a < u.b)) AS fwd"
+        "  FROM und u JOIN degt da ON da.n = u.a "
+        "             JOIN degt db ON db.n = u.b)),\n"
+        "wg AS (SELECT o1.v AS x, o2.v AS y FROM o o1 "
+        "JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),\n"
+        "tri AS (SELECT wg.x, wg.y FROM wg "
+        "JOIN und ON und.a = wg.x AND und.b = wg.y)"
     )
 
 
@@ -3053,24 +3104,37 @@ ORDER BY doc_id
             ") WHERE rn = 1 ORDER BY user_id, event_type"
         ),
         "triangle_count": (
-            # degree-ordered exact triangle count; the (degree, id) total
-            # order makes each triangle one wedge at its unique source
-            f"WITH {_link_edges_cte()},\n"
-            "und AS (SELECT DISTINCT least(src, dst) AS a, "
-            "greatest(src, dst) AS b FROM edges),\n"
-            "degt AS (SELECT n, count(*) AS d FROM "
-            "  (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) "
-            "  GROUP BY n),\n"
-            "o AS (SELECT CASE WHEN fwd THEN a ELSE b END AS u, "
-            "             CASE WHEN fwd THEN b ELSE a END AS v FROM ("
-            "  SELECT u.a, u.b, "
-            "    (da.d < db.d OR (da.d = db.d AND u.a < u.b)) AS fwd"
-            "  FROM und u JOIN degt da ON da.n = u.a "
-            "             JOIN degt db ON db.n = u.b)),\n"
-            "wg AS (SELECT o1.v AS x, o2.v AS y FROM o o1 "
-            "JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v)\n"
-            "SELECT count(*) AS n_triangles FROM wg "
-            "JOIN und ON und.a = wg.x AND und.b = wg.y"
+            f"{_triangle_ctes()}\n"
+            "SELECT count(*) AS n_triangles FROM tri"
+        ),
+        "clustering_coeff": (
+            # global coefficient = 3·triangles / Σ d(d−1)/2, floor micro
+            # units; every input to the division is an exact integer
+            f"{_triangle_ctes()},\n"
+            "t AS (SELECT count(*) AS n_triangles FROM tri),\n"
+            "w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) "
+            "AS n_wedges FROM degt)\n"
+            "SELECT t.n_triangles, w.n_wedges, "
+            "CAST(CASE WHEN w.n_wedges > 0 THEN "
+            "(3 * t.n_triangles * 1000000) // w.n_wedges "
+            "ELSE 0 END AS BIGINT) AS coeff_micro FROM t, w"
+        ),
+        "audience_overlap": (
+            # exact |A∩B| / |A∪B| over distinct-user sets per event-type
+            # pair; only pairs with ≥1 common user appear (inner join
+            # semantics, mirrored by the engine's intersection partials)
+            "WITH ud AS (SELECT DISTINCT event_type, user_id FROM events "
+            "  WHERE event_type IS NOT NULL AND user_id IS NOT NULL), "
+            "sz AS (SELECT event_type, count(*) AS n FROM ud GROUP BY 1), "
+            "inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,"
+            " count(*) AS c FROM ud a JOIN ud b ON a.user_id = b.user_id "
+            " AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT type_a, type_b, CAST(c AS BIGINT) AS n_common, "
+            "CAST(sa.n + sb.n - c AS BIGINT) AS n_union, "
+            "CAST((c * 1000000) // (sa.n + sb.n - c) AS BIGINT) "
+            "AS jaccard_micro "
+            "FROM inter JOIN sz sa ON sa.event_type = type_a "
+            "JOIN sz sb ON sb.event_type = type_b ORDER BY type_a, type_b"
         ),
         "retention_cohorts": (
             # cohort = first active day per user; cells count distinct

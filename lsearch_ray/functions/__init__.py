@@ -47,6 +47,7 @@ from lsearch_ray.functions.editdist import (  # noqa: F401
     edit1_matches_ds,
 )
 from lsearch_ray.functions.funnel import (  # noqa: F401
+    audience_overlap_ds,
     funnel_stages,
     grouped_distinct_count_ds,
     retention_cohorts_ds,
@@ -91,6 +92,7 @@ from lsearch_ray.functions.textstats import (  # noqa: F401
     redact_text,
 )
 from lsearch_ray.functions.pagerank import (  # noqa: F401
+    clustering_coeff_ds,
     doc_link_edges_ds,
     pagerank_ds,
     triangle_count_ds,

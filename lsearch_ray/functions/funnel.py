@@ -235,3 +235,129 @@ def retention_cohorts_ds(
         ),
         batch_format="pyarrow",
     ).sort(["cohort", "age_days"])
+
+
+def audience_overlap_ds(
+    ds,
+    *,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    num_partitions: int = 16,
+):
+    """Pairwise audience overlap between segments: for every pair of
+    ``type_col`` values sharing at least one user, the exact intersection
+    and union of their distinct-user sets plus floor-micro Jaccard.
+
+    Distributed shape: distinct (type, user) with a map-side per-batch
+    prune, hash-partitioned on USER so each user's whole segment set
+    co-locates; per partition one vectorized self-merge emits that
+    partition's (type_a < type_b) intersection partials — users are
+    disjoint across partitions, so a global groupby-sum is exact. Segment
+    sizes come from :func:`grouped_distinct_count_ds`; two hash joins
+    attach them and the final map computes union and Jaccard in pure
+    int64 (any engine replays it).
+
+    Returns ``(type_a, type_b, n_common, n_union, jaccard_micro)``
+    sorted by the pair.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.minhash import _pair_partitions
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = b.select([type_col, user_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[type_col]), pc.is_valid(t[user_col]))
+        )
+        t = t.group_by([type_col, user_col]).aggregate([])
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [user_col], num_partitions))
+        )
+
+    def overlap_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__part").drop_duplicates([type_col, user_col])
+        m = g.merge(g, on=user_col, suffixes=("_a", "_b"))
+        m = m[m[f"{type_col}_a"] < m[f"{type_col}_b"]]
+        out = (
+            m.groupby([f"{type_col}_a", f"{type_col}_b"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        out.columns = ["type_a", "type_b", "c"]
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    inter = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(overlap_partition, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("c", alias_name="n_common"))
+        .materialize()
+    )
+    n_inter = inter.count()
+    if n_inter == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_common": pa.array([], pa.int64()),
+                    "n_union": pa.array([], pa.int64()),
+                    "jaccard_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    sizes = grouped_distinct_count_ds(
+        ds.map_batches(
+            lambda b: b.select([type_col, user_col]).filter(
+                pc.is_valid(b[type_col])
+            ),
+            batch_format="pyarrow",
+        ),
+        type_col,
+        user_col,
+        num_partitions=num_partitions,
+    ).materialize()
+
+    nparts = _pair_partitions(n_inter)
+    sa = sizes.map_batches(
+        lambda b: pa.table({"ta": b[type_col], "na": b["n_distinct"]}),
+        batch_format="pyarrow",
+    )
+    sb = sizes.map_batches(
+        lambda b: pa.table({"tb": b[type_col], "nb": b["n_distinct"]}),
+        batch_format="pyarrow",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b["n_common"].to_numpy(zero_copy_only=False)
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        union = na + nb - c
+        return pa.table(
+            {
+                "type_a": b["type_a"],
+                "type_b": b["type_b"],
+                "n_common": pa.array(c, pa.int64()),
+                "n_union": pa.array(union, pa.int64()),
+                "jaccard_micro": pa.array(
+                    (c * 1_000_000) // union, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        inter.join(sa, join_type="inner", num_partitions=nparts,
+                   on=("type_a",), right_on=("ta",))
+        .join(sb, join_type="inner", num_partitions=nparts,
+              on=("type_b",), right_on=("tb",))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["type_a", "type_b"])
+    )

@@ -186,23 +186,11 @@ def pagerank_ds(edges_ds, n_nodes: int, *, iters: int = 3,
     )
 
 
-def triangle_count_ds(edges_ds, *, num_partitions: int = 8):
-    """Exact triangle count of the undirected link graph, degree-ordered.
-
-    The textbook distributed mitigation for hub skew: orient each
-    undirected edge from its lower-(degree, id) endpoint to the higher
-    one, enumerate wedges only at out-neighbors of that DAG (wedge volume
-    is then Σ min-degree², bounded even when hubs have huge degree — the
-    naive join's Σ degree² is not), and close each wedge against the
-    undirected edge set. Every triangle is counted exactly once: the
-    (degree, id) total order makes each triangle a linear chain x<y<z
-    whose unique 2-out-degree source x owns the one matching wedge.
-
-    Returns a one-row Dataset ``(n_triangles)``. Every stage is a
-    Dataset transform (two hash joins + one self-join + one semi-join);
-    only the final count lands on the driver.
-    """
-    import ray.data as rd
+def _triangles_and_degrees(edges_ds, num_partitions: int):
+    """Shared core of :func:`triangle_count_ds` and
+    :func:`clustering_coeff_ds`: exact degree-ordered triangle count plus
+    the undirected-degree Dataset. Returns ``(n_triangles, deg_ds)``;
+    ``deg_ds`` is ``None`` for an edge-free graph."""
     from ray.data.aggregate import Count
 
     # undirected distinct pairs a < b
@@ -230,9 +218,7 @@ def triangle_count_ds(edges_ds, *, num_partitions: int = 8):
         num_partitions=num_partitions,
     ).materialize()
     if und.count() == 0:
-        return rd.from_arrow(
-            pa.table({"n_triangles": pa.array([0], pa.int64())})
-        )
+        return 0, None
 
     def endpoints(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -299,5 +285,70 @@ def triangle_count_ds(edges_ds, *, num_partitions: int = 8):
         on=("v", "w"),
         right_on=("a", "b"),
     )
-    n = closed.count()
+    return closed.count(), deg
+
+
+def triangle_count_ds(edges_ds, *, num_partitions: int = 8):
+    """Exact triangle count of the undirected link graph, degree-ordered.
+
+    The textbook distributed mitigation for hub skew: orient each
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, enumerate wedges only at out-neighbors of that DAG (wedge volume
+    is then Σ min-degree², bounded even when hubs have huge degree — the
+    naive join's Σ degree² is not), and close each wedge against the
+    undirected edge set. Every triangle is counted exactly once: the
+    (degree, id) total order makes each triangle a linear chain x<y<z
+    whose unique 2-out-degree source x owns the one matching wedge.
+
+    Returns a one-row Dataset ``(n_triangles)``. Every stage is a
+    Dataset transform (two hash joins + one self-join + one semi-join);
+    only the final count lands on the driver.
+    """
+    import ray.data as rd
+
+    n, _ = _triangles_and_degrees(edges_ds, num_partitions)
     return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+
+def clustering_coeff_ds(edges_ds, *, num_partitions: int = 8):
+    """Global clustering coefficient of the undirected graph:
+    ``3 · triangles / wedges`` with ``wedges = Σ_v d_v(d_v−1)/2``,
+    reported in integer micro units (floor) so any engine replays the
+    arithmetic bit-exactly. Triangles come from the degree-ordered count
+    (:func:`_triangles_and_degrees`); the wedge sum is a vectorized
+    per-batch map over the degree Dataset with only the scalar total on
+    the driver.
+
+    Returns a one-row Dataset ``(n_triangles, n_wedges, coeff_micro)``.
+    """
+    import ray.data as rd
+
+    n_tri, deg = _triangles_and_degrees(edges_ds, num_partitions)
+    if deg is None:
+        n_wedges = 0
+    else:
+        n_wedges = int(
+            deg.map_batches(
+                lambda b: pa.table(
+                    {
+                        "w": pc.divide(
+                            pc.multiply(
+                                b["d"], pc.subtract(b["d"], pa.scalar(1))
+                            ),
+                            pa.scalar(2),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("w")
+        )
+    coeff = (3 * n_tri * 1_000_000) // n_wedges if n_wedges else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+                "coeff_micro": pa.array([coeff], pa.int64()),
+            }
+        )
+    )

@@ -130,3 +130,38 @@ def test_triangle_count_empty_graph():
     )
     out = triangle_count_ds(empty).to_pandas()
     assert out["n_triangles"].iloc[0] == 0
+
+
+def test_clustering_coeff_matches_bruteforce():
+    from itertools import combinations
+
+    from lsearch_ray.functions.pagerank import clustering_coeff_ds
+
+    n = len(DOCS)
+    edges = _ref_edges(n)
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    nodes = sorted({x for e in und for x in e})
+    tri = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in und and (x, z) in und and (y, z) in und
+    )
+    deg = {v: sum(1 for e in und if v in e) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    out = clustering_coeff_ds(doc_link_edges_ds(_docs_ds(2), n)).to_pandas()
+    assert out["n_triangles"].iloc[0] == tri
+    assert out["n_wedges"].iloc[0] == wedges
+    assert out["coeff_micro"].iloc[0] == (3 * tri * 1_000_000) // wedges
+
+
+def test_clustering_coeff_empty_graph():
+    import ray.data as rd
+    from lsearch_ray.functions.pagerank import clustering_coeff_ds
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
+    out = clustering_coeff_ds(empty).to_pandas()
+    assert out.iloc[0].tolist() == [0, 0, 0]

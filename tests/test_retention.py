@@ -84,3 +84,54 @@ def test_retention_null_rows_dropped():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), _ref(tab), check_dtype=False
     )
+
+
+def test_audience_overlap_matches_pandas_reference():
+    from itertools import combinations
+
+    from lsearch_ray.functions.funnel import audience_overlap_ds
+
+    rows = [
+        ("a", 1), ("a", 2), ("a", 3), ("a", 3),   # A = {1,2,3}
+        ("b", 2), ("b", 3), ("b", 4),             # B = {2,3,4}
+        ("c", 9),                                 # C = {9} (no overlap)
+        ("d", 1), ("d", 2), ("d", 3), ("d", 4),   # D ⊇ A∪B
+    ]
+    tab = pa.table(
+        {
+            "event_type": [t for t, _ in rows],
+            "user_id": pa.array([u for _, u in rows], pa.int64()),
+        }
+    )
+    got = audience_overlap_ds(rd.from_arrow(tab).repartition(3)).to_pandas()
+    sets = {}
+    for t, u in rows:
+        sets.setdefault(t, set()).add(u)
+    expect = []
+    for ta, tb in combinations(sorted(sets), 2):
+        c = len(sets[ta] & sets[tb])
+        if not c:
+            continue
+        un = len(sets[ta] | sets[tb])
+        expect.append((ta, tb, c, un, c * 1_000_000 // un))
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+    # c must not pair with anything
+    assert "c" not in set(got["type_a"]) | set(got["type_b"])
+
+
+def test_audience_overlap_no_common_users():
+    from lsearch_ray.functions.funnel import audience_overlap_ds
+
+    tab = pa.table(
+        {
+            "event_type": ["a", "b"],
+            "user_id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    got = audience_overlap_ds(rd.from_arrow(tab))
+    assert got.count() == 0
+    # Ray's to_pandas drops columns on a 0-row dataset; the Dataset
+    # schema is the contract
+    assert got.schema().names == [
+        "type_a", "type_b", "n_common", "n_union", "jaccard_micro",
+    ]
