@@ -1834,6 +1834,47 @@ def _q_audience_overlap(sf_dir: str):
     return audience_overlap_ds(ev)
 
 
+def _q_seed_distance(sf_dir: str):
+    """K-hop directed BFS from the deterministic seed set (doc_id % 97 ==
+    0) over the derived link graph — crawl-frontier depth labeling."""
+    from lsearch_ray.functions.pagerank import bfs_distance_ds, doc_link_edges_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    return bfs_distance_ds(doc_link_edges_ds(docs, n), n, iters=3)
+
+
+def _q_hits(sf_dir: str):
+    """Fixed-iteration integer HITS hubs/authorities over the derived
+    link graph (micro-score units, conserved-total normalization)."""
+    from lsearch_ray.functions.pagerank import doc_link_edges_ds, hits_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    return hits_ds(doc_link_edges_ds(docs, n), n, iters=2)
+
+
+def _q_pack_bins(sf_dir: str):
+    """Sequence packing: context-window bin of every document when the
+    id-ordered token stream is split every 512 tokens."""
+    from lsearch_ray.functions.packing import pack_bins_ds
+
+    return pack_bins_ds(
+        _docs(sf_dir, ["doc_id", "text"]), capacity=512, range_width=256
+    )
+
+
+def _q_temp_sample(sf_dir: str):
+    """Temperature-balanced (alpha = 0.5) language mixture sampling: keep
+    rates proportional to sqrt(count)/count, deterministic hash filter."""
+    from lsearch_ray.functions.mixture import temperature_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return temperature_sample(
+        docs, "doc_id", "lang", target_num=1, target_den=3
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -1922,6 +1963,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_events": _q_argmax_events,
         "clustering_coeff": _q_clustering_coeff,
         "audience_overlap": _q_audience_overlap,
+        "seed_distance": _q_seed_distance,
+        "hits_scores": _q_hits,
+        "pack_bins": _q_pack_bins,
+        "temp_sample": _q_temp_sample,
     }
 
 
@@ -2396,6 +2441,66 @@ r{k + 1} AS (SELECT n.node,
         )
     parts.append(
         f"\nSELECT node AS doc_id, r AS pr_micro FROM r{iters} ORDER BY doc_id"
+    )
+    return "\n".join(parts)
+
+
+def _bfs_sql(iters: int) -> str:
+    """Exact twin of functions.pagerank.bfs_distance_ds: seeds are
+    doc_id % 97 == 0, then ``iters`` unrolled rounds of
+    d' = min(d, 1 + min over in-edges of d(src)) with the same INF
+    sentinel — pure integer min-propagation, bit-exact on any engine."""
+    inf = 1 << 30
+    parts = [
+        f"WITH {_link_edges_cte()},",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        f"d0 AS (SELECT node, CASE WHEN node % 97 = 0 THEN 0 ELSE {inf} END AS d FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+c{k} AS (SELECT e.dst, min(x.d + 1) AS nd FROM edges e
+         JOIN d{k} x ON x.node = e.src WHERE x.d < {inf} GROUP BY e.dst),
+d{k + 1} AS (SELECT x.node, least(x.d, coalesce(c.nd, {inf})) AS d
+         FROM d{k} x LEFT JOIN c{k} c ON c.dst = x.node)"""
+        )
+    parts.append(
+        f"\nSELECT node AS doc_id, CAST(d AS BIGINT) AS dist FROM d{iters} "
+        f"WHERE d <= {iters} ORDER BY doc_id"
+    )
+    return "\n".join(parts)
+
+
+def _hits_sql(iters: int, total: int = 10**9) -> str:
+    """Exact twin of functions.pagerank.hits_ds: ``iters`` unrolled
+    auth/hub half-steps, each a groupby-sum across edges normalized to a
+    conserved integer ``total`` by floor division (raw sums ≤ total, so
+    the widest product is total² — HUGEINT replays int64 exactly)."""
+    n = "(SELECT count(*) FROM documents)"
+    parts = [
+        f"WITH {_link_edges_cte()},",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        f"h0 AS (SELECT node, CAST({total} // {n} AS BIGINT) AS h FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+ar{k} AS (SELECT e.dst, sum(x.h) AS s FROM edges e
+          JOIN h{k} x ON x.node = e.src GROUP BY e.dst),
+at{k} AS (SELECT coalesce(sum(s), 0) AS t FROM ar{k}),
+a{k + 1} AS (SELECT n.node, CAST(CASE WHEN (SELECT t FROM at{k}) = 0 THEN 0
+    ELSE (coalesce(r.s, 0) * {total}) // (SELECT t FROM at{k}) END AS BIGINT) AS a
+    FROM nodes n LEFT JOIN ar{k} r ON r.dst = n.node),
+hr{k} AS (SELECT e.src, sum(x.a) AS s FROM edges e
+          JOIN a{k + 1} x ON x.node = e.dst GROUP BY e.src),
+ht{k} AS (SELECT coalesce(sum(s), 0) AS t FROM hr{k}),
+h{k + 1} AS (SELECT n.node, CAST(CASE WHEN (SELECT t FROM ht{k}) = 0 THEN 0
+    ELSE (coalesce(r.s, 0) * {total}) // (SELECT t FROM ht{k}) END AS BIGINT) AS h
+    FROM nodes n LEFT JOIN hr{k} r ON r.src = n.node)"""
+        )
+    parts.append(
+        f"\nSELECT a.node AS doc_id, a.a AS auth_micro, h.h AS hub_micro "
+        f"FROM a{iters} a JOIN h{iters} h ON a.node = h.node ORDER BY doc_id"
     )
     return "\n".join(parts)
 
@@ -3093,6 +3198,43 @@ ORDER BY doc_id
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "pagerank_docs": _pagerank_sql(3),
+        "seed_distance": _bfs_sql(3),
+        "hits_scores": _hits_sql(2),
+        "pack_bins": (
+            # exact twin of functions.packing.pack_bins_ds: bin of the
+            # id-ordered token stream split every 512 tokens = exclusive
+            # prefix token sum // 512 (token-less docs count 0)
+            "WITH t AS (SELECT d.doc_id, coalesce(x.n, 0) AS n_tokens "
+            "FROM documents d LEFT JOIN ("
+            f"  SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id"
+            ") x ON d.doc_id = x.doc_id) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 "
+            "AS BIGINT) AS bin_id FROM t ORDER BY doc_id"
+        ),
+        "temp_sample": (
+            # exact twin of functions.mixture.temperature_sample: keep
+            # rate per lang = min(1e6, (T·isqrt(c)·1e6) // (c·Σisqrt))
+            # micro-units with T = total // 3; the isqrt CASE corrects
+            # float sqrt's ±1; filter is the shared FNV+mix hash
+            "WITH c AS (SELECT lang, count(*) AS c FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang), "
+            "tot AS (SELECT sum(c) AS t FROM c), "
+            "iq AS (SELECT lang, c, CASE WHEN (s + 1) * (s + 1) <= c THEN s + 1 "
+            "WHEN s * s > c THEN s - 1 ELSE s END AS w FROM ("
+            "  SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s FROM c)), "
+            "ws AS (SELECT sum(w) AS w FROM iq), "
+            "r AS (SELECT lang, least(1000000, CAST("
+            "(CAST((SELECT t FROM tot) // 3 AS HUGEINT) * w * 1000000) "
+            "// (CAST(c AS HUGEINT) * (SELECT w FROM ws)) AS BIGINT)) AS rate "
+            "FROM iq) "
+            "SELECT doc_id, lang FROM ("
+            "  SELECT d.doc_id, d.lang, r.rate, "
+            f"  {_mixed_hash63_of('CAST(d.doc_id AS VARCHAR)')} AS h "
+            "  FROM documents d JOIN r USING (lang)) "
+            "WHERE h % 1000000 < rate ORDER BY doc_id"
+        ),
         "dup_components": _cc_labels_sql(
             _NGRAM_EDGES_CTE, "documents", "doc_id"
         ),

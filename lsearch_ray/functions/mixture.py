@@ -144,3 +144,69 @@ def quota_sample(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    *,
+    target_num: int = 1,
+    target_den: int = 3,
+    denom: int = 10**6,
+) -> dict[str, tuple[int, int]]:
+    """Per-stratum keep rates for temperature-balanced (alpha = 0.5)
+    mixture sampling — the multilingual-rebalancing rule of LLM training
+    mixtures (sample stratum s proportionally to ``count_s^alpha``), in
+    pure integer arithmetic so the rule replays bit-exactly in SQL.
+
+    With ``T = (total * target_num) // target_den`` rows targeted and
+    weights ``w_s = isqrt(count_s)``:
+
+        rate_micro_s = min(denom, (T * w_s * denom) // (count_s * W))
+
+    where ``W = sum(w_s)``. Head strata are down-sampled toward the
+    temperature distribution; tail strata saturate at keep-all. The
+    returned dict feeds :func:`lsearch_ray.functions.sampling.
+    stratified_hash_sample` directly (rates as ``(num, denom)`` pairs).
+
+    Driver-side on the per-stratum count table only (strata are languages
+    / sources — thousands at most, never row-scale data).
+    """
+    import math
+
+    total = sum(counts.values())
+    target = (total * target_num) // target_den
+    w = {s: math.isqrt(c) for s, c in counts.items()}
+    wsum = sum(w.values())
+    rates: dict[str, tuple[int, int]] = {}
+    for s, c in counts.items():
+        if c <= 0 or wsum == 0:
+            rates[s] = (0, denom)
+        else:
+            rates[s] = (min(denom, (target * w[s] * denom) // (c * wsum)), denom)
+    return rates
+
+
+def temperature_sample(
+    ds,
+    key_col: str,
+    strata_col: str,
+    *,
+    target_num: int = 1,
+    target_den: int = 3,
+):
+    """Temperature-balanced deterministic sampling: one tiny groupby-count
+    (the per-stratum histogram, collected to the driver and broadcast as
+    rates), then the no-shuffle :func:`stratified_hash_sample` filter
+    pass. Null strata are dropped (no defined weight)."""
+    from ray.data.aggregate import Count
+
+    from lsearch_ray.functions.sampling import stratified_hash_sample
+
+    rows = ds.groupby(strata_col).aggregate(Count(alias_name="c")).take_all()
+    counts = {
+        r[strata_col]: r["c"] for r in rows if r[strata_col] is not None
+    }
+    rates = temperature_rates(
+        counts, target_num=target_num, target_den=target_den
+    )
+    return stratified_hash_sample(ds, key_col, strata_col, rates)

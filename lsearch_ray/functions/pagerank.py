@@ -186,6 +186,195 @@ def pagerank_ds(edges_ds, n_nodes: int, *, iters: int = 3,
     )
 
 
+_INF_DIST = 1 << 30
+
+
+def bfs_distance_ds(edges_ds, n_nodes: int, *, seed_mod: int = 97,
+                    seed_rem: int = 0, iters: int = 3,
+                    num_partitions: int = 8):
+    """K-hop directed BFS from a deterministic seed set (crawl-frontier
+    depth): seeds are nodes with ``node % seed_mod == seed_rem``; ``iters``
+    rounds of min-distance propagation ``d'(v) = min(d(v), 1 + min over
+    edges (u,v) of d(u))``; rows with ``d ≤ iters`` are returned as
+    ``(doc_id, dist)`` sorted by id.
+
+    Same distributed shape as :func:`pagerank_ds`: the frontier is a
+    filtered view of the distance Dataset, each round is one hash join on
+    ``src`` (the reusable partition key), one groupby-min on ``dst`` and
+    one left join back — all integers, so any engine replays it exactly.
+    Unreached nodes carry the ``_INF_DIST`` sentinel and are pruned only
+    at the end (never driver-side).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    num_partitions = max(1, min(num_partitions, max(1, n_nodes // 512)))
+
+    def init(b: pa.Table) -> pa.Table:
+        node = pc.cast(b["id"], pa.int64())
+        nd = node.to_numpy(zero_copy_only=False)
+        d = np.where(nd % seed_mod == seed_rem, 0, _INF_DIST).astype(np.int64)
+        return pa.table({"node": node, "d": pa.array(d)})
+
+    dist = rd.range(n_nodes).map_batches(init, batch_format="pyarrow").materialize()
+    edges = edges_ds.materialize()
+
+    for _ in range(iters):
+        frontier = dist.map_batches(
+            lambda b: b.filter(pc.less(b["d"], pa.scalar(_INF_DIST))),
+            batch_format="pyarrow",
+        )
+        cand = (
+            edges.join(
+                frontier,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {"dst": b["dst"],
+                     "nd": pc.add(b["d"], pa.scalar(1, pa.int64()))}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("dst")
+            .aggregate(Min("nd", alias_name="nd"))
+            .materialize()
+        )
+        # an empty Dataset poisons downstream joins (see components.py);
+        # no new candidates also means a fixed point — stop early
+        if cand.count() == 0:
+            break
+
+        def step(b: pa.Table) -> pa.Table:
+            d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nd = pc.fill_null(b["nd"], _INF_DIST).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": b["node"],
+                 "d": pa.array(np.minimum(d, nd.astype(np.int64)))}
+            )
+
+        dist = (
+            dist.join(
+                cand,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=("dst",),
+            )
+            .map_batches(step, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return (
+        dist.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["node"], "dist": b["d"]}
+            ).filter(pc.less_equal(b["d"], pa.scalar(iters))),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+    )
+
+
+def hits_ds(edges_ds, n_nodes: int, *, iters: int = 2,
+            total: int = 10**9, num_partitions: int = 8):
+    """Fixed-iteration HITS hubs/authorities over the directed link graph,
+    in integer micro-score units (Kleinberg '99, re-expressed with the
+    pagerank/kmeans floor-division parity discipline).
+
+    Each half-step sums the opposite score across edges and renormalizes
+    to a conserved ``total``: ``a(v) = (Σ_{u→v} h(u)) · total // A`` with
+    ``A`` the global raw sum (and symmetrically for hubs). Every score is
+    ≤ ``total`` and every raw sum is ≤ ``total`` (each node contributes
+    its score at most once per distinct edge), so the widest product is
+    ``total² = 10^18`` — inside int64 for any graph size; an engine with
+    128-bit sums (DuckDB HUGEINT) replays it bit-exactly.
+
+    Scale shape: per half-step one hash join (edges ⋈ scores on the
+    stable key) + one groupby-sum + one left join back to the node set;
+    the only driver-side value is the normalization scalar.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    num_partitions = max(1, min(num_partitions, max(1, n_nodes // 512)))
+    edges = edges_ds.materialize()
+    nodes = rd.range(n_nodes).map_batches(
+        lambda b: pa.table({"node": pc.cast(b["id"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    h0 = total // n_nodes
+    hub = nodes.map_batches(
+        lambda b: b.append_column(
+            "h", pa.array(np.full(b.num_rows, h0, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = nodes.map_batches(
+        lambda b: b.append_column(
+            "a", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _half_step(src_scores, score_col, join_on, group_on, out_col):
+        """One HITS half-step: sum `score_col` of `src_scores` across
+        edges joined on `join_on`, grouped on `group_on`, normalized to
+        `total`, left-joined back over all nodes as `out_col`."""
+        raw = (
+            edges.join(
+                src_scores.select_columns(["node", score_col]),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=(join_on,),
+                right_on=("node",),
+            )
+            .groupby(group_on)
+            .aggregate(Sum(score_col, alias_name="s"))
+            .materialize()
+        )
+        tot_raw = int(raw.sum("s") or 0)
+
+        def norm(b: pa.Table, tot_raw=tot_raw) -> pa.Table:
+            s = pc.fill_null(b["s"], 0).to_numpy(zero_copy_only=False)
+            s = s.astype(np.int64)
+            out = (s * total) // tot_raw if tot_raw else np.zeros_like(s)
+            return pa.table(
+                {"node": b["node"], out_col: pa.array(out.astype(np.int64))}
+            )
+
+        return (
+            nodes.join(
+                raw,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_on=(group_on,),
+            )
+            .map_batches(norm, batch_format="pyarrow")
+            .materialize()
+        )
+
+    for _ in range(iters):
+        auth = _half_step(hub, "h", "src", "dst", "a")
+        hub = _half_step(auth, "a", "dst", "src", "h")
+
+    out = auth.join(
+        hub, join_type="inner", num_partitions=num_partitions, on=("node",)
+    )
+    return (
+        out.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["node"], "auth_micro": b["a"], "hub_micro": b["h"]}
+            ),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+    )
+
+
 def _triangles_and_degrees(edges_ds, num_partitions: int):
     """Shared core of :func:`triangle_count_ds` and
     :func:`clustering_coeff_ds`: exact degree-ordered triangle count plus
