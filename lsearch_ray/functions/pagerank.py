@@ -218,6 +218,10 @@ def bfs_distance_ds(edges_ds, n_nodes: int, *, seed_mod: int = 97,
 
     dist = rd.range(n_nodes).map_batches(init, batch_format="pyarrow").materialize()
     edges = edges_ds.materialize()
+    # an empty edge set poisons the hash join (empty-Dataset pitfall);
+    # distances are then just the seed set
+    if edges.count() == 0:
+        iters = 0
 
     for _ in range(iters):
         frontier = dist.map_batches(
@@ -305,6 +309,23 @@ def hits_ds(edges_ds, n_nodes: int, *, iters: int = 2,
         lambda b: pa.table({"node": pc.cast(b["id"], pa.int64())}),
         batch_format="pyarrow",
     ).materialize()
+    # an empty edge set poisons the hash join (empty-Dataset pitfall);
+    # both raw sums are then 0, so every score normalizes to 0
+    if edges.count() == 0:
+        return nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["node"],
+                    "auth_micro": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64)
+                    ),
+                    "hub_micro": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort("doc_id")
 
     h0 = total // n_nodes
     hub = nodes.map_batches(

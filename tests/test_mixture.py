@@ -107,3 +107,44 @@ def test_quota_sample_matches_duckdb():
     con.register("documents", t)
     exp = con.execute(entry_mod.oracle_sql()["quota_sample"]).fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def test_temperature_rates_math():
+    from lsearch_ray.functions.mixture import temperature_rates
+
+    # counts {a: 100, b: 1}: total 101, T = 33, w = {10, 1}, W = 11
+    rates = temperature_rates({"a": 100, "b": 1}, target_num=1, target_den=3)
+    assert rates["a"] == ((33 * 10 * 10**6) // (100 * 11), 10**6)
+    # tail stratum saturates at keep-all
+    assert rates["b"] == (10**6, 10**6)
+    # degenerate inputs
+    assert temperature_rates({})== {}
+    assert temperature_rates({"z": 0})["z"] == (0, 10**6)
+
+
+def test_temperature_sample_matches_manual_filter(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.mixture import temperature_rates, temperature_sample
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    langs = np.where(ids % 10 == 0, "rare", "common")
+    tab = pa.table({"k": pa.array(ids), "lang": pa.array(langs.tolist())})
+    out = temperature_sample(
+        rd.from_arrow(tab).repartition(3), "k", "lang",
+        target_num=1, target_den=2,
+    ).to_pandas()
+
+    counts = {"rare": 40, "common": 360}
+    rates = temperature_rates(counts, target_num=1, target_den=2)
+    h = _key_hash63(pa.array([str(i) for i in ids])).astype(np.uint64)
+    keep = np.array(
+        [h[i] % rates[langs[i]][1] < rates[langs[i]][0] for i in range(n)]
+    )
+    assert sorted(out["k"]) == sorted(ids[keep])
+    # the rare stratum must be kept at a HIGHER rate than the head
+    assert rates["rare"][0] > rates["common"][0]

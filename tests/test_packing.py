@@ -1,0 +1,79 @@
+"""Sequence packing: the two-pass distributed ordered cumsum must equal
+the trivial single-threaded packing rule (exclusive prefix // capacity in
+id order) under any partitioning, including non-contiguous ids, token-less
+docs and exact capacity boundaries."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lsearch_ray.analyzer import tokenize
+from lsearch_ray.functions.packing import pack_bins_ds
+
+TEXTS = [
+    "alpha beta gamma",          # 3 tokens
+    "",                          # 0 tokens
+    "one two three four five",   # 5 tokens
+    "x",                         # 1 token
+    "a b c d e f g",             # 7 tokens
+    "p q",                       # 2 tokens
+    "m n o",                     # 3 tokens
+]
+IDS = [0, 2, 5, 7, 11, 12, 20]  # non-contiguous on purpose
+
+
+def _ref_bins(ids, texts, capacity):
+    order = np.argsort(ids)
+    out = {}
+    acc = 0
+    for i in order:
+        out[ids[i]] = (len(tokenize(texts[i])), acc // capacity)
+        acc += len(tokenize(texts[i]))
+    return out
+
+
+def _ds(blocks):
+    tab = pa.table(
+        {"doc_id": pa.array(IDS, pa.int64()), "text": pa.array(TEXTS)}
+    )
+    return rd.from_arrow(tab).repartition(blocks)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+@pytest.mark.parametrize("capacity", [4, 5, 100])
+@pytest.mark.parametrize("range_width", [3, 1000])
+def test_pack_bins_matches_sequential_rule(blocks, capacity, range_width):
+    out = pack_bins_ds(
+        _ds(blocks), capacity=capacity, range_width=range_width,
+        num_partitions=3,
+    ).to_pandas()
+    expect = _ref_bins(IDS, TEXTS, capacity)
+    assert list(out["doc_id"]) == sorted(IDS)
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id) for r in out.itertuples(index=False)
+    }
+    assert got == expect
+
+
+def test_pack_bins_capacity_boundary():
+    # 3 docs of exactly `capacity` tokens each land in bins 0, 1, 2
+    texts = ["a b c", "d e f", "g h i"]
+    tab = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(texts)}
+    )
+    out = pack_bins_ds(
+        rd.from_arrow(tab), capacity=3, range_width=2
+    ).to_pandas()
+    assert list(out["bin_id"]) == [0, 1, 2]
+    assert list(out["n_tokens"]) == [3, 3, 3]
+
+
+def test_pack_bins_rejects_negative_ids_and_bad_params():
+    tab = pa.table(
+        {"doc_id": pa.array([-1, 0], pa.int64()), "text": pa.array(["a", "b"])}
+    )
+    with pytest.raises(Exception, match="negative ids"):
+        pack_bins_ds(rd.from_arrow(tab), capacity=4).to_pandas()
+    with pytest.raises(ValueError, match="must be > 0"):
+        pack_bins_ds(rd.from_arrow(tab), capacity=0)

@@ -165,3 +165,91 @@ def test_clustering_coeff_empty_graph():
     )
     out = clustering_coeff_ds(empty).to_pandas()
     assert out.iloc[0].tolist() == [0, 0, 0]
+
+
+def _ref_bfs(edges, n, iters, seed_mod, seed_rem=0):
+    INF = 1 << 30
+    d = {v: (0 if v % seed_mod == seed_rem else INF) for v in range(n)}
+    for _ in range(iters):
+        nd = dict(d)
+        for s, t in edges:
+            if d[s] < INF:
+                nd[t] = min(nd[t], d[s] + 1)
+        d = nd
+    return {v: x for v, x in d.items() if x <= iters}
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_bfs_distance_matches_pure_python_reference(blocks):
+    from lsearch_ray.functions.pagerank import bfs_distance_ds
+
+    n = len(DOCS)
+    edges = _ref_edges(n)
+    # seed_mod=3 -> several seeds (0, 3, 6); the frontier must expand
+    out = bfs_distance_ds(
+        doc_link_edges_ds(_docs_ds(blocks), n), n, seed_mod=3, iters=2
+    ).to_pandas()
+    expect = _ref_bfs(edges, n, 2, 3)
+    assert dict(zip(out["doc_id"], out["dist"])) == expect
+    assert list(out["doc_id"]) == sorted(out["doc_id"])
+    # non-seed reachable nodes must appear at dist >= 1
+    assert (out["dist"] <= 2).all()
+
+
+def test_bfs_distance_unreached_pruned_and_fixed_point():
+    from lsearch_ray.functions.pagerank import bfs_distance_ds
+
+    # a 2-node graph with an isolated node: 0 -> 1, node 2 isolated
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([0], pa.int64()),
+                  "dst": pa.array([1], pa.int64())})
+    )
+    out = bfs_distance_ds(edges, 3, seed_mod=3, iters=3).to_pandas()
+    # seed 0 at dist 0, node 1 at dist 1; isolated node 2 pruned
+    assert dict(zip(out["doc_id"], out["dist"])) == {0: 0, 1: 1}
+
+
+def _ref_hits(edges, n, iters, total=10**9):
+    h = {v: total // n for v in range(n)}
+    a = {v: 0 for v in range(n)}
+    for _ in range(iters):
+        ar = {v: 0 for v in range(n)}
+        for s, t in edges:
+            ar[t] += h[s]
+        tot = sum(ar.values())
+        a = {v: (ar[v] * total) // tot if tot else 0 for v in range(n)}
+        hr = {v: 0 for v in range(n)}
+        for s, t in edges:
+            hr[s] += a[t]
+        tot = sum(hr.values())
+        h = {v: (hr[v] * total) // tot if tot else 0 for v in range(n)}
+    return a, h
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_hits_matches_pure_python_reference(blocks):
+    from lsearch_ray.functions.pagerank import hits_ds
+
+    n = len(DOCS)
+    edges = _ref_edges(n)
+    out = hits_ds(doc_link_edges_ds(_docs_ds(blocks), n), n, iters=2).to_pandas()
+    ra, rh = _ref_hits(edges, n, 2)
+    assert list(out["doc_id"]) == list(range(n))
+    assert dict(zip(out["doc_id"], out["auth_micro"])) == ra
+    assert dict(zip(out["doc_id"], out["hub_micro"])) == rh
+    # normalization conserves (floor-lossy) total mass
+    total = 10**9
+    assert 0 < out["auth_micro"].sum() <= total
+    assert 0 < out["hub_micro"].sum() <= total
+
+
+def test_hits_edge_free_graph_zero_scores():
+    from lsearch_ray.functions.pagerank import hits_ds
+
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    )
+    out = hits_ds(empty, 4, iters=2).to_pandas()
+    assert (out["auth_micro"] == 0).all()
+    assert (out["hub_micro"] == 0).all()
