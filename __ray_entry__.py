@@ -1834,6 +1834,21 @@ def _q_audience_overlap(sf_dir: str):
     return audience_overlap_ds(ev)
 
 
+def _q_bm25_prf(sf_dir: str):
+    """Pseudo-relevance-feedback BM25: top-5 feedback docs expand the
+    query with 3 half-weighted terms, then rescore (Rocchio-style)."""
+    from lsearch_ray.pipelines.fulltext import bm25_prf_topk_dataset
+
+    return bm25_prf_topk_dataset(
+        _docs(sf_dir, ["doc_id", "text"]),
+        BM25_QUERY,
+        k=10,
+        fb_k=5,
+        n_exp=3,
+        exp_weight=0.5,
+    )
+
+
 def _q_seed_distance(sf_dir: str):
     """K-hop directed BFS from the deterministic seed set (doc_id % 97 ==
     0) over the derived link graph — crawl-frontier depth labeling."""
@@ -1963,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_events": _q_argmax_events,
         "clustering_coeff": _q_clustering_coeff,
         "audience_overlap": _q_audience_overlap,
+        "bm25_prf_topk": _q_bm25_prf,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -2443,6 +2459,49 @@ r{k + 1} AS (SELECT n.node,
         f"\nSELECT node AS doc_id, r AS pr_micro FROM r{iters} ORDER BY doc_id"
     )
     return "\n".join(parts)
+
+
+def _prf_sql(fb_k: int = 5, n_exp: int = 3, k: int = 10,
+             exp_w: float = 0.5) -> str:
+    """Exact twin of pipelines.fulltext.bm25_prf_topk_dataset: round-1
+    BM25 → rounded-score top-``fb_k`` feedback docs → top-``n_exp``
+    expansion terms by integer Σtf (term ASC tiebreak) → round-2 BM25
+    over the union with expansion idf scaled by ``exp_w``. The weight is
+    applied as (w · ln(idf)) · tf_sat — the engine's association order —
+    and 1.0·x is IEEE-exact, so parity holds to the shared 4-dp round."""
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+          sum(dl) / (SELECT count(*) FROM documents) AS avgdl FROM dl),
+qt1 AS (SELECT DISTINCT lower(u.t) AS term FROM UNNEST(string_split_regex(lower('{BM25_QUERY}'), '[^a-z0-9]+')) AS u(t) WHERE u.t <> ''),
+df1 AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt1 ON tf.term = qt1.term GROUP BY tf.term),
+s1 AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - df1.df + 0.5)/(df1.df + 0.5))
+             * tf.tf*({K1}+1.0)/(tf.tf + {K1}*(1.0-{B}+{B}*dl.dl/s.avgdl))) AS score
+  FROM tf JOIN df1 ON tf.term = df1.term
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+fb AS (SELECT doc_id FROM (SELECT doc_id, round(score, 4) AS rs FROM s1)
+       ORDER BY rs DESC, doc_id LIMIT {fb_k}),
+exp AS (SELECT tf.term FROM tf JOIN fb USING (doc_id)
+        WHERE tf.term NOT IN (SELECT term FROM qt1)
+        GROUP BY tf.term ORDER BY sum(tf.tf) DESC, tf.term LIMIT {n_exp}),
+qt2 AS (SELECT term, 1.0 AS w FROM qt1 UNION ALL SELECT term, {exp_w} AS w FROM exp),
+df2 AS (SELECT tf.term, count(*) AS df FROM tf JOIN qt2 ON tf.term = qt2.term GROUP BY tf.term),
+s2 AS (
+  SELECT tf.doc_id,
+         sum((q.w * ln(1.0 + (s.n_docs - df2.df + 0.5)/(df2.df + 0.5)))
+             * tf.tf*({K1}+1.0)/(tf.tf + {K1}*(1.0-{B}+{B}*dl.dl/s.avgdl))) AS score
+  FROM tf JOIN qt2 q ON tf.term = q.term
+       JOIN df2 ON tf.term = df2.term
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM s2 ORDER BY score DESC, doc_id LIMIT {k}
+"""
 
 
 def _bfs_sql(iters: int) -> str:
@@ -3198,6 +3257,7 @@ ORDER BY doc_id
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "pagerank_docs": _pagerank_sql(3),
+        "bm25_prf_topk": _prf_sql(),
         "seed_distance": _bfs_sql(3),
         "hits_scores": _hits_sql(2),
         "pack_bins": (

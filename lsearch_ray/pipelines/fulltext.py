@@ -72,6 +72,7 @@ def bm25_topk_dataset(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int | None = 4,
+    weights: dict[str, float] | None = None,
 ) -> pa.Table:
     """BM25 top-k as a pure Dataset composition (no codec, no actors).
 
@@ -141,22 +142,28 @@ def bm25_topk_dataset(
         lambda b: split(b, False), batch_format="pyarrow"
     )
     return _bm25_score_matched(
-        matched, terms, n_docs, avgdl, k, mode, id_col, round_to
+        matched, terms, n_docs, avgdl, k, mode, id_col, round_to,
+        weights=weights,
     )
 
 
 def _bm25_score_matched(
-    matched, terms, n_docs, avgdl, k, mode, id_col, round_to
+    matched, terms, n_docs, avgdl, k, mode, id_col, round_to,
+    weights: dict[str, float] | None = None,
 ) -> pa.Table:
     """Score a (term, id, tf, dl) Dataset already filtered to the query
-    terms: broadcast idf lookup, groupby-sum, round-before-sort top-k."""
+    terms: broadcast idf lookup, groupby-sum, round-before-sort top-k.
+    ``weights`` scales each term's idf (Rocchio-style expansion-term
+    down-weighting; default 1.0 — plain BM25)."""
     # df per query term: tiny aggregate (≤ len(terms) rows)
     from ray.data.aggregate import Count
 
     df_rows = matched.groupby("term").aggregate(Count(alias_name="df")).take_all()
     dfs = {r["term"]: r["df"] for r in df_rows}
+    weights = weights or {}
     idf = {
-        t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        t: weights.get(t, 1.0)
+        * math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
         for t in terms
     }
 
@@ -223,6 +230,83 @@ def _bm25_score_matched(
             "doc_id": pa.array(top["doc_id"], type=pa.int64()),
             "score": pa.array(top["score"], type=pa.float64()),
         }
+    )
+
+
+def bm25_prf_topk_dataset(
+    docs_ds,
+    query: str,
+    k: int = 10,
+    *,
+    fb_k: int = 5,
+    n_exp: int = 3,
+    exp_weight: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Pseudo-relevance-feedback BM25 — Rocchio-style automatic query
+    expansion (public-knowledge IR technique; the reference engine has no
+    feedback surface, SURVEY §2.9).
+
+    Round 1 ranks with plain BM25 and takes the top ``fb_k`` feedback
+    docs (rounded-score, doc-id tiebreak — the deterministic top-k
+    convention). The ``n_exp`` non-query terms with the highest total tf
+    inside the feedback docs (integer Σtf DESC, term ASC — engine-exact)
+    expand the query; round 2 rescores over original ∪ expansion terms
+    with each expansion term's idf scaled by ``exp_weight``.
+
+    Scale shape: PRF is inherently two-phase, so this is three streaming
+    passes over the corpus (round-1 match, feedback-doc term harvest,
+    round-2 match), each a broadcast-filter with no extra shuffle; the
+    harvest keeps only rows of the ``fb_k`` feedback docs, and the only
+    driver-side state is the feedback-doc vocabulary.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    orig = sorted(set(tokenize(query)))
+    if not orig:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    r1 = bm25_topk_dataset(
+        docs_ds, query, k=fb_k, text_col=text_col, id_col=id_col
+    )
+    fb_ids = r1["doc_id"].to_pylist()
+
+    exp: list[str] = []
+    if fb_ids:
+        fb_arr = pa.array(sorted(fb_ids), pa.int64())
+        orig_arr = pa.array(orig)
+
+        def harvest(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.is_in(b[id_col], value_set=fb_arr),
+                pc.invert(pc.is_in(b["term"], value_set=orig_arr)),
+            )
+            t = b.filter(keep)
+            return pa.table({"term": t["term"], "tf": t["tf"]})
+
+        rows = (
+            tf_triples(docs_ds, text_col, id_col)
+            .map_batches(harvest, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("tf", alias_name="s"))
+            .take_all()
+        )
+        rows.sort(key=lambda r: (-r["s"], r["term"]))
+        exp = [r["term"] for r in rows[:n_exp]]
+
+    return bm25_topk_dataset(
+        docs_ds,
+        " ".join(orig + exp),
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        weights={t: exp_weight for t in exp},
     )
 
 

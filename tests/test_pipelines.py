@@ -103,3 +103,51 @@ def test_tfidf_k_larger_than_terms():
     got = tfidf_top_terms(ds, k=10).sort(["doc_id", "rnk"]).take_all()
     # doc 0 has 2 terms, doc 1 has 1; every term present once
     assert [(r["doc_id"], r["rnk"]) for r in got] == [(0, 1), (0, 2), (1, 1)]
+
+
+def test_bm25_prf_expands_and_reweights(docs):
+    """PRF vs a transparent reimplementation on the same corpus: the
+    expansion terms must be the top-Σtf non-query terms of the feedback
+    docs, and the round-2 scores must equal a weighted bm25_topk_dataset
+    call over the union term set."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.pipelines.fulltext import bm25_prf_topk_dataset
+
+    query = "scan merge sort"
+    fb_k, n_exp, w = 4, 2, 0.5
+    out = bm25_prf_topk_dataset(
+        docs, query, k=10, fb_k=fb_k, n_exp=n_exp, exp_weight=w
+    )
+
+    # reference expansion: harvest feedback docs in plain Python
+    r1 = bm25_topk_dataset(docs, query, k=fb_k)
+    fb = set(r1["doc_id"].to_pylist())
+    tab = pq.read_table(PATH, columns=["doc_id", "text"])
+    orig = set(tokenize(query))
+    cnt = Counter()
+    for i, txt in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
+        if i in fb:
+            for t in tokenize(txt):
+                if t not in orig:
+                    cnt[t] += 1
+    exp = [t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))][:n_exp]
+    assert len(exp) == n_exp
+
+    expect = bm25_topk_dataset(
+        docs,
+        " ".join(sorted(orig) + exp),
+        k=10,
+        weights={t: w for t in exp},
+    )
+    assert out.to_pydict() == expect.to_pydict()
+
+
+def test_bm25_prf_empty_query(docs):
+    from lsearch_ray.pipelines.fulltext import bm25_prf_topk_dataset
+
+    out = bm25_prf_topk_dataset(docs, "...", k=5)
+    assert out.num_rows == 0
