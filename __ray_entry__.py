@@ -1849,6 +1849,35 @@ def _q_bm25_prf(sf_dir: str):
     )
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two top-50 rankings — BM25 relevance and
+    a length-quality prior — the standard hybrid-retrieval combiner."""
+    from lsearch_ray.pipelines import bm25_topk_dataset
+    from lsearch_ray.pipelines.fulltext import rrf_fuse
+
+    a = bm25_topk_dataset(
+        _docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, k=50
+    )
+    bdf = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+    b = pa.table({"doc_id": pa.array(bdf["doc_id"], pa.int64())})
+    return rrf_fuse([a, b], k=10)
+
+
+def _q_length_percentiles(sf_dir: str):
+    """Every doc annotated with its global token-length percentile
+    ((# shorter docs) · 1e6 // n — the rank()-1 tie convention)."""
+    from lsearch_ray.functions.quantiles import value_percentiles_ds
+
+    return value_percentiles_ds(_q_token_count(sf_dir), "n_tokens").sort(
+        "doc_id"
+    )
+
+
 def _q_seed_distance(sf_dir: str):
     """K-hop directed BFS from the deterministic seed set (doc_id % 97 ==
     0) over the derived link graph — crawl-frontier depth labeling."""
@@ -1979,6 +2008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "audience_overlap": _q_audience_overlap,
         "bm25_prf_topk": _q_bm25_prf,
+        "rrf_fusion": _q_rrf_fusion,
+        "length_percentiles": _q_length_percentiles,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3258,6 +3289,38 @@ ORDER BY doc_id
         ),
         "pagerank_docs": _pagerank_sql(3),
         "bm25_prf_topk": _prf_sql(),
+        "rrf_fusion": (
+            # exact twin of pipelines.fulltext.rrf_fuse over the same two
+            # top-50 rankings: rank = 1-based row_number with the engine's
+            # (rounded score / n_chars) DESC, doc_id tiebreak; fused
+            # contribution is integer 10^6 // (60 + rank)
+            _BM25_BODY
+            + """,
+a AS (SELECT doc_id, row_number() OVER
+        (ORDER BY round(score, 4) DESC, doc_id) AS r
+      FROM scores QUALIFY r <= 50),
+b AS (SELECT doc_id, row_number() OVER
+        (ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents QUALIFY r <= 50),
+u AS (SELECT doc_id, 1000000 // (60 + r) AS c FROM a
+      UNION ALL SELECT doc_id, 1000000 // (60 + r) AS c FROM b)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro FROM u
+GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
+"""
+        ),
+        "length_percentiles": (
+            # exact twin of functions.quantiles.value_percentiles_ds over
+            # token counts: pct = (rank()-1) * 1e6 // n, ties share the
+            # lowest rank (the count-strictly-below convention)
+            "WITH t AS (SELECT d.doc_id, coalesce(x.n, 0) AS n_tokens "
+            "FROM documents d LEFT JOIN ("
+            f"  SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id"
+            ") x ON d.doc_id = x.doc_id) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
+            "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
+            "FROM t ORDER BY doc_id"
+        ),
         "seed_distance": _bfs_sql(3),
         "hits_scores": _hits_sql(2),
         "pack_bins": (

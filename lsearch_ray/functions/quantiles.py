@@ -411,3 +411,67 @@ def grouped_quantiles_ds(
         .groupby("__part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def value_percentiles_ds(
+    ds,
+    value_col: str,
+    *,
+    pct_col: str = "pct_micro",
+    scale: int = 10**6,
+    max_distinct: int = 1_000_000,
+):
+    """Annotate every row with its global value-rank percentile:
+
+        pct = (# rows with value < v) * scale // n      (floor micro units)
+
+    — the ``(rank() OVER (ORDER BY v) - 1)`` convention, so ties share the
+    lowest rank and any engine replays it bit-exactly. ``value_col`` must
+    be integer (discrete-valued — doc lengths, counts, scores in fixed
+    point).
+
+    Scale shape: one per-batch partial ``value_counts`` combiner feeding a
+    tiny groupby (one row per DISTINCT value — bounded by the value
+    domain, not the row count), collected to the driver, prefix-summed
+    into a rank table, and broadcast into a stateless annotate pass. No
+    row-scale shuffle at all. Raises if the distinct-value count exceeds
+    ``max_distinct`` (continuous domains belong to exact_quantiles'
+    histogram refinement instead).
+    """
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.dedup import value_counts_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        return value_counts_table(b[value_col], "v", "c")
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    rows = [r for r in rows if r["v"] is not None]
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"value_percentiles_ds: {len(rows)} distinct values exceeds "
+            f"max_distinct={max_distinct}; use exact_quantiles for "
+            "continuous domains"
+        )
+    rows.sort(key=lambda r: r["v"])
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["c"] for r in rows], dtype=np.int64)
+    n = int(cnts.sum())
+    below = np.concatenate(([0], np.cumsum(cnts)[:-1])) if len(cnts) else cnts
+
+    def annotate(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks()
+        if v.null_count:
+            raise ValueError(
+                f"value_percentiles_ds: {value_col} has nulls; filter first"
+            )
+        x = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = (below[np.searchsorted(vals, x)] * scale) // n
+        return b.append_column(pct_col, pa.array(pct.astype(np.int64)))
+
+    return ds.map_batches(annotate, batch_format="pyarrow")

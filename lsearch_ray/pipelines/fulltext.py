@@ -310,6 +310,43 @@ def bm25_prf_topk_dataset(
     )
 
 
+def rrf_fuse(
+    ranked_lists: list[pa.Table],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 10**6,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Reciprocal-rank fusion of top-K lists (Cormack et al. '09), the
+    standard hybrid-retrieval combiner, in integer micro units so any
+    engine replays it exactly:
+
+        fused(d) = Σ over lists containing d of  scale // (rrf_k + rank_d)
+
+    Each input is a table whose ROW ORDER is its ranking (rank = 1-based
+    position). Output: top-``k`` ``(doc_id, rrf_micro)`` by
+    (score DESC, id ASC).
+
+    Driver-side by design: RRF fuses top-K lists (bounded, typically
+    ≤ 1000 rows each), not corpora — the distributed work is producing
+    the input rankings (BM25 scatter-gather, ANN probes); fusing them is
+    O(K · n_lists).
+    """
+    scores: dict = {}
+    for lst in ranked_lists:
+        ids = lst[id_col].to_pylist()
+        for rank, d in enumerate(ids, start=1):
+            scores[d] = scores.get(d, 0) + scale // (rrf_k + rank)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in top], pa.int64()),
+            "rrf_micro": pa.array([s for _, s in top], pa.int64()),
+        }
+    )
+
+
 def tfidf_top_terms(
     docs_ds,
     k: int = 3,

@@ -1362,3 +1362,35 @@ def test_exact_dedup_ascending_length_mismatch_raises():
     t = pa.table({"k": ["a"], "v": [1.0], "id": pa.array([1], pa.int64())})
     with _pytest.raises(ValueError, match="ascending"):
         exact_dedup(rd.from_arrow(t), ["k"], ["v", "id"], ascending=[False])
+
+
+def test_value_percentiles_tie_convention():
+    """pct = (# strictly smaller) * 1e6 // n; ties share the lowest rank."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.quantiles import value_percentiles_ds
+
+    vals = [5, 1, 5, 3, 1, 1]  # sorted: 1,1,1,3,5,5 -> below: 1->0, 3->3, 5->4
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(range(6), pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    ).repartition(3)
+    out = value_percentiles_ds(ds, "v").to_pandas().sort_values("k")
+    expect = {1: 0, 3: 3 * 10**6 // 6, 5: 4 * 10**6 // 6}
+    assert [expect[v] for v in vals] == list(out["pct_micro"])
+
+
+def test_value_percentiles_raises_on_nulls_and_cap():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from lsearch_ray.functions.quantiles import value_percentiles_ds
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([1, None], pa.int64())}))
+    with pytest.raises(Exception, match="has nulls"):
+        value_percentiles_ds(ds, "v").to_pandas()
+    ds2 = rd.from_arrow(pa.table({"v": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(ValueError, match="distinct values exceeds"):
+        value_percentiles_ds(ds2, "v", max_distinct=2)

@@ -151,3 +151,34 @@ def test_bm25_prf_empty_query(docs):
 
     out = bm25_prf_topk_dataset(docs, "...", k=5)
     assert out.num_rows == 0
+
+
+def test_rrf_fuse_hand_example():
+    """Pure-driver fusion arithmetic on a hand-checked example."""
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import rrf_fuse
+
+    a = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+    b = pa.table({"doc_id": pa.array([3, 1], pa.int64())})
+    out = rrf_fuse([a, b], k=10, rrf_k=60)
+    got = dict(zip(out["doc_id"].to_pylist(), out["rrf_micro"].to_pylist()))
+    s = 10**6
+    assert got == {
+        1: s // 61 + s // 62,
+        2: s // 62,
+        3: s // 63 + s // 61,
+    }
+    # ordering: score DESC, id ASC — doc 1 (32522) > doc 3 (32266) > doc 2
+    assert out["doc_id"].to_pylist() == [1, 3, 2]
+
+
+def test_rrf_fuse_truncates_to_k():
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import rrf_fuse
+
+    a = pa.table({"doc_id": pa.array(list(range(20)), pa.int64())})
+    out = rrf_fuse([a], k=5)
+    # single list: fused order == input order, truncated
+    assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
