@@ -3171,7 +3171,7 @@ ORDER BY doc_id
             "SELECT event_type, count(k) AS n, sum(k) AS sum_k, "
             "min(k) AS min_k, max(k) AS max_k FROM ("
             "  SELECT event_type, CAST(nullif(regexp_extract(props, "
-            "  '\"k\":\\s*(-?\\d+)', 1), '') AS BIGINT) AS k FROM events"
+            "  '\"k\":\\s*(-?\\d+)[,}\\s]', 1), '') AS BIGINT) AS k FROM events"
             ") GROUP BY event_type ORDER BY event_type"
         ),
         "trailing_window": (

@@ -149,10 +149,16 @@ def component_labels_ds(
     )
     from lsearch_ray.functions.minhash import _pair_partitions
 
+    # size partitions to the SMALLER join side: labels covers only edge
+    # endpoints (≤ 2 · n_pairs rows), so sizing by the id universe leaves
+    # label partitions empty on sparse graphs — the condition Ray's
+    # hash-join aggregator rejects at finalize
     joined = ids_ds.select_columns([id_col]).join(
         labels,
         join_type="left_outer",
-        num_partitions=_pair_partitions(ids_ds.count(), cap=num_partitions),
+        num_partitions=_pair_partitions(
+            min(ids_ds.count(), 2 * n_pairs), cap=num_partitions
+        ),
         on=(id_col,),
         right_on=("node",),
     )

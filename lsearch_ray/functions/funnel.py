@@ -199,14 +199,17 @@ def retention_cohorts_ds(
 
     # every (user, active day) tagged with the user's cohort; ages are
     # non-negative by construction (cohort is the min day). Join
-    # partitions sized to row volume — Ray's hash-join aggregator
-    # rejects fully-empty partitions on tiny inputs.
+    # partitions sized to the SMALLER side (cohorts: one row per distinct
+    # user) — sizing to the days side leaves cohort partitions empty on
+    # tiny inputs, which Ray's hash-join aggregator rejects
+    # (ArrowInvalid at finalize; both sides are materialized so count()
+    # is metadata-only).
     from lsearch_ray.functions.minhash import _pair_partitions
 
     tagged = days.join(
         cohorts,
         join_type="inner",
-        num_partitions=_pair_partitions(days.count(), cap=num_partitions),
+        num_partitions=_pair_partitions(cohorts.count(), cap=num_partitions),
         on=(user_col,),
     ).map_batches(
         lambda b: pa.table(

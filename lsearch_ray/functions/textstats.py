@@ -366,8 +366,11 @@ def json_int_field(
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     # extract_regex requires NAMED groups; the SQL twin uses the same
-    # pattern with a plain group + regexp_extract(..., 1)
-    pat = f'"{field}":\\s*(?P<v>-?\\d+)'
+    # pattern with a plain group + regexp_extract(..., 1). The trailing
+    # [,}\s] anchor rejects digit PREFIXES of non-integer values (12.5,
+    # 12e3) — RE2 has no lookahead, and flat-JSON values are always
+    # followed by a separator or the closing brace
+    pat = f'"{field}":\\s*(?P<v>-?\\d+)[,}}\\s]'
     st = pc.extract_regex(col, pat)
     return pc.cast(pc.struct_field(st, ["v"]), pa.int64())
 

@@ -624,3 +624,19 @@ def test_doc_entropy_reference_values():
         0,
     ]
     assert out["ent_microdl"].to_pylist() == want
+
+
+def test_json_int_field_rejects_non_integer_values():
+    """Digit PREFIXES of floats/exponents must NOT extract (the [,}\\s]
+    anchor); integers in any flat-JSON position must."""
+    import pyarrow as pa
+
+    from lsearch_ray.functions.textstats import json_int_field
+
+    col = pa.array(
+        ['{"k": 12}', '{"k": 12.5}', '{"k": -3, "z": 1}', '{"z": 4}',
+         '{"k": 12e3}', '{"k":7}', None]
+    )
+    assert json_int_field(col, "k").to_pylist() == [
+        12, None, -3, None, None, 7, None
+    ]
