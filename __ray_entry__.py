@@ -1868,6 +1868,26 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equi-width histogram of event values: bucket counts at 0.25-unit
+    (250k-micro) width over the finite values."""
+    from lsearch_ray.functions.quantiles import equi_width_hist_ds
+
+    return equi_width_hist_ds(
+        _read(sf_dir, "events", ["value"]), "value", width_micro=250_000
+    )
+
+
+def _q_bigram_lm(sf_dir: str):
+    """Top-20 MLE bigram conditional probabilities P(w2|w1) in
+    floor-micro units (count ordering, min_count 5)."""
+    from lsearch_ray.functions.ngrams import bigram_lm_ds
+
+    return bigram_lm_ds(
+        _docs(sf_dir, ["doc_id", "text"]), k=20, min_count=5
+    )
+
+
 def _q_length_percentiles(sf_dir: str):
     """Every doc annotated with its global token-length percentile
     ((# shorter docs) · 1e6 // n — the rank()-1 tie convention)."""
@@ -2010,6 +2030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prf_topk": _q_bm25_prf,
         "rrf_fusion": _q_rrf_fusion,
         "length_percentiles": _q_length_percentiles,
+        "bigram_lm": _q_bigram_lm,
+        "value_histogram": _q_value_histogram,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3320,6 +3342,34 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "value_histogram": (
+            # exact twin of functions.quantiles.equi_width_hist_ds. The
+            # engine floor-divides (numpy //); DuckDB's integer //
+            # TRUNCATES toward zero, so the twin spells floor division
+            # explicitly (subtract 1 when a negative micro has remainder)
+            "WITH m AS (SELECT CAST(floor(value * 1000000.0 + 0.5) "
+            "AS BIGINT) AS micro FROM events WHERE isfinite(value)) "
+            "SELECT (micro // 250000) - CASE WHEN micro < 0 "
+            "AND micro % 250000 <> 0 THEN 1 ELSE 0 END AS bucket, "
+            "count(*) AS n FROM m GROUP BY 1 ORDER BY bucket"
+        ),
+        "bigram_lm": (
+            # exact twin of functions.ngrams.bigram_lm_ds: integer
+            # p_micro = (n2 * 1e6) // n1 with the (n DESC, w1, w2) order
+            f"WITH uni AS (SELECT term, count(*) AS n1 FROM ({_TOKS}) "
+            "             GROUP BY term), "
+            "big AS (SELECT toks[i] AS w1, toks[i+1] AS w2, "
+            "               count(*) AS n2 "
+            "  FROM (SELECT list_filter("
+            "          string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "          t -> t <> '') AS toks FROM documents), "
+            "       UNNEST(generate_series(1, len(toks) - 1)) AS g(i) "
+            "  GROUP BY 1, 2) "
+            "SELECT w1, w2, CAST(n2 AS BIGINT) AS n, "
+            "CAST((n2 * 1000000) // ua.n1 AS BIGINT) AS p_micro "
+            "FROM big JOIN uni ua ON ua.term = big.w1 "
+            "WHERE n2 >= 5 ORDER BY n DESC, w1, w2 LIMIT 20"
         ),
         "seed_distance": _bfs_sql(3),
         "hits_scores": _hits_sql(2),

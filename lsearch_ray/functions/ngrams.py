@@ -453,3 +453,117 @@ def skipgram_counts_ds(
             "n": pa.array([int(r["n"]) for r in top], type=pa.int64()),
         }
     )
+
+
+def bigram_lm_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
+    """Top-k bigram conditional probabilities — the add-nothing MLE
+    bigram language model ``P(w2|w1) = count(w1 w2) / count(w1)`` in
+    floor-micro units (pure integers, so any engine replays it exactly):
+
+        p_micro = (n2 * 10^6) // n1a
+
+    Returns an Arrow table ``(w1, w2, n, p_micro)`` with ``n ≥
+    min_count``, ordered by (n DESC, w1, w2) LIMIT k — the count
+    ordering keeps the result stable under probability ties.
+
+    Same scale plan as :func:`pmi_bigrams_ds` (combiner-first unigram +
+    bigram counts, vocab-table broadcast into a vectorized lookup); only
+    the scoring kernel differs, and it needs just the w1 unigram count.
+    """
+    from lsearch_ray.functions.joins import broadcast_join
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        from lsearch_ray.analyzer import flat_tokens_arrow
+
+        _, flat = flat_tokens_arrow(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.large_string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = flat.value_counts()
+        return pa.table(
+            {"term": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    uni_rows = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+        .take_all()
+    )
+    uni_terms = pa.array([r["term"] for r in uni_rows], type=pa.large_string())
+    uni_counts = pa.array(
+        [int(r["sum(n)"]) for r in uni_rows], type=pa.int64()
+    )
+
+    big_ds = (
+        ds.map_batches(
+            lambda b: _count_partial(b, 2, text_col), batch_format="pyarrow"
+        )
+        .groupby("gram")
+        .sum("n")
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["sum(n)"], pa.scalar(min_count)))
+        parts = pc.split_pattern(
+            t["gram"].combine_chunks().cast(pa.large_string()), GRAM_SEP
+        )
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "n": t["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    pairs = big_ds.map_batches(split, batch_format="pyarrow")
+    joined = broadcast_join(
+        pairs, pa.table({"w1": uni_terms, "n1a": uni_counts}), on="w1"
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        n2 = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = b["n1a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "w1": b["w1"],
+                "w2": b["w2"],
+                "n": pa.array(n2),
+                "p_micro": pa.array((n2 * 10**6) // n1),
+            }
+        )
+
+    def prune(t: pa.Table) -> pa.Table:
+        # lossless per-block top-k (every global top-k row is in its own
+        # block's top-k) — the final exchange carries k rows per block
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("n", "descending"),
+                ("w1", "ascending"),
+                ("w2", "ascending"),
+            ],
+        )
+        return t.take(idx.slice(0, k))
+
+    out = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "w1": pa.array(out["w1"], pa.large_string()),
+            "w2": pa.array(out["w2"], pa.large_string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "p_micro": pa.array(out["p_micro"], pa.int64()),
+        }
+    )

@@ -475,3 +475,42 @@ def value_percentiles_ds(
         return b.append_column(pct_col, pa.array(pct.astype(np.int64)))
 
     return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def equi_width_hist_ds(
+    ds,
+    value_col: str,
+    *,
+    width_micro: int = 250_000,
+    bucket_col: str = "bucket",
+):
+    """Equi-width histogram of a float column in fixed-point micro units:
+    rows land in ``bucket = floor(v·1e6 + 0.5) // width_micro`` (floor
+    division — negative values bucket toward -inf identically on every
+    engine). Non-finite values are excluded, matching the exact-quantile
+    family's finite-values contract.
+
+    Pure combiner shape: one per-batch bucket value_counts partial into a
+    bucket-keyed groupby-sum — the exchange carries one row per distinct
+    bucket per batch, never per row. Returns a Dataset
+    ``(bucket, n)`` sorted by bucket.
+    """
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.dedup import value_counts_table
+
+    if width_micro <= 0:
+        raise ValueError("equi_width_hist_ds: width_micro must be > 0")
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = _finite_f64(b, value_col)
+        micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        buckets = micro // np.int64(width_micro)
+        return value_counts_table(pa.array(buckets), bucket_col, "c")
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(bucket_col)
+        .aggregate(Sum("c", alias_name="n"))
+        .sort(bucket_col)
+    )

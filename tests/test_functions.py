@@ -1394,3 +1394,34 @@ def test_value_percentiles_raises_on_nulls_and_cap():
     ds2 = rd.from_arrow(pa.table({"v": pa.array([1, 2, 3], pa.int64())}))
     with pytest.raises(ValueError, match="distinct values exceeds"):
         value_percentiles_ds(ds2, "v", max_distinct=2)
+
+
+def test_equi_width_hist_negative_floor_parity():
+    """Negative values must bucket toward -inf (numpy floor division) and
+    the DuckDB twin's explicit floor correction must agree — DuckDB's
+    integer // truncates toward zero, which differs on negatives."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.quantiles import equi_width_hist_ds
+
+    vals = [-1.3, -0.25, -0.24, 0.0, 0.24, 0.25, 1.3, float("nan"),
+            float("inf")]
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    out = equi_width_hist_ds(ds, "value", width_micro=250_000).to_pandas()
+
+    sql = (
+        "WITH m AS (SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+        " AS micro FROM t WHERE isfinite(value)) "
+        "SELECT (micro // 250000) - CASE WHEN micro < 0 "
+        "AND micro % 250000 <> 0 THEN 1 ELSE 0 END AS bucket, "
+        "count(*) AS n FROM m GROUP BY 1 ORDER BY bucket"
+    )
+    t = pa.table({"value": pa.array(vals, pa.float64())})  # noqa: F841
+    ref = duckdb.sql(sql).df()
+    assert list(out["bucket"]) == list(ref["bucket"])
+    assert list(out["n"]) == list(ref["n"])
+    # spot-check the floor semantics: -1.3 -> micro -1300000 -> bucket -6
+    assert -6 in list(out["bucket"])

@@ -233,3 +233,47 @@ def test_skipgram_counts_matches_bruteforce():
     got = list(zip(zip(out["w1"].to_pylist(), out["w2"].to_pylist()),
                    out["n"].to_pylist()))
     assert got == [((a, b), n) for (a, b), n in want]
+
+
+def test_bigram_lm_matches_pure_python():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.functions.ngrams import bigram_lm_ds
+
+    texts = [
+        "a b a b c",
+        "a b c a b",
+        "b c a b a",
+        "c a b a b",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    out = bigram_lm_ds(ds, k=10, min_count=2)
+
+    from collections import Counter
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = tokenize(t)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    expect = sorted(
+        (
+            (w1, w2, n, (n * 10**6) // uni[w1])
+            for (w1, w2), n in big.items()
+            if n >= 2
+        ),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:10]
+    got = list(
+        zip(
+            out["w1"].to_pylist(),
+            out["w2"].to_pylist(),
+            out["n"].to_pylist(),
+            out["p_micro"].to_pylist(),
+        )
+    )
+    assert got == expect
