@@ -1868,6 +1868,15 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_quality_filter(sf_dir: str):
+    """Gopher/C4-style quality gate: docs passing fixed thresholds on the
+    parity-checked quality signals (token count, alpha/digit/stopword
+    ratios)."""
+    from lsearch_ray.functions.textstats import quality_filter_ds
+
+    return quality_filter_ds(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
 def _q_value_histogram(sf_dir: str):
     """Equi-width histogram of event values: bucket counts at 0.25-unit
     (250k-micro) width over the finite values."""
@@ -2032,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentiles": _q_length_percentiles,
         "bigram_lm": _q_bigram_lm,
         "value_histogram": _q_value_histogram,
+        "quality_filter": _q_quality_filter,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3342,6 +3352,15 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "quality_filter": (
+            # threshold gate over the SAME rounded signals _quality_sql
+            # emits — values are bit-identical across engines, so the
+            # boundary comparisons agree exactly
+            f"SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM ({_quality_sql()}) "
+            "WHERE n_tokens BETWEEN 10 AND 100000 AND alpha_ratio >= 0.5 "
+            "AND digit_ratio <= 0.3 AND stopword_ratio >= 0.01 "
+            "ORDER BY doc_id"
         ),
         "value_histogram": (
             # exact twin of functions.quantiles.equi_width_hist_ds. The

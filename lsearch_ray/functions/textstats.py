@@ -410,3 +410,44 @@ def props_field_stats_ds(
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+def quality_filter_ds(
+    ds,
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_alpha: float = 0.5,
+    max_digit: float = 0.3,
+    min_stop: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher/C4-style document quality gate: keep docs whose
+    :func:`quality_stats` signals clear fixed thresholds (token count in
+    [min_tokens, max_tokens], alpha_ratio ≥ min_alpha, digit_ratio ≤
+    max_digit, stopword_ratio ≥ min_stop) — the standard pretraining
+    corpus filter, composed from the already-parity-checked signals so
+    threshold comparisons see bit-identical values on every engine.
+
+    Pure map-side (one vectorized pass, no shuffle, no state). Returns
+    the surviving ``(doc_id, n_tokens)`` rows.
+    """
+    def filt(b: pa.Table) -> pa.Table:
+        q = quality_stats(b, text_col)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(q["n_tokens"], pa.scalar(min_tokens)),
+                pc.less_equal(q["n_tokens"], pa.scalar(max_tokens)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(q["alpha_ratio"], pa.scalar(min_alpha)),
+                    pc.less_equal(q["digit_ratio"], pa.scalar(max_digit)),
+                ),
+                pc.greater_equal(q["stopword_ratio"], pa.scalar(min_stop)),
+            ),
+        )
+        return q.filter(keep).select([id_col, "n_tokens"])
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -640,3 +640,27 @@ def test_json_int_field_rejects_non_integer_values():
     assert json_int_field(col, "k").to_pylist() == [
         12, None, -3, None, None, 7, None
     ]
+
+
+def test_quality_filter_thresholds():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.textstats import quality_filter_ds
+
+    docs = [
+        (0, "the cat sat on the mat and it was very happy there today"),  # passes
+        (1, "x"),                                        # too few tokens
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"),     # all digits
+        (3, ""),                                         # empty
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    )
+    out = quality_filter_ds(ds).to_pandas()
+    assert list(out["doc_id"]) == [0]
