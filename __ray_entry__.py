@@ -1868,6 +1868,17 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_transitions(sf_dir: str):
+    """Top-20 user-journey event-type transitions (the Markov transition
+    matrix over (ts, id)-ordered per-user streams)."""
+    from lsearch_ray.functions.funnel import transition_counts_ds
+
+    return transition_counts_ds(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        k=20,
+    )
+
+
 def _q_quality_filter(sf_dir: str):
     """Gopher/C4-style quality gate: docs passing fixed thresholds on the
     parity-checked quality signals (token count, alpha/digit/stopword
@@ -2042,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": _q_bigram_lm,
         "value_histogram": _q_value_histogram,
         "quality_filter": _q_quality_filter,
+        "transition_counts": _q_transitions,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3352,6 +3364,18 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "transition_counts": (
+            # exact twin of functions.funnel.transition_counts_ds:
+            # adjacency by lead() over the same (ts, event_id) order;
+            # null users excluded on both engines
+            "WITH o AS (SELECT event_type AS src, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS dst "
+            "FROM events WHERE user_id IS NOT NULL) "
+            "SELECT src AS src_type, dst AS dst_type, count(*) AS n "
+            "FROM o WHERE dst IS NOT NULL GROUP BY 1, 2 "
+            "ORDER BY n DESC, src_type, dst_type LIMIT 20"
         ),
         "quality_filter": (
             # threshold gate over the SAME rounded signals _quality_sql

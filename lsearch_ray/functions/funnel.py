@@ -364,3 +364,124 @@ def audience_overlap_ds(
         .map_batches(finish, batch_format="pyarrow")
         .sort(["type_a", "type_b"])
     )
+
+
+def transition_counts_ds(
+    events_ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    k: int = 20,
+    num_partitions: int = 32,
+):
+    """Top-k user-journey transitions — counts of ADJACENT event-type
+    pairs (src → dst) within each user's (ts, id)-ordered stream, the
+    Markov transition matrix of behavioral analytics.
+
+    Scale shape (the sessionize pattern): ONE hash-partition shuffle on
+    the user key co-locates each user's complete stream; per partition a
+    single vectorized pass (mergesort by (user, ts, id), shifted-array
+    adjacency masked at user boundaries) emits per-partition (src, dst)
+    count PARTIALS — the exchange after the shuffle carries one row per
+    distinct transition per partition, never per event. A tiny
+    groupby-sum and a lossless per-block top-k finish. Returns
+    ``(src_type, dst_type, n)`` ordered by (n DESC, src, dst) LIMIT k.
+    """
+    from ray.data.aggregate import Sum
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                user_col: b[user_col],
+                ts_col: b[ts_col],
+                order_col: b[order_col],
+                type_col: b[type_col],
+            }
+        )
+        # null users have no defined stream order — excluded on both
+        # engines (the SQL twin filters them identically)
+        t = t.filter(pc.is_valid(t[user_col]))
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [user_col], num_partitions))
+        )
+
+    def pairs_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (order_col, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.large_string()),
+                "dst": pa.array([], pa.large_string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        users = t[user_col].to_numpy(zero_copy_only=False)
+        same = users[:-1] == users[1:]
+        if not same.any():
+            return empty
+        types = t[type_col].combine_chunks().cast(pa.large_string())
+        src = types.slice(0, len(types) - 1).filter(pa.array(same))
+        dst = types.slice(1).filter(pa.array(same))
+        # per-partition combine: count distinct (src, dst) pairs via a
+        # separator join (\x01 sorts below all token chars)
+        joined = pc.binary_join_element_wise(
+            src, dst, pa.scalar("\x01", pa.large_string())
+        )
+        vc = value_counts_table(joined, "pair", "c")
+        parts = pc.split_pattern(
+            vc["pair"].combine_chunks().cast(pa.large_string()), "\x01"
+        )
+        return pa.table(
+            {
+                "src": pc.list_element(parts, 0),
+                "dst": pc.list_element(parts, 1),
+                "c": vc["c"],
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_partition, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("n", "descending"),
+                ("src", "ascending"),
+                ("dst", "ascending"),
+            ],
+        )
+        return t.take(idx.slice(0, k))
+
+    out = (
+        counts.map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "src", "dst"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "src_type": pa.array(out["src"], pa.string()),
+            "dst_type": pa.array(out["dst"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )

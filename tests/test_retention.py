@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from lsearch_ray.functions.funnel import retention_cohorts_ds
@@ -135,3 +136,45 @@ def test_audience_overlap_no_common_users():
     assert got.schema().names == [
         "type_a", "type_b", "n_common", "n_union", "jaccard_micro",
     ]
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_transition_counts_matches_pandas(blocks):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.funnel import transition_counts_ds
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**6, n) * 1000, unit="us"
+            ),
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    out = transition_counts_ds(ds, k=10, num_partitions=4)
+
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same = s["user_id"].to_numpy()[:-1] == s["user_id"].to_numpy()[1:]
+    src = s["event_type"].to_numpy()[:-1][same]
+    dst = s["event_type"].to_numpy()[1:][same]
+    ref = (
+        pd.DataFrame({"src_type": src, "dst_type": dst})
+        .value_counts()
+        .reset_index(name="n")
+        .sort_values(["n", "src_type", "dst_type"],
+                     ascending=[False, True, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = out.to_pandas()
+    assert got.equals(ref[["src_type", "dst_type", "n"]].astype(
+        {"n": "int64"}))
