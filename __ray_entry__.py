@@ -1868,6 +1868,18 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+_MLT_SRC = 42
+
+
+def _q_more_like_this(sf_dir: str):
+    """Top-10 similar documents to doc 42 by TF-IDF cosine."""
+    from lsearch_ray.pipelines.fulltext import more_like_this_dataset
+
+    return more_like_this_dataset(
+        _docs(sf_dir, ["doc_id", "text"]), _MLT_SRC, k=10
+    )
+
+
 def _q_transitions(sf_dir: str):
     """Top-20 user-journey event-type transitions (the Markov transition
     matrix over (ts, id)-ordered per-user streams)."""
@@ -2054,6 +2066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "quality_filter": _q_quality_filter,
         "transition_counts": _q_transitions,
+        "more_like_this": _q_more_like_this,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3364,6 +3377,27 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "more_like_this": (
+            # exact twin of pipelines.fulltext.more_like_this_dataset:
+            # w = tf · (ln N − ln df) (integer-ln decomposition, subtract
+            # BEFORE the tf multiply), cosine = dot/(sqrt·sqrt), rounded
+            # half-away to 6 dp before the top-k order
+            f"WITH tf AS ({_TF}), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "w AS (SELECT tf.doc_id, tf.term, "
+            "tf.tf * (ln((SELECT n FROM nn) * 1.0) - ln(df.df * 1.0)) AS w "
+            "FROM tf JOIN df USING (term)), "
+            f"src AS (SELECT term, w FROM w WHERE doc_id = {_MLT_SRC}), "
+            "norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id), "
+            "dots AS (SELECT w.doc_id, sum(w.w * s.w) AS dot "
+            "FROM w JOIN src s USING (term) GROUP BY w.doc_id) "
+            "SELECT d.doc_id, round(d.dot / (sqrt(nm.n2) * "
+            f"sqrt((SELECT n2 FROM norms WHERE doc_id = {_MLT_SRC}))), 6) "
+            "AS cos_sim FROM dots d JOIN norms nm USING (doc_id) "
+            f"WHERE d.doc_id <> {_MLT_SRC} "
+            "ORDER BY cos_sim DESC, d.doc_id LIMIT 10"
         ),
         "transition_counts": (
             # exact twin of functions.funnel.transition_counts_ds:

@@ -13,6 +13,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from lsearch_ray.analyzer import term_counts_table, tokenize
 from lsearch_ray.index.build import B, K1
@@ -307,6 +308,159 @@ def bm25_prf_topk_dataset(
         text_col=text_col,
         id_col=id_col,
         weights={t: exp_weight for t in exp},
+    )
+
+
+def more_like_this_dataset(
+    docs_ds,
+    source_id: int,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> pa.Table:
+    """Similar-document retrieval: top-k docs by TF-IDF cosine against one
+    source doc (the classic "more like this" query).
+
+    Weights are ``w(d,t) = tf · (ln N − ln df(t))`` — both lns over
+    integer counts (the PMI parity discipline), the subtraction BEFORE
+    the tf multiply, so every engine computes identical per-row products;
+    cosine is ``dot / (sqrt(‖d‖²) · sqrt(‖src‖²))`` rounded before the
+    top-k sort (the bm25 convention for sum-order independence).
+
+    Scale shape: ONE tokenize pass (triples materialized, consumed by
+    the df aggregate, the norm aggregate and the dot aggregate); the
+    source vector and the df table are driver-side broadcasts (df is
+    vocabulary-sized — swap to a hash join for vocabularies beyond the
+    broadcast budget, see functions.joins.hash_join); the dot pass
+    filters to the source's terms so only matching rows shuffle.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    triples = tf_triples(docs_ds, text_col, id_col).materialize()
+    n_docs = docs_ds.count()
+
+    df_rows = (
+        triples.map_batches(
+            lambda b: pa.table({"term": b["term"]}), batch_format="pyarrow"
+        )
+        .groupby("term")
+        .count()
+        .take_all()
+    )
+    ln_n = math.log(n_docs)
+    idf = {r["term"]: ln_n - math.log(int(r["count()"])) for r in df_rows}
+
+    src_rows = triples.map_batches(
+        lambda b: b.filter(pc.equal(b[id_col], pa.scalar(source_id))),
+        batch_format="pyarrow",
+    ).take_all()
+    if not src_rows:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+    src_w = {r["term"]: r["tf"] * idf[r["term"]] for r in src_rows}
+    src_norm = math.sqrt(sum(w * w for w in src_w.values()))
+    src_terms = pa.array(sorted(src_w))
+
+    def weights(b: pa.Table, lookup: dict, col_name: str) -> pa.Table:
+        tcol = b["term"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        denc = tcol.dictionary_encode()
+        by_code = np.array(
+            [lookup[t] for t in denc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = tf * by_code[np.asarray(denc.indices)]
+        return pa.table({id_col: b[id_col], col_name: pa.array(w)})
+
+    norms = (
+        triples.map_batches(
+            lambda b: (
+                lambda t: pa.table(
+                    {id_col: t[id_col], "c": pc.multiply(t["w"], t["w"])}
+                )
+            )(weights(b, idf, "w")),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .aggregate(Sum("c", alias_name="n2"))
+        .materialize()
+    )
+
+    def dot_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["term"], value_set=src_terms))
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], b[id_col].type),
+                 "c": pa.array([], pa.float64())}
+            )
+        wd = weights(t, idf, "w")["w"]
+        tcol = t["term"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        denc = tcol.dictionary_encode()
+        sw = np.array(
+            [src_w[x] for x in denc.dictionary.to_pylist()], dtype=np.float64
+        )
+        c = wd.to_numpy(zero_copy_only=False) * sw[np.asarray(denc.indices)]
+        return pa.table({id_col: t[id_col], "c": pa.array(c)})
+
+    dots = (
+        triples.map_batches(dot_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("c", alias_name="dot"))
+        .materialize()
+    )
+    if dots.count() == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        dot = b["dot"].to_numpy(zero_copy_only=False)
+        n2 = b["n2"].to_numpy(zero_copy_only=False)
+        cos = dot / (np.sqrt(n2) * src_norm)
+        out = pa.table(
+            {
+                "doc_id": pc.cast(b[id_col], pa.int64()),
+                "cos_sim": pa.array(
+                    np.floor(cos * 10.0**round_to + 0.5) / 10.0**round_to
+                ),
+            }
+        )
+        return out.filter(pc.not_equal(out["doc_id"], pa.scalar(source_id)))
+
+    top = (
+        dots.join(
+            norms,
+            join_type="inner",
+            num_partitions=max(
+                1, min(8, dots.count() // 64 or 1)
+            ),
+            on=(id_col,),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["cos_sim", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"], pa.int64()),
+            "cos_sim": pa.array(top["cos_sim"], pa.float64()),
+        }
     )
 
 

@@ -182,3 +182,52 @@ def test_rrf_fuse_truncates_to_k():
     out = rrf_fuse([a], k=5)
     # single list: fused order == input order, truncated
     assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
+
+
+def test_more_like_this_matches_numpy_reference(docs):
+    """TF-IDF cosine against a transparent numpy reference on the real
+    sf0.001 corpus (same w = tf·(lnN−lndf) weights, same rounding)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.analyzer import tokenize
+    from lsearch_ray.pipelines.fulltext import more_like_this_dataset
+
+    src = 7
+    out = more_like_this_dataset(docs, src, k=5)
+
+    tab = pq.read_table(PATH, columns=["doc_id", "text"])
+    ids = tab["doc_id"].to_pylist()
+    texts = tab["text"].to_pylist()
+    tfs = {i: Counter(tokenize(t)) for i, t in zip(ids, texts)}
+    n = len(ids)
+    df = Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    idf = {t: math.log(n) - math.log(d) for t, d in df.items()}
+    w = {i: {t: c * idf[t] for t, c in cnt.items()} for i, cnt in tfs.items()}
+    sn = math.sqrt(sum(x * x for x in w[src].values()))
+    scores = {}
+    for i in ids:
+        if i == src:
+            continue
+        dot = sum(w[i][t] * w[src][t] for t in w[i] if t in w[src])
+        if dot == 0.0:
+            continue
+        nd = math.sqrt(sum(x * x for x in w[i].values()))
+        scores[i] = math.floor(dot / (nd * sn) * 1e6 + 0.5) / 1e6
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(out["doc_id"].to_pylist(), out["cos_sim"].to_pylist()))
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gi, gv), (ei, ev) in zip(got, expect):
+        assert gv == pytest.approx(ev, abs=2e-6)
+
+
+def test_more_like_this_missing_source(docs):
+    from lsearch_ray.pipelines.fulltext import more_like_this_dataset
+
+    out = more_like_this_dataset(docs, 10**9, k=5)
+    assert out.num_rows == 0
