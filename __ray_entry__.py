@@ -1868,6 +1868,21 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_price_percentiles(sf_dir: str):
+    """Every order's totalprice percent-rank within its priority class
+    (the rank()-1 tie convention, integer micro units)."""
+    from lsearch_ray.functions.grouped import grouped_rank_percentile_ds
+
+    return grouped_rank_percentile_ds(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        ),
+        "o_orderpriority",
+        "o_totalprice",
+        id_cols=["o_orderkey"],
+    ).sort("o_orderkey")
+
+
 _MLT_SRC = 42
 
 
@@ -2067,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "transition_counts": _q_transitions,
         "more_like_this": _q_more_like_this,
+        "price_percentiles": _q_price_percentiles,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3377,6 +3393,15 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "price_percentiles": (
+            # exact twin of functions.grouped.grouped_rank_percentile_ds:
+            # (rank()-1)·1e6 // group size, ties share the lowest rank
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "CAST((rank() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice) - 1) * 1000000 "
+            "// count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) "
+            "AS pct_micro FROM orders ORDER BY o_orderkey"
         ),
         "more_like_this": (
             # exact twin of pipelines.fulltext.more_like_this_dataset:

@@ -373,3 +373,78 @@ def grouped_range_window_ds(
         .groupby("__part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def grouped_rank_percentile_ds(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    pct_col: str = "pct_micro",
+    scale: int = 10**6,
+    num_partitions: int = 32,
+    id_cols: list[str] | None = None,
+):
+    """Per-group value-rank percentile for every row:
+
+        pct = (# rows in the group with value < v) * scale // n_group
+
+    — the ``(rank() OVER (PARTITION BY g ORDER BY v) - 1)`` convention
+    (ties share the lowest rank), pure integers after the rank, so any
+    engine replays it bit-exactly.
+
+    Shape: the grouped_running_ds skeleton — ONE hash-partition shuffle
+    on the group key, then per partition one mergesort by (group, value)
+    and a vectorized first-occurrence-rank pass (change-boundary maximum
+    accumulate; no per-group Python at any group count).
+    """
+
+    carry = list(id_cols or [])
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col, *carry])
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [group_col], num_partitions))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(group_col, "ascending"), (value_col, "ascending")],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(pct_col, pa.array([], pa.int64()))
+        vcol = t[value_col].combine_chunks()
+        if vcol.null_count:
+            raise ValueError(
+                f"grouped_rank_percentile_ds: {value_col} has nulls; "
+                "filter upstream"
+            )
+        v = vcol.to_numpy(zero_copy_only=False)
+        new_run, starts, run_of = run_bounds(t[group_col])
+        sizes = np.diff(np.append(starts, n))
+        # first-occurrence rank via GLOBAL indices: maximum.accumulate
+        # over (global index where the value or group changes, else 0)
+        # carries each tie run's first position forward and resets
+        # naturally at run starts — a run's starting global index always
+        # exceeds every earlier one, so no cross-run leakage (an in-run
+        # position accumulate WOULD leak the previous run's larger rank)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (v[1:] != v[:-1])
+        change |= new_run
+        gidx = np.arange(n, dtype=np.int64)
+        first = np.where(change, gidx, 0)
+        np.maximum.accumulate(first, out=first)
+        rank = first - starts[run_of]
+        pct = (rank * np.int64(scale)) // sizes[run_of]
+        return t.append_column(pct_col, pa.array(pct))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )

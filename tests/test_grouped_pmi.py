@@ -216,3 +216,53 @@ def test_grouped_quantiles_matches_numpy_lower():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_grouped_rank_percentile_ties_and_run_boundaries():
+    """Ties share the lowest rank; accumulated first-occurrence ranks
+    must NOT leak across group boundaries (group A's high ranks vs group
+    B's early positions)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.grouped import grouped_rank_percentile_ds
+
+    rows = [
+        # group a: values 1,1,2,2,2,9  -> ranks 0,0,2,2,2,5 (n=6)
+        ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
+        # group b: values 3,3,4        -> ranks 0,0,2       (n=3)
+        ("b", 3.0), ("b", 3.0), ("b", 4.0),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([g for g, _ in rows]),
+                "v": pa.array([v for _, v in rows], pa.float64()),
+                "rid": pa.array(range(len(rows)), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = (
+        grouped_rank_percentile_ds(ds, "g", "v", id_cols=["rid"],
+                                   num_partitions=2)
+        .to_pandas()
+        .sort_values("rid")
+    )
+    s = 10**6
+    expect = [0, 0, 2 * s // 6, 2 * s // 6, 2 * s // 6, 5 * s // 6,
+              0, 0, 2 * s // 3]
+    assert list(out["pct_micro"]) == expect
+
+
+def test_grouped_rank_percentile_rejects_null_values():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from lsearch_ray.functions.grouped import grouped_rank_percentile_ds
+
+    ds = rd.from_arrow(
+        pa.table({"g": ["a", "a"], "v": pa.array([1.0, None], pa.float64())})
+    )
+    with pytest.raises(Exception, match="has nulls"):
+        grouped_rank_percentile_ds(ds, "g", "v").to_pandas()
