@@ -1868,6 +1868,37 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental-ingest dedup: incoming docs (id % 7 == 3) whose token
+    fingerprint the base corpus does not already hold — bloom-pruned
+    exact anti-join (m_bits small enough that false positives exist, so
+    the exact verify stage is load-bearing)."""
+    from lsearch_ray.functions import fingerprint
+    from lsearch_ray.functions.bloom import bloom_anti_join
+
+    fps = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: fingerprint(b).select(["doc_id", "fp64"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def part(b: pa.Table, incoming: bool) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sel = (ids % 7) == 3
+        return b.filter(pa.array(sel if incoming else ~sel))
+
+    incoming = fps.map_batches(
+        lambda b: part(b, True), batch_format="pyarrow"
+    )
+    base = fps.map_batches(lambda b: part(b, False), batch_format="pyarrow")
+    return bloom_anti_join(incoming, base, "fp64", m_bits=1 << 14).sort(
+        "doc_id"
+    )
+
+
 def _q_price_percentiles(sf_dir: str):
     """Every order's totalprice percent-rank within its priority class
     (the rank()-1 tie convention, integer micro units)."""
@@ -2083,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts": _q_transitions,
         "more_like_this": _q_more_like_this,
         "price_percentiles": _q_price_percentiles,
+        "incremental_dedup": _q_incremental_dedup,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3393,6 +3425,15 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "incremental_dedup": (
+            # incoming slice anti-joined on the shared fingerprint twin;
+            # the engine's bloom stage is exact after verification, so
+            # plain NOT IN is the oracle
+            f"WITH f AS ({_fingerprint_sql()}) "
+            "SELECT doc_id, fp64 FROM f WHERE doc_id % 7 = 3 "
+            "AND fp64 NOT IN (SELECT fp64 FROM f WHERE doc_id % 7 <> 3) "
+            "ORDER BY doc_id"
         ),
         "price_percentiles": (
             # exact twin of functions.grouped.grouped_rank_percentile_ds:

@@ -177,3 +177,108 @@ def bloom_semi_join(
         on=(on,),
         right_on=("__bloom_key",),
     )
+
+
+def bloom_anti_join(
+    fact_ds,
+    keys_ds,
+    on: str,
+    *,
+    key_col: str | None = None,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 4,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 16,
+):
+    """Rows of ``fact_ds`` whose ``on`` value does NOT appear in
+    ``keys_ds`` — the incremental-ingest dedup shape ("drop records whose
+    key the base corpus already holds").
+
+    The bloom bitmap serves the OPPOSITE role of the semi join: rows with
+    any unset bit are DEFINITE non-members and pass with no further work;
+    only bloom candidates (true members plus false positives) reach the
+    exact check, which keeps those the distinct key set does not contain.
+    Null keys never match, so they survive (standard anti semantics).
+    One probe pass flags candidacy; the candidate side is typically a
+    tiny fraction of the incoming stream, so the exact stage is cheap.
+    """
+    import ray
+
+    kcol = key_col or on
+    bits = build_bloom_filter(keys_ds, kcol, m_bits=m_bits, k_hashes=k_hashes)
+    bref = ray.put(bits)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        col = b[on].combine_chunks()
+        cand = np.zeros(b.num_rows, dtype=bool)  # nulls: never candidates
+        valid = np.flatnonzero(np.asarray(pc.is_valid(col)))
+        if len(valid):
+            sub = col.drop_null()
+            hit = np.ones(len(valid), dtype=bool)
+            for idx in _positions(sub, m_bits, k_hashes):
+                hit &= (
+                    (bm[(idx >> np.uint64(6)).astype(np.int64)]
+                     >> (idx & np.uint64(63)))
+                    & np.uint64(1)
+                ).astype(bool)
+            cand[valid] = hit
+        return b.append_column("__cand", pa.array(cand))
+
+    flagged = fact_ds.map_batches(flag, batch_format="pyarrow").materialize()
+
+    def split(b: pa.Table, keep_cand: bool) -> pa.Table:
+        keep = b["__cand"] if keep_cand else pc.invert(b["__cand"])
+        return b.filter(keep).drop_columns(["__cand"])
+
+    misses = flagged.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    cand = flagged.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    ).materialize()
+    if cand.count() == 0:
+        return misses
+
+    distinct = keys_ds.select_columns([kcol]).map_batches(
+        lambda b: pa.table(
+            {"__bloom_key": b[kcol].combine_chunks().unique()}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n = distinct.count()  # upper bound: per-batch distinct
+    if n <= broadcast_limit:
+        from lsearch_ray.functions.joins import broadcast_semi_join
+
+        keys = pa.concat_tables(
+            ray.get(distinct.to_arrow_refs()), promote_options="permissive"
+        )["__bloom_key"].combine_chunks().unique()
+        survivors = broadcast_semi_join(cand, keys, on, anti=True)
+    else:
+        from lsearch_ray.functions.dedup import exact_dedup
+
+        distinct = exact_dedup(
+            distinct, ["__bloom_key"], ["__bloom_key"],
+            num_partitions=num_partitions,
+        ).map_batches(
+            # the join coalesces the key into the left column name, so an
+            # explicit marker is the only way to see non-matches
+            lambda b: b.append_column(
+                "__hit", pa.array(np.ones(b.num_rows, dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        # left_outer against a distinct key column + null marker = anti
+        survivors = cand.join(
+            distinct,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=("__bloom_key",),
+        ).map_batches(
+            lambda b: b.filter(pc.is_null(b["__hit"])).drop_columns(
+                [c for c in ("__hit", "__bloom_key") if c in b.schema.names]
+            ),
+            batch_format="pyarrow",
+        )
+    return misses.union(survivors)

@@ -349,3 +349,49 @@ def test_ngram_jaccard_pairs_matches_dedup_drop_set():
     all_ids = _docs_table()["doc_id"].to_pylist()
     expect = sorted(i for i in all_ids if find(i) == i)
     assert survivors == expect
+
+
+def test_bloom_anti_join_exact_with_forced_false_positives():
+    """At m_bits=64 nearly every probe is a bloom candidate, so the
+    exact verify stage decides everything — the result must equal the
+    plain set difference; null keys survive (anti semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.bloom import bloom_anti_join
+
+    fact_keys = list(range(0, 200, 2)) + [None]     # evens + a null
+    base_keys = list(range(0, 100))                  # 0..99
+    fact = rd.from_arrow(
+        pa.table({"k": pa.array(fact_keys, pa.int64()),
+                  "tag": pa.array(range(len(fact_keys)), pa.int64())})
+    ).repartition(3)
+    base = rd.from_arrow(
+        pa.table({"k": pa.array(base_keys, pa.int64())})
+    ).repartition(2)
+
+    out = bloom_anti_join(fact, base, "k", m_bits=64, k_hashes=2).to_pandas()
+    got = sorted(out["k"].dropna().astype("int64"))
+    expect = sorted(k for k in fact_keys if k is not None and k >= 100)
+    assert got == expect
+    assert out["k"].isna().sum() == 1  # the null row survives
+
+
+def test_bloom_anti_join_distributed_verify_branch():
+    """broadcast_limit=0 forces the left_outer+null-marker branch; the
+    result must match the broadcast branch exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.bloom import bloom_anti_join
+
+    fact = rd.from_arrow(
+        pa.table({"k": pa.array(range(0, 300, 3), pa.int64())})
+    ).repartition(2)
+    base = rd.from_arrow(
+        pa.table({"k": pa.array(range(0, 150), pa.int64())})
+    )
+    a = bloom_anti_join(fact, base, "k").to_pandas()
+    b = bloom_anti_join(fact, base, "k", broadcast_limit=0).to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"]) == list(range(150, 300, 3))
