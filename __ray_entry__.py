@@ -1868,6 +1868,58 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_corpus_summary(sf_dir: str):
+    """One-row corpus profile: doc count, total tokens, longest doc,
+    vocabulary size — the ingest-report numbers, all exact integers."""
+    from ray.data.aggregate import Max, Sum
+
+    counts = _q_token_count(sf_dir).materialize()
+    agg = counts.aggregate(
+        Sum("n_tokens", alias_name="tot"), Max("n_tokens", alias_name="mx")
+    )
+    docs = _docs(sf_dir, ["doc_id"])
+    from lsearch_ray.pipelines import term_df
+
+    n_terms = term_df(_docs(sf_dir, ["doc_id", "text"])).count()
+    return pa.table(
+        {
+            "n_docs": pa.array([docs.count()], pa.int64()),
+            "total_tokens": pa.array([int(agg["tot"] or 0)], pa.int64()),
+            "max_dl": pa.array([int(agg["mx"] or 0)], pa.int64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
+        }
+    )
+
+
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size distribution: how many duplicate clusters
+    exist at each size (the dedup-report histogram), over the same
+    component labeling dup_components emits."""
+    from ray.data.aggregate import Count
+
+    from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    labels = component_labels_ds(docs, pairs, "doc_id", num_partitions=8)
+    sizes = labels.groupby("component").aggregate(Count(alias_name="sz"))
+    return (
+        sizes.groupby("sz")
+        .aggregate(Count(alias_name="n_clusters"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "cluster_size": pc.cast(b["sz"], pa.int64()),
+                    "n_clusters": pc.cast(b["n_clusters"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("cluster_size")
+    )
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental-ingest dedup: incoming docs (id % 7 == 3) whose token
     fingerprint the base corpus does not already hold — bloom-pruned
@@ -2115,6 +2167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _q_more_like_this,
         "price_percentiles": _q_price_percentiles,
         "incremental_dedup": _q_incremental_dedup,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "corpus_summary": _q_corpus_summary,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3425,6 +3479,26 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "corpus_summary": (
+            "WITH dl AS (SELECT d.doc_id, coalesce(x.n, 0) AS n "
+            "FROM documents d LEFT JOIN ("
+            f"  SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id"
+            ") x ON d.doc_id = x.doc_id) "
+            "SELECT (SELECT count(*) FROM documents) AS n_docs, "
+            "CAST(coalesce(sum(n), 0) AS BIGINT) AS total_tokens, "
+            "CAST(max(n) AS BIGINT) AS max_dl, "
+            f"(SELECT count(DISTINCT term) FROM ({_TOKS})) AS n_terms "
+            "FROM dl"
+        ),
+        "dup_cluster_sizes": (
+            # size histogram over the same component labeling as
+            # dup_components (recursive-closure twin)
+            "WITH L AS ("
+            + _cc_labels_sql(_NGRAM_EDGES_CTE, "documents", "doc_id")
+            + ") SELECT sz AS cluster_size, count(*) AS n_clusters FROM ("
+            "SELECT component, count(*) AS sz FROM L GROUP BY component"
+            ") GROUP BY sz ORDER BY cluster_size"
         ),
         "incremental_dedup": (
             # incoming slice anti-joined on the shared fingerprint twin;
