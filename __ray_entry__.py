@@ -1873,17 +1873,23 @@ def _q_corpus_summary(sf_dir: str):
     vocabulary size — the ingest-report numbers, all exact integers."""
     from ray.data.aggregate import Max, Sum
 
-    counts = _q_token_count(sf_dir).materialize()
-    agg = counts.aggregate(
-        Sum("n_tokens", alias_name="tot"), Max("n_tokens", alias_name="mx")
-    )
-    docs = _docs(sf_dir, ["doc_id"])
-    from lsearch_ray.pipelines import term_df
+    from lsearch_ray.pipelines.fulltext import tf_triples
 
-    n_terms = term_df(_docs(sf_dir, ["doc_id", "text"])).count()
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata — no scan
+    # ONE tokenize pass serves all three token aggregates: the
+    # materialized triples feed the per-doc length rollup (sum/max) and
+    # the distinct-term count (token-less docs have dl 0, which cannot
+    # be the max of a non-empty corpus, so per-doc sums suffice)
+    triples = tf_triples(docs).materialize()
+    per_doc = triples.groupby("doc_id").aggregate(Sum("tf", alias_name="dl"))
+    agg = per_doc.aggregate(
+        Sum("dl", alias_name="tot"), Max("dl", alias_name="mx")
+    )
+    n_terms = triples.groupby("term").count().count()
     return pa.table(
         {
-            "n_docs": pa.array([docs.count()], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
             "total_tokens": pa.array([int(agg["tot"] or 0)], pa.int64()),
             "max_dl": pa.array([int(agg["mx"] or 0)], pa.int64()),
             "n_terms": pa.array([n_terms], pa.int64()),
@@ -3536,7 +3542,7 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "SELECT d.doc_id, round(d.dot / (sqrt(nm.n2) * "
             f"sqrt((SELECT n2 FROM norms WHERE doc_id = {_MLT_SRC}))), 6) "
             "AS cos_sim FROM dots d JOIN norms nm USING (doc_id) "
-            f"WHERE d.doc_id <> {_MLT_SRC} "
+            f"WHERE d.doc_id <> {_MLT_SRC} AND nm.n2 > 0 "
             "ORDER BY cos_sim DESC, d.doc_id LIMIT 10"
         ),
         "transition_counts": (
@@ -3546,7 +3552,8 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "WITH o AS (SELECT event_type AS src, "
             "lead(event_type) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id) AS dst "
-            "FROM events WHERE user_id IS NOT NULL) "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND event_type IS NOT NULL) "
             "SELECT src AS src_type, dst AS dst_type, count(*) AS n "
             "FROM o WHERE dst IS NOT NULL GROUP BY 1, 2 "
             "ORDER BY n DESC, src_type, dst_type LIMIT 20"

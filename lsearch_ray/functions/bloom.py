@@ -103,6 +103,47 @@ def build_bloom_filter(
     return out
 
 
+def _bloom_candidates(col, bm: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """Per-row candidacy mask for a column against an OR-merged bitmap:
+    True where every probed bit is set (possible member, incl. false
+    positives); nulls are never candidates. THE shared probe kernel of
+    both bloom joins — bit arithmetic lives in exactly one place."""
+    cand = np.zeros(len(col), dtype=bool)
+    valid = np.flatnonzero(np.asarray(pc.is_valid(col)))
+    if len(valid):
+        sub = col.drop_null()  # hash only valid rows (null→NaN casts)
+        hit = np.ones(len(valid), dtype=bool)
+        for idx in _positions(sub, m_bits, k_hashes):
+            hit &= (
+                (bm[(idx >> np.uint64(6)).astype(np.int64)]
+                 >> (idx & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+        cand[valid] = hit
+    return cand
+
+
+def _distinct_keys(keys_ds, kcol: str):
+    """(distinct-keys Dataset named __bloom_key, upper-bound count) —
+    the shared exact-verify prologue of both bloom joins (per-batch
+    unique partials; the count over-estimates until the global dedup)."""
+    distinct = keys_ds.select_columns([kcol]).map_batches(
+        lambda b: pa.table(
+            {"__bloom_key": b[kcol].combine_chunks().unique()}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    return distinct, distinct.count()
+
+
+def _broadcast_key_array(distinct) -> pa.Array:
+    import ray
+
+    return pa.concat_tables(
+        ray.get(distinct.to_arrow_refs()), promote_options="permissive"
+    )["__bloom_key"].combine_chunks().unique()
+
+
 def bloom_semi_join(
     fact_ds,
     keys_ds,
@@ -129,39 +170,23 @@ def bloom_semi_join(
 
     def probe(b: pa.Table) -> pa.Table:
         bm = ray.get(bref)
-        col = b[on].combine_chunks()
-        mask = np.asarray(pc.is_valid(col)).copy()
-        valid = np.flatnonzero(mask)
-        if len(valid):
-            sub = col.drop_null()  # hash only valid rows (null→NaN casts)
-            hit = np.ones(len(valid), dtype=bool)
-            for idx in _positions(sub, m_bits, k_hashes):
-                hit &= (
-                    (bm[(idx >> np.uint64(6)).astype(np.int64)]
-                     >> (idx & np.uint64(63)))
-                    & np.uint64(1)
-                ).astype(bool)
-            mask[valid] = hit
-        return b.filter(pa.array(mask))
+        return b.filter(
+            pa.array(
+                _bloom_candidates(
+                    b[on].combine_chunks(), bm, m_bits, k_hashes
+                )
+            )
+        )
 
     cand = fact_ds.map_batches(probe, batch_format="pyarrow")
     if not exact:
         return cand
 
-    distinct = keys_ds.select_columns([kcol]).map_batches(
-        lambda b: pa.table(
-            {"__bloom_key": b[kcol].combine_chunks().unique()}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    n = distinct.count()  # upper bound: per-batch distinct
+    distinct, n = _distinct_keys(keys_ds, kcol)
     if n <= broadcast_limit:
         from lsearch_ray.functions.joins import broadcast_semi_join
 
-        keys = pa.concat_tables(
-            ray.get(distinct.to_arrow_refs()), promote_options="permissive"
-        )["__bloom_key"].combine_chunks().unique()
-        return broadcast_semi_join(cand, keys, on)
+        return broadcast_semi_join(cand, _broadcast_key_array(distinct), on)
 
     from lsearch_ray.functions.dedup import exact_dedup
 
@@ -210,20 +235,14 @@ def bloom_anti_join(
 
     def flag(b: pa.Table) -> pa.Table:
         bm = ray.get(bref)
-        col = b[on].combine_chunks()
-        cand = np.zeros(b.num_rows, dtype=bool)  # nulls: never candidates
-        valid = np.flatnonzero(np.asarray(pc.is_valid(col)))
-        if len(valid):
-            sub = col.drop_null()
-            hit = np.ones(len(valid), dtype=bool)
-            for idx in _positions(sub, m_bits, k_hashes):
-                hit &= (
-                    (bm[(idx >> np.uint64(6)).astype(np.int64)]
-                     >> (idx & np.uint64(63)))
-                    & np.uint64(1)
-                ).astype(bool)
-            cand[valid] = hit
-        return b.append_column("__cand", pa.array(cand))
+        return b.append_column(
+            "__cand",
+            pa.array(
+                _bloom_candidates(
+                    b[on].combine_chunks(), bm, m_bits, k_hashes
+                )
+            ),
+        )
 
     flagged = fact_ds.map_batches(flag, batch_format="pyarrow").materialize()
 
@@ -240,20 +259,13 @@ def bloom_anti_join(
     if cand.count() == 0:
         return misses
 
-    distinct = keys_ds.select_columns([kcol]).map_batches(
-        lambda b: pa.table(
-            {"__bloom_key": b[kcol].combine_chunks().unique()}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    n = distinct.count()  # upper bound: per-batch distinct
+    distinct, n = _distinct_keys(keys_ds, kcol)
     if n <= broadcast_limit:
         from lsearch_ray.functions.joins import broadcast_semi_join
 
-        keys = pa.concat_tables(
-            ray.get(distinct.to_arrow_refs()), promote_options="permissive"
-        )["__bloom_key"].combine_chunks().unique()
-        survivors = broadcast_semi_join(cand, keys, on, anti=True)
+        survivors = broadcast_semi_join(
+            cand, _broadcast_key_array(distinct), on, anti=True
+        )
     else:
         from lsearch_ray.functions.dedup import exact_dedup
 

@@ -400,9 +400,13 @@ def transition_counts_ds(
                 type_col: b[type_col],
             }
         )
-        # null users have no defined stream order — excluded on both
-        # engines (the SQL twin filters them identically)
-        t = t.filter(pc.is_valid(t[user_col]))
+        # null users have no defined stream order and null event types no
+        # defined transition — both excluded on BOTH engines (the SQL
+        # twin filters identically; keeping them would let arrow's
+        # null-propagating kernels silently merge distinct null pairs)
+        t = t.filter(
+            pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[type_col]))
+        )
         return t.append_column(
             "__part", pa.array(partition_ids(t, [user_col], num_partitions))
         )
@@ -434,20 +438,20 @@ def transition_counts_ds(
         types = t[type_col].combine_chunks().cast(pa.large_string())
         src = types.slice(0, len(types) - 1).filter(pa.array(same))
         dst = types.slice(1).filter(pa.array(same))
-        # per-partition combine: count distinct (src, dst) pairs via a
-        # separator join (\x01 sorts below all token chars)
-        joined = pc.binary_join_element_wise(
-            src, dst, pa.scalar("\x01", pa.large_string())
-        )
-        vc = value_counts_table(joined, "pair", "c")
-        parts = pc.split_pattern(
-            vc["pair"].combine_chunks().cast(pa.large_string()), "\x01"
+        # per-partition combine on the two columns directly — a
+        # separator-join rendering would corrupt pairs whenever a type
+        # string contained the separator (arbitrary table data, unlike
+        # the analyzer-restricted tokens GRAM_SEP relies on)
+        g = (
+            pa.table({"src": src, "dst": dst})
+            .group_by(["src", "dst"])
+            .aggregate([([], "count_all")])
         )
         return pa.table(
             {
-                "src": pc.list_element(parts, 0),
-                "dst": pc.list_element(parts, 1),
-                "c": vc["c"],
+                "src": g["src"],
+                "dst": g["dst"],
+                "c": g["count_all"].cast(pa.int64()),
             }
         )
 
@@ -459,21 +463,18 @@ def transition_counts_ds(
         .aggregate(Sum("c", alias_name="n"))
     )
 
-    def prune(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("n", "descending"),
-                ("src", "ascending"),
-                ("dst", "ascending"),
-            ],
-        )
-        return t.take(idx.slice(0, k))
+    from lsearch_ray.functions.ngrams import _block_topk
 
     out = (
-        counts.map_batches(prune, batch_format="pyarrow")
+        counts.map_batches(
+            lambda t: _block_topk(
+                t,
+                k,
+                [("n", "descending"), ("src", "ascending"),
+                 ("dst", "ascending")],
+            ),
+            batch_format="pyarrow",
+        )
         .sort(["n", "src", "dst"], descending=[True, False, False])
         .limit(k)
         .to_pandas()

@@ -424,6 +424,14 @@ def grouped_rank_percentile_ds(
                 "filter upstream"
             )
         v = vcol.to_numpy(zero_copy_only=False)
+        # NaN breaks the tie detection (NaN != NaN gives tied NaNs
+        # DISTINCT increasing ranks, diverging from SQL rank()) — the
+        # operator's domain is finite values, like the quantile family
+        if v.dtype.kind == "f" and not np.isfinite(v).all():
+            raise ValueError(
+                f"grouped_rank_percentile_ds: {value_col} has non-finite "
+                "values; filter upstream"
+            )
         new_run, starts, run_of = run_bounds(t[group_col])
         sizes = np.diff(np.append(starts, n))
         # first-occurrence rank via GLOBAL indices: maximum.accumulate

@@ -78,16 +78,52 @@ def _count_partial(batch: pa.Table, n: int, text_col: str) -> pa.Table:
     )
 
 
-def _block_topk(t: pa.Table, k: int) -> pa.Table:
-    """Per-block top-k by (n desc, gram asc) — every global top-k row is
-    inside its own block's top-k, so pruning before the global sort is
-    lossless while cutting the final exchange to k rows per block."""
+def _block_topk(
+    t: pa.Table, k: int, sort_keys: list[tuple[str, str]] | None = None
+) -> pa.Table:
+    """Per-block top-k — every global top-k row is inside its own block's
+    top-k, so pruning before the global sort is lossless while cutting
+    the final exchange to k rows per block. Default order is the n-gram
+    family's (n desc, gram asc); pass ``sort_keys`` for other schemas
+    (the same invariant holds for any total order)."""
     if t.num_rows <= k:
         return t
     idx = pc.sort_indices(
-        t, sort_keys=[("n", "descending"), ("gram", "ascending")]
+        t,
+        sort_keys=sort_keys
+        or [("n", "descending"), ("gram", "ascending")],
     )
     return t.take(idx.slice(0, k))
+
+
+def unigram_counts_rows(ds, text_col: str = "text") -> list[dict]:
+    """Corpus unigram counts as driver-side rows (term, ``sum(n)``) —
+    the shared vocabulary-sized collect behind pmi_bigrams_ds and
+    bigram_lm_ds (per-batch ``value_counts`` partials into one
+    groupby-sum; swap the collect for a hash join at vocabularies beyond
+    the broadcast budget)."""
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, flat = flat_tokens_arrow(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.large_string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = flat.value_counts()
+        return pa.table(
+            {"term": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    return (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+        .take_all()
+    )
 
 
 def ngram_counts_ds(
@@ -273,28 +309,7 @@ def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text
     """
     from lsearch_ray.functions.joins import broadcast_join
 
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        from lsearch_ray.analyzer import flat_tokens_arrow
-
-        _, flat = flat_tokens_arrow(batch[text_col])
-        if len(flat) == 0:
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.large_string()),
-                    "n": pa.array([], type=pa.int64()),
-                }
-            )
-        vc = flat.value_counts()
-        return pa.table(
-            {"term": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
-        )
-
-    uni_rows = (
-        ds.map_batches(uni_partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("n")
-        .take_all()
-    )
+    uni_rows = unigram_counts_rows(ds, text_col)
     t_total = sum(int(r["sum(n)"]) for r in uni_rows)
     uni_terms = pa.array([r["term"] for r in uni_rows], type=pa.large_string())
     uni_counts = pa.array(
@@ -472,28 +487,7 @@ def bigram_lm_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text")
     """
     from lsearch_ray.functions.joins import broadcast_join
 
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        from lsearch_ray.analyzer import flat_tokens_arrow
-
-        _, flat = flat_tokens_arrow(batch[text_col])
-        if len(flat) == 0:
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.large_string()),
-                    "n": pa.array([], type=pa.int64()),
-                }
-            )
-        vc = flat.value_counts()
-        return pa.table(
-            {"term": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
-        )
-
-    uni_rows = (
-        ds.map_batches(uni_partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("n")
-        .take_all()
-    )
+    uni_rows = unigram_counts_rows(ds, text_col)
     uni_terms = pa.array([r["term"] for r in uni_rows], type=pa.large_string())
     uni_counts = pa.array(
         [int(r["sum(n)"]) for r in uni_rows], type=pa.int64()
@@ -537,24 +531,16 @@ def bigram_lm_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text")
             }
         )
 
-    def prune(t: pa.Table) -> pa.Table:
-        # lossless per-block top-k (every global top-k row is in its own
-        # block's top-k) — the final exchange carries k rows per block
-        if t.num_rows <= k:
-            return t
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("n", "descending"),
-                ("w1", "ascending"),
-                ("w2", "ascending"),
-            ],
-        )
-        return t.take(idx.slice(0, k))
-
     out = (
         joined.map_batches(score, batch_format="pyarrow")
-        .map_batches(prune, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _block_topk(
+                t,
+                k,
+                [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+            ),
+            batch_format="pyarrow",
+        )
         .sort(["n", "w1", "w2"], descending=[True, False, False])
         .limit(k)
         .to_pandas()

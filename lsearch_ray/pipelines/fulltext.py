@@ -367,6 +367,16 @@ def more_like_this_dataset(
         )
     src_w = {r["term"]: r["tf"] * idf[r["term"]] for r in src_rows}
     src_norm = math.sqrt(sum(w * w for w in src_w.values()))
+    if src_norm == 0.0:
+        # every source term appears in every doc (idf 0) — cosine is
+        # undefined (0/0); an unguarded division would emit NaN rows
+        # that sort into the top-k
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
     src_terms = pa.array(sorted(src_w))
 
     def weights(b: pa.Table, lookup: dict, col_name: str) -> pa.Table:
@@ -429,6 +439,11 @@ def more_like_this_dataset(
         )
 
     def finish(b: pa.Table) -> pa.Table:
+        # n2 == 0 docs (all terms idf 0) have undefined cosine — drop
+        # them rather than divide 0/0 into NaN (SQL twin: WHERE n2 > 0)
+        b = b.filter(
+            pc.greater(b["n2"], pa.scalar(0.0))
+        )
         dot = b["dot"].to_numpy(zero_copy_only=False)
         n2 = b["n2"].to_numpy(zero_copy_only=False)
         cos = dot / (np.sqrt(n2) * src_norm)

@@ -266,3 +266,20 @@ def test_grouped_rank_percentile_rejects_null_values():
     )
     with pytest.raises(Exception, match="has nulls"):
         grouped_rank_percentile_ds(ds, "g", "v").to_pandas()
+
+
+def test_grouped_rank_percentile_rejects_nan():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from lsearch_ray.functions.grouped import grouped_rank_percentile_ds
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"g": ["a", "a", "a"],
+             "v": pa.array([1.0, float("nan"), float("nan")], pa.float64())}
+        )
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        grouped_rank_percentile_ds(ds, "g", "v").to_pandas()

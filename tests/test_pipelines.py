@@ -231,3 +231,23 @@ def test_more_like_this_missing_source(docs):
 
     out = more_like_this_dataset(docs, 10**9, k=5)
     assert out.num_rows == 0
+
+
+def test_more_like_this_zero_norm_guard():
+    """All-idf-zero docs have undefined cosine: a corpus where the
+    source's every term is in every doc returns empty instead of NaN."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.pipelines.fulltext import more_like_this_dataset
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["the the", "the cat", "the dog"]),
+            }
+        )
+    )
+    out = more_like_this_dataset(ds, 0, k=5)
+    assert out.num_rows == 0

@@ -178,3 +178,31 @@ def test_transition_counts_matches_pandas(blocks):
     got = out.to_pandas()
     assert got.equals(ref[["src_type", "dst_type", "n"]].astype(
         {"n": "int64"}))
+
+
+def test_transition_counts_null_and_separator_types():
+    """Null event types are excluded (not merged into a null pair), and
+    a type string containing \\x01 must survive intact — the pair count
+    is taken on the two columns directly, not a separator rendering."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.funnel import transition_counts_ds
+
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4, 5],
+            "ts": pd.to_datetime([1, 2, 3, 4, 5, 6], unit="s"),
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_type": ["a\x01b", "c", None, "c", "x", "x"],
+        }
+    )
+    out = transition_counts_ds(
+        rd.from_arrow(pa.Table.from_pandas(df)), k=10, num_partitions=2
+    ).to_pandas()
+    got = {
+        (r.src_type, r.dst_type): r.n for r in out.itertuples(index=False)
+    }
+    # user 1 stream after null exclusion: a\x01b -> c -> c
+    assert got == {("a\x01b", "c"): 1, ("c", "c"): 1, ("x", "x"): 1}
