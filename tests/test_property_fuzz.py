@@ -416,3 +416,92 @@ def test_deletion_banding_is_exact_for_edit1(words):
     for i, j in itertools.combinations(range(len(words)), 2):
         if _lev_dp(words[i], words[j]) <= 1:
             assert neigh[i] & neigh[j], (words[i], words[j])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),       # doc id
+            st.integers(min_value=0, max_value=40),         # token count
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=64),                 # capacity
+    st.integers(min_value=1, max_value=1024),               # range width
+)
+@settings(max_examples=40, deadline=None)
+def test_pack_bins_fuzz_matches_sequential_rule(rows, capacity, range_width):
+    """pack_bins under random sparse ids / capacities / range widths must
+    equal the trivial sequential rule (exclusive prefix // capacity)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.packing import pack_bins_ds
+
+    rows = sorted(rows)
+    # synthesize texts with exactly the requested token counts
+    texts = [" ".join(["tok"] * n) for _, n in rows]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    out = (
+        pack_bins_ds(
+            ds, capacity=capacity, range_width=range_width, num_partitions=2
+        )
+        .to_pandas()
+    )
+    acc = 0
+    expect = []
+    for _, n in rows:
+        expect.append(acc // capacity)
+        acc += n
+    assert list(out["bin_id"]) == expect
+    assert list(out["n_tokens"]) == [n for _, n in rows]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),               # group
+            st.integers(min_value=-50, max_value=50),       # value
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_grouped_rank_percentile_fuzz_matches_pandas(rows):
+    """percent-rank under random groups/ties must equal pandas
+    rank(method='min')-1 scaled by 1e6 // group size."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.grouped import grouped_rank_percentile_ds
+
+    df = pd.DataFrame(
+        {
+            "g": [g for g, _ in rows],
+            "v": pd.array([v for _, v in rows], dtype="int64"),
+            "rid": range(len(rows)),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+    out = (
+        grouped_rank_percentile_ds(
+            ds, "g", "v", id_cols=["rid"], num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("rid")
+    )
+    rank0 = df.groupby("g")["v"].rank(method="min").astype("int64") - 1
+    sizes = df.groupby("g")["v"].transform("size").astype("int64")
+    expect = (rank0 * 10**6) // sizes
+    assert list(out["pct_micro"]) == list(expect)
