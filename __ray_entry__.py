@@ -1868,6 +1868,37 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_token_budget_sample(sf_dir: str):
+    """Deterministic 12k-token budget subsample: docs in stable hash
+    order kept while the exclusive prefix token sum stays under budget."""
+    from lsearch_ray.functions.packing import token_budget_sample_ds
+
+    return token_budget_sample_ds(
+        _docs(sf_dir, ["doc_id", "text"]), budget=12_000
+    )
+
+
+def _q_dataset_split(sf_dir: str):
+    """Reproducible 90/5/5 train/val/test assignment by hash bucket."""
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    def split(b: pa.Table) -> pa.Table:
+        h = _key_hash63(b["doc_id"]).astype(np.uint64) % 100
+        lbl = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "split": pa.array(lbl.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(split, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def _q_corpus_summary(sf_dir: str):
     """One-row corpus profile: doc count, total tokens, longest doc,
     vocabulary size — the ingest-report numbers, all exact integers."""
@@ -2175,6 +2206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "corpus_summary": _q_corpus_summary,
+        "token_budget_sample": _q_token_budget_sample,
+        "dataset_split": _q_dataset_split,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3485,6 +3518,30 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "token_budget_sample": (
+            # exact twin of functions.packing.token_budget_sample_ds:
+            # hash-ordered window cumsum, keep while the EXCLUSIVE
+            # prefix stays under budget (same FNV+mix hash, doc_id
+            # tiebreak on hash collisions)
+            "WITH dl AS (SELECT d.doc_id, coalesce(x.n, 0) AS n "
+            "FROM documents d LEFT JOIN ("
+            f"  SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id"
+            ") x ON d.doc_id = x.doc_id), "
+            "hh AS (SELECT doc_id, n, "
+            f"{_mixed_hash63_of('CAST(doc_id AS VARCHAR)')} AS h FROM dl) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM ("
+            "  SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY h, doc_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl "
+            "  FROM hh) WHERE excl < 12000 ORDER BY doc_id"
+        ),
+        "dataset_split": (
+            # reproducible split by hash bucket: same FNV+mix hash mod
+            # 100, 90/5/5 thresholds
+            "SELECT doc_id, CASE WHEN hb < 90 THEN 'train' "
+            "WHEN hb < 95 THEN 'val' ELSE 'test' END AS split FROM ("
+            f"  SELECT doc_id, {_mixed_hash63_of('CAST(doc_id AS VARCHAR)')}"
+            "  % 100 AS hb FROM documents) ORDER BY doc_id"
         ),
         "corpus_summary": (
             "WITH dl AS (SELECT d.doc_id, coalesce(x.n, 0) AS n "

@@ -117,3 +117,99 @@ def pack_bins_ds(
         .map_groups(final, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def token_budget_sample_ds(
+    docs_ds,
+    budget: int,
+    *,
+    range_bits: int = 8,
+    num_partitions: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Deterministic token-budget subsample: "take exactly ~``budget``
+    tokens of data" — docs are laid out in 63-bit-hash order (a stable
+    uniform shuffle, the sampling-family hash) and kept while the
+    EXCLUSIVE prefix token sum stays below the budget. The kept set is a
+    pure function of (corpus, budget): stable across cluster sizes,
+    batch splits and re-runs, and exactly SQL-expressible (hash-ordered
+    window cumsum).
+
+    Same two-pass shape as :func:`pack_bins_ds`, but ranged on the TOP
+    BITS of the key hash (2^range_bits ranges — uniform by construction,
+    so range totals are balanced even on adversarial id sets): one tiny
+    per-range aggregate prefix-summed on the driver, one hash shuffle,
+    one vectorized run-boundary cumsum per partition. Returns
+    ``(doc_id, n_tokens)`` of the kept docs sorted by id.
+    """
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.analyzer import doc_lengths_table
+    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    if budget < 0:
+        raise ValueError("token_budget_sample_ds: budget must be >= 0")
+    shift = np.int64(63 - range_bits)
+
+    def tok(b: pa.Table) -> pa.Table:
+        t = doc_lengths_table(b, text_col=text_col, id_col=id_col)
+        h = _key_hash63(t[id_col])
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "n_tokens": t["dl"],
+                "h": pa.array(h),
+                "rng": pa.array(h >> shift),
+            }
+        )
+
+    base = docs_ds.map_batches(tok, batch_format="pyarrow").materialize()
+    totals = base.groupby("rng").aggregate(Sum("n_tokens", alias_name="tot")).take_all()
+    totals.sort(key=lambda r: r["rng"])
+    rng_keys = np.array([r["rng"] for r in totals], dtype=np.int64)
+    tots = np.array([r["tot"] for r in totals], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tots)[:-1])) if len(tots) else tots
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__part", pa.array(partition_ids(b, ["rng"], num_partitions))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("rng", "ascending"),
+                ("h", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        v = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = t["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, starts, run_of = run_bounds(t["rng"])
+        total = np.cumsum(v)
+        excl = total - v - (total[starts] - v[starts])[run_of]
+        off = offsets[np.searchsorted(rng_keys, rng)]
+        keep = (off + excl) < np.int64(budget)
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": kept["doc_id"], "n_tokens": kept["n_tokens"]}
+        )
+
+    return (
+        base.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -77,3 +77,31 @@ def test_pack_bins_rejects_negative_ids_and_bad_params():
         pack_bins_ds(rd.from_arrow(tab), capacity=4).to_pandas()
     with pytest.raises(ValueError, match="must be > 0"):
         pack_bins_ds(rd.from_arrow(tab), capacity=0)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_token_budget_sample_matches_hash_order_rule(blocks):
+    """Kept set == greedy hash-order prefix under any partitioning."""
+    from lsearch_ray.functions.packing import token_budget_sample_ds
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    out = token_budget_sample_ds(
+        _ds(blocks), budget=10, range_bits=4, num_partitions=3
+    ).to_pandas()
+
+    h = _key_hash63(pa.array(IDS, pa.int64()))
+    order = sorted(range(len(IDS)), key=lambda i: (h[i], IDS[i]))
+    acc, expect = 0, []
+    for i in order:
+        n = len(tokenize(TEXTS[i]))
+        if acc < 10:
+            expect.append(IDS[i])
+        acc += n
+    assert sorted(out["doc_id"]) == sorted(expect)
+
+
+def test_token_budget_zero_budget_empty():
+    from lsearch_ray.functions.packing import token_budget_sample_ds
+
+    out = token_budget_sample_ds(_ds(1), budget=0).to_pandas()
+    assert len(out) == 0
