@@ -1868,6 +1868,30 @@ def _q_rrf_fusion(sf_dir: str):
     return rrf_fuse([a, b], k=10)
 
 
+def _q_pack_by_lang(sf_dir: str):
+    """Per-language sequence packing: each language's id-ordered token
+    stream split into its own 512-token context windows."""
+    from lsearch_ray.functions.packing import pack_bins_by_group_ds
+
+    out = pack_bins_by_group_ds(
+        _docs(sf_dir, ["doc_id", "lang", "text"]),
+        "lang",
+        capacity=512,
+        range_width=256,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["grp"],
+                "n_tokens": b["n_tokens"],
+                "bin_id": b["bin_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
 def _q_token_budget_sample(sf_dir: str):
     """Deterministic 12k-token budget subsample: docs in stable hash
     order kept while the exclusive prefix token sum stays under budget."""
@@ -2208,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_summary": _q_corpus_summary,
         "token_budget_sample": _q_token_budget_sample,
         "dataset_split": _q_dataset_split,
+        "pack_by_lang": _q_pack_by_lang,
         "seed_distance": _q_seed_distance,
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
@@ -3518,6 +3543,18 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "CAST((rank() OVER (ORDER BY n_tokens) - 1) * 1000000 "
             "// (SELECT count(*) FROM t) AS BIGINT) AS pct_micro "
             "FROM t ORDER BY doc_id"
+        ),
+        "pack_by_lang": (
+            # grouped twin of pack_bins: the window cumsum restarts per
+            # language partition
+            "WITH t AS (SELECT d.doc_id, d.lang, coalesce(x.n, 0) AS n "
+            "FROM documents d LEFT JOIN ("
+            f"  SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id"
+            ") x ON d.doc_id = x.doc_id) "
+            "SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 "
+            "AS BIGINT) AS bin_id FROM t ORDER BY doc_id"
         ),
         "token_budget_sample": (
             # exact twin of functions.packing.token_budget_sample_ds:

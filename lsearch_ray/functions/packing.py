@@ -213,3 +213,126 @@ def token_budget_sample_ds(
         .map_groups(final, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def pack_bins_by_group_ds(
+    docs_ds,
+    group_col: str,
+    *,
+    capacity: int = 512,
+    range_width: int = 256,
+    num_partitions: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-group sequence packing: each group (language, source) gets its
+    OWN id-ordered context-window stream — the per-language packing of
+    multilingual pretraining. ``bin_id`` restarts at 0 inside every
+    group; the rule is the grouped twin of :func:`pack_bins_ds`
+    (``sum(n) OVER (PARTITION BY g ORDER BY id ROWS ... 1 PRECEDING) //
+    capacity``).
+
+    Same two-pass shape: per-(group, range) totals (a tiny driver table,
+    groups × ranges rows) prefix-summed WITHIN each group, one hash
+    shuffle on (group, range), one vectorized run-boundary cumsum per
+    partition. Null groups raise (no defined stream).
+    """
+    if capacity <= 0 or range_width <= 0:
+        raise ValueError(
+            "pack_bins_by_group_ds: capacity and range_width must be > 0"
+        )
+    from ray.data.aggregate import Sum
+
+    def tok(b: pa.Table) -> pa.Table:
+        t = doc_lengths_table(b, text_col=text_col, id_col=id_col)
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if g.null_count:
+            raise ValueError(
+                f"pack_bins_by_group_ds: {group_col} has nulls"
+            )
+        ids = t[id_col].combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        if len(idn) and idn.min() < 0:
+            raise ValueError("pack_bins_by_group_ds: negative ids unsupported")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "grp": g,
+                "n_tokens": t["dl"],
+                "rng": pa.array(idn // np.int64(range_width)),
+            }
+        )
+
+    base = docs_ds.map_batches(tok, batch_format="pyarrow").materialize()
+    totals = (
+        base.groupby(["grp", "rng"])
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .take_all()
+    )
+    totals.sort(key=lambda r: (r["grp"], r["rng"]))
+    offsets: dict[tuple, int] = {}
+    acc_grp, acc = None, 0
+    for r in totals:
+        if r["grp"] != acc_grp:
+            acc_grp, acc = r["grp"], 0
+        offsets[(r["grp"], r["rng"])] = acc
+        acc += int(r["tot"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__part",
+            pa.array(partition_ids(b, ["grp", "rng"], num_partitions)),
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("grp", "ascending"),
+                ("rng", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "grp": pa.array([], pa.large_string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "bin_id": pa.array([], pa.int64()),
+                }
+            )
+        v = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = t["grp"].to_numpy(zero_copy_only=False)
+        rng = t["rng"].to_numpy(zero_copy_only=False)
+        # composite (grp, rng) run boundaries
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (grp[1:] != grp[:-1]) | (rng[1:] != rng[:-1])
+        starts = np.flatnonzero(new_run)
+        run_of = np.cumsum(new_run) - 1
+        total = np.cumsum(v)
+        excl = total - v - (total[starts] - v[starts])[run_of]
+        off = np.array(
+            [offsets[(grp[s], int(rng[s]))] for s in starts], dtype=np.int64
+        )[run_of]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "grp": t["grp"],
+                "n_tokens": pa.array(v),
+                "bin_id": pa.array((off + excl) // np.int64(capacity)),
+            }
+        )
+
+    return (
+        base.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -105,3 +105,49 @@ def test_token_budget_zero_budget_empty():
 
     out = token_budget_sample_ds(_ds(1), budget=0).to_pandas()
     assert len(out) == 0
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_pack_by_group_restarts_per_group(blocks):
+    from lsearch_ray.functions.packing import pack_bins_by_group_ds
+
+    groups = ["x", "y", "x", "y", "x", "y", "x"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(IDS, pa.int64()),
+            "text": pa.array(TEXTS),
+            "g": pa.array(groups),
+        }
+    )
+    out = (
+        pack_bins_by_group_ds(
+            rd.from_arrow(tab).repartition(blocks), "g",
+            capacity=4, range_width=3, num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # reference: per-group sequential rule in id order
+    order = np.argsort(IDS)
+    acc = {}
+    expect = {}
+    for i in order:
+        g = groups[i]
+        n = len(tokenize(TEXTS[i]))
+        expect[IDS[i]] = acc.get(g, 0) // 4
+        acc[g] = acc.get(g, 0) + n
+    assert {r.doc_id: r.bin_id for r in out.itertuples(index=False)} == expect
+
+
+def test_pack_by_group_rejects_null_groups():
+    from lsearch_ray.functions.packing import pack_bins_by_group_ds
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a", "b"]),
+            "g": pa.array(["x", None]),
+        }
+    )
+    with pytest.raises(Exception, match="has nulls"):
+        pack_bins_by_group_ds(rd.from_arrow(tab), "g").to_pandas()
