@@ -2130,6 +2130,98 @@ def _q_temp_sample(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_corr_qty_disc(sf_dir: str):
+    """Grouped Pearson correlation of quantity vs discount per return
+    flag — exact integer fixed-point: per-batch moment-sum combiner, one
+    tiny groupby, big-int finisher (corr_micro = millionths, magnitude
+    floored before the sign so SQL's truncating ``//`` replays it)."""
+    from lsearch_ray.functions.stats import grouped_corr_ds
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.add(b["l_quantity"], 0.5)), pa.int64())
+        y = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["l_discount"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table({"l_returnflag": b["l_returnflag"], "x": x, "y": y})
+
+    return grouped_corr_ds(
+        li.map_batches(prep, batch_format="pyarrow"), "l_returnflag", "x", "y"
+    ).sort("l_returnflag")
+
+
+_DECAY_ANCHOR_US = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z
+_DECAY_HORIZON = 24
+
+
+def _q_decayed_users(sf_dir: str):
+    """Top-20 users by dyadic time-decayed activity: score =
+    Σ cents · 2^(24 − age_days) over rows within the 24-day horizon
+    behind the fixed anchor — freshness-weighted ranking in pure int64."""
+    from lsearch_ray.functions.stats import decayed_topk_ds
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return decayed_topk_ds(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        anchor_us=_DECAY_ANCHOR_US,
+        horizon_days=_DECAY_HORIZON,
+        scale=100,
+        k=20,
+    )
+
+
+def _q_mad_by_type(sf_dir: str):
+    """Per-event-type median absolute deviation (robust scale): median =
+    lower-convention p50, mad = p50 of |v − median| — one IEEE subtract
+    on exact data values, so order statistics agree bit-for-bit."""
+    from lsearch_ray.functions.quantiles import grouped_mad_ds
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_mad_ds(ev, "event_type", "value", num_partitions=16)
+
+
+def _q_negative_pairs(sf_dir: str):
+    """Deterministic contrastive negative sampling: each doc pairs with
+    the docs k·(n//3) ranks away on the 63-bit-hash ring (j ∈ {1,2}) —
+    uniform-looking, reproducible partners with no RNG state."""
+    from lsearch_ray.functions.sampling import negative_pairs_ds
+
+    docs = _docs(sf_dir, ["doc_id"])
+    return negative_pairs_ds(docs, "doc_id", k=2)
+
+
+_RECALL_QUERY_IDS = [0, 1, 2, 3]
+
+
+def _q_ann_recall(sf_dir: str):
+    """Evaluation harness: recall@10 of the LSH-probed ANN arm vs the
+    exact brute-force answer for 4 query vectors, in ONE corpus pass
+    (matmul + bucket mask per batch, per-arm partial top-k)."""
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.functions.ann_lsh import ann_recall_table
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, filters=[("vec_id", "in", _RECALL_QUERY_IDS)])
+    order = np.argsort(qt["vec_id"].to_numpy())
+    from lsearch_ray.functions.ann import _stack_embeddings
+
+    qm = _stack_embeddings(qt["embedding"])[order].astype(np.float64)
+    return ann_recall_table(
+        _read(sf_dir, "embeddings"),
+        qm,
+        _RECALL_QUERY_IDS,
+        k=10,
+        nplanes=10,
+        nprobe_hamming=1,
+        seed=4242,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -2237,6 +2329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits,
         "pack_bins": _q_pack_bins,
         "temp_sample": _q_temp_sample,
+        "corr_qty_disc": _q_corr_qty_disc,
+        "decayed_users": _q_decayed_users,
+        "mad_by_type": _q_mad_by_type,
+        "negative_pairs": _q_negative_pairs,
+        "ann_recall": _q_ann_recall,
     }
 
 
@@ -2513,6 +2610,49 @@ cand AS (SELECT b.vec_id FROM buckets b, qb
 SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS sim
 FROM e JOIN cand ON e.vec_id = cand.vec_id, q
 ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def _ann_recall_sql() -> str:
+    """Exact SQL twin of functions.ann_lsh.ann_recall_table (nplanes=10,
+    seed 4242, hamming-1 probe, 4 query vectors): both arms ranked by
+    (rounded cosine desc, vec_id), recall = overlap·100 // 10."""
+    from lsearch_ray.functions.ann_lsh import _planes
+
+    planes = _planes(64, 10, 4242)
+    plane_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[:, j])}]::DOUBLE[])"
+        for j in range(planes.shape[1])
+    )
+    qids = ", ".join(str(i) for i in _RECALL_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+planes(j, p) AS (VALUES {plane_rows}),
+buckets AS (SELECT e.vec_id,
+    CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 << pl.j ELSE 0 END)
+         AS BIGINT) AS bkt
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+qb AS (SELECT qs.qid,
+    CAST(sum(CASE WHEN list_dot_product(qs.qv, pl.p) > 0 THEN 1 << pl.j ELSE 0 END)
+         AS BIGINT) AS bkt
+  FROM qs CROSS JOIN planes pl GROUP BY qs.qid),
+sims AS (SELECT qs.qid, e.vec_id,
+    round(list_cosine_similarity(e.v, qs.qv), 4) AS sim, b.bkt, qb.bkt AS qbkt
+  FROM e CROSS JOIN qs
+  JOIN buckets b ON b.vec_id = e.vec_id JOIN qb ON qb.qid = qs.qid),
+exact AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+    FROM sims) WHERE rn <= 10),
+approx AS (SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+    FROM sims WHERE bit_count(xor(bkt, qbkt)) <= 1) WHERE rn <= 10)
+SELECT ex.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.vec_id) * 100 // 10 AS BIGINT) AS recall_pct
+FROM exact ex LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+GROUP BY ex.qid ORDER BY ex.qid
 """
 
 
@@ -3726,6 +3866,85 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "  FROM documents d JOIN r USING (lang)) "
             "WHERE h % 1000000 < rate ORDER BY doc_id"
         ),
+        "corr_qty_disc": (
+            # exact twin of functions.stats.grouped_corr_ds: integer
+            # moment sums in HUGEINT, isqrt via the float-sqrt ±1 CASE
+            # fix, magnitude floored before the sign (so truncating //
+            # on the non-negative magnitude == the engine's floor)
+            "WITH b AS (SELECT l_returnflag, "
+            "  CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x, "
+            "  CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS y FROM lineitem), "
+            "s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n, "
+            "  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, "
+            "  sum(x*y) AS sxy FROM b GROUP BY l_returnflag), "
+            "v AS (SELECT l_returnflag, n, n*sxy - sx*sy AS num, "
+            "  (n*sxx - sx*sx) * (n*syy - sy*sy) AS p FROM s), "
+            "i AS (SELECT l_returnflag, n, num, "
+            "  CASE WHEN (s0 + 1) * (s0 + 1) <= p THEN s0 + 1 "
+            "       WHEN s0 * s0 > p THEN s0 - 1 ELSE s0 END AS den "
+            "  FROM (SELECT l_returnflag, n, num, p, "
+            "        CAST(floor(sqrt(CAST(p AS DOUBLE))) AS HUGEINT) AS s0 FROM v)) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CAST(CASE WHEN den = 0 THEN 0 "
+            "     WHEN num < 0 THEN -(((-num) * 1000000) // den) "
+            "     ELSE (num * 1000000) // den END AS BIGINT) AS corr_micro "
+            "FROM i ORDER BY l_returnflag"
+        ),
+        "decayed_users": (
+            # exact twin of functions.stats.decayed_topk_ds: dyadic decay
+            # weight 2^(24 - age_days) inside the horizon, 0 outside;
+            # delta >= 0 guard keeps // on non-negatives (truncate ==
+            # floor there — the signed-division engine-parity pitfall)
+            f"WITH w AS (SELECT user_id, "
+            "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, "
+            f"  {_DECAY_ANCHOR_US} - epoch_us(ts) AS delta FROM events "
+            "  WHERE isfinite(value) AND user_id IS NOT NULL AND ts IS NOT NULL), "
+            "s AS (SELECT user_id, sum(CASE WHEN delta >= 0 "
+            f"  AND delta // 86400000000 <= {_DECAY_HORIZON} "
+            f"  THEN cents * (CAST(1 AS BIGINT) << ({_DECAY_HORIZON} "
+            "  - CAST(delta // 86400000000 AS INT))) ELSE 0 END) AS score "
+            "  FROM w GROUP BY user_id) "
+            "SELECT user_id, CAST(score AS BIGINT) AS score FROM s "
+            "ORDER BY score DESC, user_id LIMIT 20"
+        ),
+        "mad_by_type": (
+            # exact twin of functions.quantiles.grouped_mad_ds: median =
+            # value at rank floor(0.5*(n-1)) of the group's sorted finite
+            # values; dev = abs(v - median) is one IEEE double subtract
+            # of exact data values, so the second order statistic agrees
+            "WITH f AS (SELECT event_type, value FROM events "
+            "  WHERE isfinite(value)), "
+            "m AS (SELECT event_type, value AS median FROM ("
+            "  SELECT event_type, value, "
+            "    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk, "
+            "    count(*) OVER (PARTITION BY event_type) AS n FROM f) "
+            "  WHERE rk = CAST(floor(0.5 * (n - 1)) AS BIGINT)), "
+            "d AS (SELECT f.event_type, abs(f.value - m.median) AS dev "
+            "  FROM f JOIN m USING (event_type)), "
+            "r AS (SELECT event_type, dev, "
+            "  row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1 AS rk, "
+            "  count(*) OVER (PARTITION BY event_type) AS n FROM d) "
+            "SELECT r.event_type, m.median, r.dev AS mad "
+            "FROM r JOIN m USING (event_type) "
+            "WHERE rk = CAST(floor(0.5 * (n - 1)) AS BIGINT) ORDER BY r.event_type"
+        ),
+        "negative_pairs": (
+            # exact twin of functions.sampling.negative_pairs_ds: rank =
+            # row_number over (63-bit mixed hash, id); partners at
+            # rank + j*(n//3) mod n on the ring, self-pairs dropped
+            f"WITH h AS (SELECT doc_id, "
+            f"  {_mixed_hash63_of('CAST(doc_id AS VARCHAR)')} AS hv FROM documents), "
+            "r AS (SELECT doc_id, "
+            "  row_number() OVER (ORDER BY hv, doc_id) - 1 AS rk FROM h), "
+            "n AS (SELECT count(*) AS c FROM r), "
+            "p AS (SELECT doc_id, rk, j, "
+            "  (rk + j * ((SELECT c FROM n) // 3)) % (SELECT c FROM n) AS prk "
+            "  FROM r CROSS JOIN (VALUES (1), (2)) AS js(j)) "
+            "SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r2.doc_id AS neg_id "
+            "FROM p JOIN r r2 ON r2.rk = p.prk WHERE r2.doc_id <> p.doc_id "
+            "ORDER BY p.doc_id, j"
+        ),
+        "ann_recall": _ann_recall_sql(),
         "dup_components": _cc_labels_sql(
             _NGRAM_EDGES_CTE, "documents", "doc_id"
         ),

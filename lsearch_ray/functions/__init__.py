@@ -97,3 +97,7 @@ from lsearch_ray.functions.pagerank import (  # noqa: F401
     pagerank_ds,
     triangle_count_ds,
 )
+from lsearch_ray.functions.stats import (  # noqa: F401
+    decayed_topk_ds,
+    grouped_corr_ds,
+)

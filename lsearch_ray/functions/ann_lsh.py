@@ -173,3 +173,110 @@ def embedding_dedup(
 
     verified = joined.map_batches(verify, batch_format="pyarrow")
     return apply_verified_pairs(ds, verified, id_col, num_partitions=np_eff)
+
+
+def ann_recall_table(
+    emb_ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    nplanes: int = 10,
+    nprobe_hamming: int = 1,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Recall@k of LSH-probed cosine search vs the exact brute-force
+    answer, for a batch of query vectors, in ONE corpus pass.
+
+    Per batch: one matmul scores every vector against all Q queries; the
+    exact arm takes a per-(query) partial top-k, the LSH arm masks to
+    vectors whose hyperplane bucket is within hamming ``nprobe_hamming``
+    of the query's bucket (the lsh_cosine_topk probe rule, same planes /
+    seed) before its partial top-k. The driver merges Q×2×k-row partials
+    and reports ``recall_pct = |approx ∩ exact| * 100 // k`` per query —
+    tie order (sim desc, id asc) matches the ann family contract.
+
+    Returns a pa.Table (query_id, n_exact, recall_pct) sorted by
+    query_id. Q is broadcast once; nothing else leaves the tasks.
+    """
+    from lsearch_ray.functions.ann import _stack_embeddings as _stack
+
+    q = np.asarray(queries, dtype=np.float64)
+    nq, dim = q.shape
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    planes = _planes(dim, nplanes, seed)
+    qb = _bucket_of(q, planes)
+    probe_sets = [
+        np.array(_neighbor_buckets(int(b), nplanes, nprobe_hamming), dtype=np.int64)
+        for b in qb
+    ]
+
+    class _Partial:
+        def __init__(self):
+            self.qn = qn
+            self.planes = planes
+            self.probe_sets = probe_sets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _stack(batch[emb_col]).astype(np.float64)
+            empty = pa.table(
+                {
+                    "qi": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+            if m.shape[0] == 0:
+                return empty
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m / norms[:, None]) @ self.qn.T  # n × Q
+            bkt = _bucket_of(m, self.planes)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            out_qi, out_kind, out_id, out_sim = [], [], [], []
+            for qi in range(nq):
+                s = sims[:, qi]
+                for kind, mask in ((0, None), (1, np.isin(bkt, self.probe_sets[qi]))):
+                    sv, iv = (s, ids) if mask is None else (s[mask], ids[mask])
+                    if len(sv) > k:
+                        part = np.argpartition(-sv, k)[:k]
+                        sv, iv = sv[part], iv[part]
+                    out_qi.append(np.full(len(sv), qi, dtype=np.int64))
+                    out_kind.append(np.full(len(sv), kind, dtype=np.int64))
+                    out_id.append(iv.astype(np.int64))
+                    out_sim.append(sv)
+            return pa.table(
+                {
+                    "qi": pa.array(np.concatenate(out_qi)),
+                    "kind": pa.array(np.concatenate(out_kind)),
+                    id_col: pa.array(np.concatenate(out_id)),
+                    "sim": pa.array(np.concatenate(out_sim)),
+                }
+            )
+
+    parts = emb_ds.map_batches(_Partial(), batch_format="pyarrow").take_all()
+    by_arm: dict[tuple[int, int], list] = {}
+    for r in parts:
+        by_arm.setdefault((r["qi"], r["kind"]), []).append((r["sim"], r[id_col]))
+
+    def topk_ids(rows: list) -> list[int]:
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        return [i for _, i in rows[:k]]
+
+    out_rows = []
+    for qi in range(nq):
+        exact = topk_ids(by_arm.get((qi, 0), []))
+        approx = set(topk_ids(by_arm.get((qi, 1), [])))
+        hit = sum(1 for i in exact if i in approx)
+        out_rows.append((query_ids[qi], len(exact), hit * 100 // k))
+    out_rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], pa.int64()),
+            "n_exact": pa.array([r[1] for r in out_rows], pa.int64()),
+            "recall_pct": pa.array([r[2] for r in out_rows], pa.int64()),
+        }
+    )

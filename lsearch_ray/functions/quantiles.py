@@ -514,3 +514,64 @@ def equi_width_hist_ds(
         .aggregate(Sum("c", alias_name="n"))
         .sort(bucket_col)
     )
+
+
+def grouped_mad_ds(ds, group_col: str, value_col: str, *, num_partitions: int = 16):
+    """Per-group median absolute deviation (robust scale estimate):
+    ``median = lower-convention p50`` of the group's finite values (the
+    grouped_quantiles_ds contract), ``mad = p50 of |v − median|`` over
+    the same rows. |v − median| is ONE IEEE double subtract of a value
+    that is itself an exact data point, so every engine produces
+    bit-identical deviations and therefore identical order statistics.
+
+    Returns a Dataset of (group_col, median, mad) sorted by group.
+
+    Scale note: the per-group medians are collected to the driver and
+    broadcast into the deviation pass — group cardinality must be
+    driver-sized (languages, event types, domains). Beyond that, swap
+    the broadcast for a hash join on group_col; the two
+    grouped_quantiles_ds shuffles are unchanged.
+    """
+    base = ds.materialize()
+    med_rows = grouped_quantiles_ds(
+        base, group_col, value_col, [0.5], num_partitions=num_partitions
+    ).take_all()
+    meds = {r[group_col]: float(r["value"]) for r in med_rows}
+
+    def absdev(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col])
+        t = t.filter(pc.is_valid(t[group_col]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        t = t.filter(pa.array(fin))
+        v = v[fin]
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        uniq = pc.unique(grp)
+        med_for = np.array(
+            [meds.get(u.as_py(), np.nan) for u in uniq], dtype=np.float64
+        )
+        idx = pc.index_in(grp, value_set=uniq).to_numpy(zero_copy_only=False)
+        dev = np.abs(v - med_for[idx.astype(np.int64)])
+        return pa.table({group_col: grp, "dev": pa.array(dev)})
+
+    dev_ds = base.map_batches(absdev, batch_format="pyarrow")
+    mad = grouped_quantiles_ds(
+        dev_ds, group_col, "dev", [0.5], num_partitions=num_partitions
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        med = np.array([meds[g.as_py()] for g in grp], dtype=np.float64)
+        return pa.table(
+            {
+                group_col: grp,
+                "median": pa.array(med),
+                "mad": t["value"],
+            }
+        )
+
+    return mad.map_batches(attach, batch_format="pyarrow").sort(group_col)

@@ -313,3 +313,157 @@ def kmv_distinct(ds, key_col: str, *, k: int = 1024) -> dict:
         "kth_hash": kth,
         "k": k,
     }
+
+
+def hash_rank_ds(ds, id_col: str, *, range_bits: int = 8, num_partitions: int = 8):
+    """Global rank of every row in (hash, id) order — a stable uniform
+    shuffle position, the backbone of deterministic pairing/splitting.
+
+    Same two-pass shape as packing.token_budget_sample_ds: per-range row
+    counts (2^range_bits ranges on the hash TOP BITS — balanced by
+    construction) prefix-summed on the driver, one hash-partition shuffle,
+    one vectorized run-boundary local rank per partition. Returns a
+    Dataset of (id_col, rk) with rk ∈ [0, n); ties on the 63-bit hash
+    break by ascending id, so the order is total and engine-independent.
+    """
+    from ray.data.aggregate import Count
+
+    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.grouped import run_bounds
+
+    shift = np.int64(63 - range_bits)
+
+    def tok(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _key_hash63(ids)
+        return pa.table(
+            {id_col: ids, "h": pa.array(h), "rng": pa.array(h >> shift)}
+        )
+
+    base = ds.map_batches(tok, batch_format="pyarrow").materialize()
+    totals = base.groupby("rng").aggregate(Count(alias_name="tot")).take_all()
+    totals.sort(key=lambda r: r["rng"])
+    rng_keys = np.array([r["rng"] for r in totals], dtype=np.int64)
+    tots = np.array([r["tot"] for r in totals], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tots)[:-1])) if len(tots) else tots
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__part", pa.array(partition_ids(b, ["rng"], num_partitions))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("rng", "ascending"),
+                ("h", "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: t[id_col], "rk": pa.array([], pa.int64())}
+            )
+        rng = t["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, starts, run_of = run_bounds(t["rng"])
+        local = np.arange(t.num_rows, dtype=np.int64)
+        local -= starts[run_of]
+        off = offsets[np.searchsorted(rng_keys, rng)]
+        return pa.table({id_col: t[id_col], "rk": pa.array(off + local)})
+
+    return (
+        base.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def negative_pairs_ds(
+    ds,
+    id_col: str,
+    *,
+    k: int = 2,
+    range_bits: int = 8,
+    num_partitions: int = 8,
+):
+    """Deterministic contrastive negative sampling: pair every id with
+    ``k`` pseudo-random "far" partners — the id at rank
+    ``(rk + j·(n // (k+1))) % n`` of the hash-ordered ring, j ∈ [1, k].
+
+    The hash order is a stable uniform shuffle, so the partners are
+    uniform-looking yet a pure function of the id set: reproducible
+    across runs, cluster sizes and partitionings, and exactly
+    SQL-expressible (row_number over the same hash + modular join).
+    Self-pairs (possible when n ≤ k+1 makes the stride wrap) are dropped
+    deterministically. Returns (id_col, j, neg_id) sorted by (id, j).
+
+    Scale: one :func:`hash_rank_ds` pass, a k-way stateless flat-map and
+    ONE int-keyed hash join (uniform ranks — no skew); nothing is
+    broadcast or collected beyond the 2^range_bits range counts.
+    """
+    from lsearch_ray.functions.joins import hash_join
+
+    if k < 1:
+        raise ValueError("negative_pairs_ds: k must be >= 1")
+    ranked = hash_rank_ds(
+        ds, id_col, range_bits=range_bits, num_partitions=num_partitions
+    ).materialize()
+    n = ranked.count()
+    if n == 0:
+        return ranked.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    stride = n // (k + 1)
+
+    def probes(t: pa.Table) -> pa.Table:
+        rk = t["rk"].to_numpy(zero_copy_only=False)
+        ids = t[id_col]
+        parts = []
+        for j in range(1, k + 1):
+            prk = (rk + j * stride) % n
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "j": pa.array(np.full(len(rk), j, dtype=np.int64)),
+                        "prk": pa.array(prk),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    probe_ds = ranked.map_batches(probes, batch_format="pyarrow")
+    targets = ranked.map_batches(
+        lambda t: pa.table({"neg_id": t[id_col], "rk": t["rk"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        probe_ds,
+        targets,
+        on="prk",
+        right_on="rk",
+        num_partitions=max(2, min(16, (n * k) // 100_000 + 2)),
+    )
+    out = joined.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "j": t["j"],
+                "neg_id": t["neg_id"],
+            }
+        ).filter(pc.not_equal(t[id_col], t["neg_id"])),
+        batch_format="pyarrow",
+    )
+    return out.sort([id_col, "j"])

@@ -1,0 +1,167 @@
+"""Distributed second-moment statistics: grouped Pearson correlation and
+dyadic time-decayed aggregation.
+
+Both are exact-integer contracts so any engine replays them bit-for-bit:
+
+- :func:`grouped_corr_ds` works on caller-quantized int64 ``x``/``y``
+  columns. Per-batch partial moment sums (n, Σx, Σy, Σx², Σy², Σxy) via a
+  pyarrow group_by combiner, ONE small groupby-sum shuffle (one row per
+  group), then a per-group finisher computing
+  ``corr_micro = sign(num) * (|num| * 10^6 // isqrt(vx * vy))`` in
+  arbitrary-precision Python ints (num = n·Σxy − Σx·Σy, vx = n·Σx² − Σx²,
+  vy analogous). |num| ≤ isqrt(vx·vy) by Cauchy-Schwarz so the result is
+  a true micro-correlation in [−10^6, 10^6]; a zero-variance group (or an
+  empty one) reports 0 by contract. The finisher runs inside map_batches
+  over the aggregated (one-row-per-group) dataset — O(groups) Python after
+  full vectorized aggregation, never per input row.
+
+- :func:`decayed_topk_ds` scores each key by
+  ``Σ floor(value·scale + 0.5) · 2^(horizon − age_days)`` over rows with
+  ``0 ≤ age_days ≤ horizon`` (``age_days = (anchor_us − ts_us) //
+  86400e6``; rows after the anchor or past the horizon weigh 0) — dyadic
+  exponential decay, pure int64. Per-batch group_by partials, one
+  groupby-sum, per-block top-k prune before the final k-row sort.
+  Overflow bound: per-row contribution ≤ scale·max|value|·2^horizon; keep
+  ``horizon`` small enough that a key's sum fits int64 (the default
+  horizon=24 leaves ~2^19 rows of headroom at value≤10^4, scale=100).
+
+Reference scope note: the reference engine has no statistics surface
+(SURVEY §2.9 — analytics family the new engine adds).
+"""
+
+from __future__ import annotations
+
+from math import isqrt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US_PER_DAY = 86_400_000_000
+
+
+def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+def grouped_corr_ds(ds, key_col: str, x_col: str, y_col: str, *, scale: int = 1_000_000):
+    """Per-group Pearson correlation of two int64 columns, exact
+    fixed-point. Returns a Dataset of (key_col, n, corr_micro) —
+    ``corr_micro`` = correlation in millionths, floor of the magnitude
+    (sign applied after, so SQL's truncating ``//`` matches). Null keys
+    and null x/y rows are dropped."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, x_col, y_col])
+        valid = pc.and_(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[x_col])),
+            pc.is_valid(t[y_col]),
+        )
+        t = t.filter(valid)
+        x = pc.cast(t[x_col], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        moments = pa.table(
+            {
+                key_col: t[key_col],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        g = moments.group_by(key_col).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        return _rename(g, {f"{c}_sum": c for c in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # one row per group here: exact big-int math, O(groups) not O(rows)
+        out_corr = []
+        n_l = t["n"].to_pylist()
+        sx_l, sy_l = t["sx"].to_pylist(), t["sy"].to_pylist()
+        sxx_l, syy_l, sxy_l = (
+            t["sxx"].to_pylist(),
+            t["syy"].to_pylist(),
+            t["sxy"].to_pylist(),
+        )
+        for n, sx, sy, sxx, syy, sxy in zip(n_l, sx_l, sy_l, sxx_l, syy_l, sxy_l):
+            num = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            den = isqrt(vx * vy)
+            if den == 0:
+                out_corr.append(0)
+            else:
+                mag = (abs(num) * scale) // den
+                out_corr.append(-mag if num < 0 else mag)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n": t["n"].cast(pa.int64()),
+                "corr_micro": pa.array(out_corr, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def decayed_topk_ds(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    anchor_us: int,
+    horizon_days: int = 24,
+    scale: int = 100,
+    k: int = 20,
+):
+    """Top-k keys by dyadic time-decayed value sum (see module doc).
+    Returns a Dataset of (key_col, score) — the k highest scores,
+    ties broken by ascending key. Non-finite values and null keys/ts
+    drop; rows newer than the anchor or older than the horizon weigh 0."""
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.ngrams import _block_topk
+
+    if horizon_days < 0 or horizon_days > 62:
+        raise ValueError("decayed_topk_ds: horizon_days must be in [0, 62]")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, ts_col, value_col])
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        t = t.filter(pa.array(fin))
+        v = v[fin]
+        cents = np.floor(v * scale + 0.5).astype(np.int64)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        delta = np.int64(anchor_us) - ts
+        # floor==truncate on the non-negative deltas; negatives are masked
+        age = delta // np.int64(US_PER_DAY)
+        ok = (delta >= 0) & (age <= horizon_days)
+        shift = np.where(ok, np.int64(horizon_days) - np.where(ok, age, 0), 0)
+        w = np.where(ok, np.left_shift(np.int64(1), shift), np.int64(0))
+        contrib = pa.table({key_col: t[key_col], "score": pa.array(cents * w)})
+        g = contrib.group_by(key_col).aggregate([("score", "sum")])
+        return _rename(g, {"score_sum": "score"})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("score", alias_name="score"))
+    )
+    sort_keys = [("score", "descending"), (key_col, "ascending")]
+    pruned = agg.map_batches(
+        lambda t: _block_topk(t, k, sort_keys), batch_format="pyarrow"
+    )
+    return pruned.sort(["score", key_col], descending=[True, False]).limit(k)
