@@ -2222,6 +2222,95 @@ def _q_ann_recall(sf_dir: str):
     )
 
 
+def _q_outlier_events(sf_dir: str):
+    """Per-type z-score anomaly flags (|z| > 3, population σ) with the
+    quadratic test reduced to exact integer bounds — anomaly detection
+    with zero float variance arithmetic on either engine."""
+    from lsearch_ray.functions.stats import zscore_outliers_ds
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return zscore_outliers_ds(ev, "event_type", "event_id", "value", scale=100, z=3)
+
+
+def _q_weighted_median_price(sf_dir: str):
+    """Per-flag quantity-weighted median price: smallest price v with
+    2·Σ{qty : price ≤ v} ≥ Σqty — the 50% point of shipped-unit mass,
+    tie-order-free (equal prices pool weights before the test)."""
+    from lsearch_ray.functions.quantiles import grouped_weighted_median_ds
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_extendedprice": b["l_extendedprice"],
+                "w": pc.cast(pc.floor(pc.add(b["l_quantity"], 0.5)), pa.int64()),
+            }
+        )
+
+    return grouped_weighted_median_ds(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag",
+        "l_extendedprice",
+        "w",
+    )
+
+
+def _q_hourly_gapfill(sf_dir: str):
+    """Zero-filled per-type hourly series on the dense [min, max] hour
+    grid — densification for time-series modeling (absent cells as 0)."""
+    from lsearch_ray.functions.windows import gapfill_hourly_counts_ds
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return gapfill_hourly_counts_ds(ev, key_col="event_type", ts_col="ts")
+
+
+def _q_windowed_dedup(sf_dir: str):
+    """Streaming-style windowed dedup: keep only the FIRST event per
+    (user, type, hour bucket) — the at-most-once-per-window ingestion
+    rule, via exact_dedup with an hour-truncated key column."""
+    from lsearch_ray.functions.dedup import exact_dedup
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    us_per_hour = 3_600_000_000
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "hour_us", pa.array((us // np.int64(us_per_hour)) * us_per_hour)
+        )
+
+    kept = exact_dedup(
+        ev.map_batches(add_hour, batch_format="pyarrow"),
+        ["user_id", "event_type", "hour_us"],
+        ["ts", "event_id"],
+        ascending=[True, True],
+        num_partitions=16,
+    )
+    return kept.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "hour": b["hour_us"].cast(pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_id")
+
+
+def _q_session_sizes(sf_dir: str):
+    """Session-size histogram: number of sessions with exactly L events
+    (30-min gap rule) — the engagement-shape distribution, one
+    hash-partition pass + a tiny distinct-length aggregate."""
+    from lsearch_ray.functions.joins import session_size_hist_ds
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return session_size_hist_ds(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -2334,6 +2423,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_type": _q_mad_by_type,
         "negative_pairs": _q_negative_pairs,
         "ann_recall": _q_ann_recall,
+        "outlier_events": _q_outlier_events,
+        "weighted_median_price": _q_weighted_median_price,
+        "hourly_gapfill": _q_hourly_gapfill,
+        "windowed_dedup": _q_windowed_dedup,
+        "session_sizes": _q_session_sizes,
     }
 
 
@@ -3945,6 +4039,86 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "ORDER BY p.doc_id, j"
         ),
         "ann_recall": _ann_recall_sql(),
+        "outlier_events": (
+            # exact twin of functions.stats.zscore_outliers_ds: outlier ⇔
+            # (n·x − S)² > 9(n·Sxx − S²), spelled n·x > S ± isqrt(·) so
+            # every comparison is integer (HUGEINT; isqrt = float sqrt
+            # with the ±1 CASE fix). The engine proves the same test via
+            # per-group int64 bounds — algebraically identical.
+            "WITH b AS (SELECT event_id, event_type, "
+            "  CAST(floor(value * 100 + 0.5) AS HUGEINT) AS x FROM events "
+            "  WHERE isfinite(value) AND event_type IS NOT NULL), "
+            "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "  sum(x) AS s, sum(x*x) AS sxx FROM b GROUP BY event_type), "
+            "r AS (SELECT event_type, n, s, 9 * (n * sxx - s * s) AS rr FROM m), "
+            "i AS (SELECT event_type, n, s, "
+            "  CASE WHEN (s0 + 1) * (s0 + 1) <= rr THEN s0 + 1 "
+            "       WHEN s0 * s0 > rr THEN s0 - 1 ELSE s0 END AS q "
+            "  FROM (SELECT event_type, n, s, rr, "
+            "        CAST(floor(sqrt(CAST(rr AS DOUBLE))) AS HUGEINT) AS s0 FROM r)) "
+            "SELECT b.event_id, b.event_type, CAST(b.x AS BIGINT) AS cents "
+            "FROM b JOIN i USING (event_type) "
+            "WHERE b.x * i.n > i.s + i.q OR b.x * i.n < i.s - i.q "
+            "ORDER BY b.event_id"
+        ),
+        "weighted_median_price": (
+            # exact twin of quantiles.grouped_weighted_median_ds: pool
+            # weights per (flag, price), cumulative weight in price
+            # order, wmedian = min price with 2·cum ≥ total
+            "WITH b AS (SELECT l_returnflag, l_extendedprice AS v, "
+            "  CAST(floor(l_quantity + 0.5) AS BIGINT) AS w FROM lineitem), "
+            "c AS (SELECT l_returnflag, v, sum(w) AS wv FROM b "
+            "  GROUP BY l_returnflag, v), "
+            "s AS (SELECT l_returnflag, v, "
+            "  sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+            "  sum(wv) OVER (PARTITION BY l_returnflag) AS tot FROM c) "
+            "SELECT l_returnflag, min(v) AS wmedian FROM s "
+            "WHERE 2 * cw >= tot GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "hourly_gapfill": (
+            # exact twin of windows.gapfill_hourly_counts_ds: dense
+            # keys × [min,max] hour grid, absent cells 0; hour = integer
+            # epoch-µs floor to the hour (matches the engine's int math)
+            "WITH c AS (SELECT event_type, "
+            "  (epoch_us(ts) // 3600000000) * 3600000000 AS hu, count(*) AS n "
+            "  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+            "  GROUP BY 1, 2), "
+            "r AS (SELECT min(hu) AS h0, max(hu) AS h1 FROM c), "
+            "hours AS (SELECT unnest(range((SELECT h0 FROM r), "
+            "  (SELECT h1 FROM r) + 1, 3600000000)) AS hu), "
+            "types AS (SELECT DISTINCT event_type FROM events "
+            "  WHERE event_type IS NOT NULL) "
+            "SELECT t.event_type, make_timestamp(h.hu) AS hour, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+            "FROM types t CROSS JOIN hours h "
+            "LEFT JOIN c ON c.event_type = t.event_type AND c.hu = h.hu "
+            "ORDER BY t.event_type, hour"
+        ),
+        "windowed_dedup": (
+            # exact twin of the windowed-dedup composition: first event
+            # per (user, type, hour bucket) by (ts, event_id)
+            "SELECT event_id, user_id, event_type, "
+            "make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour "
+            "FROM (SELECT event_id, user_id, event_type, ts, "
+            "  row_number() OVER (PARTITION BY user_id, event_type, "
+            "    epoch_us(ts) // 3600000000 ORDER BY ts, event_id) AS rn "
+            "  FROM events) WHERE rn = 1 ORDER BY event_id"
+        ),
+        "session_sizes": (
+            # exact twin of joins.session_size_hist_ds: 30-min-gap
+            # session numbering (strict >, same as the engine's ns test
+            # on µs-resolution data), then the length histogram
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "  CASE WHEN lag(ts) OVER w IS NULL OR "
+            "    date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 "
+            "  THEN 1 ELSE 0 END AS new_s FROM events "
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "t AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s), "
+            "sz AS (SELECT count(*) AS session_len FROM t GROUP BY user_id, sid) "
+            "SELECT CAST(session_len AS BIGINT) AS session_len, "
+            "count(*) AS n_sessions FROM sz GROUP BY 1 ORDER BY 1"
+        ),
         "dup_components": _cc_labels_sql(
             _NGRAM_EDGES_CTE, "documents", "doc_id"
         ),

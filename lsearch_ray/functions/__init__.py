@@ -101,3 +101,12 @@ from lsearch_ray.functions.stats import (  # noqa: F401
     decayed_topk_ds,
     grouped_corr_ds,
 )
+from lsearch_ray.functions.stats import zscore_outliers_ds  # noqa: F401
+from lsearch_ray.functions.quantiles import (  # noqa: F401
+    grouped_mad_ds,
+    grouped_weighted_median_ds,
+)
+from lsearch_ray.functions.sampling import (  # noqa: F401
+    hash_rank_ds,
+    negative_pairs_ds,
+)

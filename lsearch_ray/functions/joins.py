@@ -451,3 +451,66 @@ def skew_join(
         | {on}
     )
     return cold.select_columns(cols).union(hot.select_columns(cols))
+
+
+def session_size_hist_ds(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    gap_seconds: float = 1800.0,
+    num_partitions: int = 64,
+):
+    """Session-size distribution: how many sessions contain exactly L
+    events, for every L — the engagement-shape histogram behind the
+    per-key totals of :func:`sessionize` (same gap rule, same
+    hash-partition + single-vectorized-pass shape). Returns a Dataset of
+    (session_len, n_sessions) sorted by session_len.
+
+    Per partition: mergesort by (key, ts, order), session boundaries =
+    key change OR gap exceeded, per-session lengths via diff over
+    boundary indices, then a partition-local value_counts partial into
+    one tiny groupby-sum (distinct lengths, not sessions, cross the
+    exchange)."""
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.dedup import partition_ids
+
+    gap_ns = int(round(gap_seconds * 1e9))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col], ts_col: b[ts_col]}
+        for c in order_cols:
+            cols[c] = b[c]
+        cols["__part"] = pa.array(partition_ids(b, [key_col], num_partitions))
+        return pa.table(cols)
+
+    def sizes_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *order_cols], kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype("int64")
+        key = g[key_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "session_len": np.empty(0, dtype=np.int64),
+                    "c": np.empty(0, dtype=np.int64),
+                }
+            )
+        new_session = np.ones(n, dtype=bool)
+        if n > 1:
+            new_session[1:] = (key[1:] != key[:-1]) | (np.diff(ts) > gap_ns)
+        starts = np.flatnonzero(new_session)
+        lens = np.diff(np.append(starts, n)).astype(np.int64)
+        uniq, counts = np.unique(lens, return_counts=True)
+        return pd.DataFrame({"session_len": uniq, "c": counts.astype(np.int64)})
+
+    return (
+        events_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sizes_partition, batch_format="pandas")
+        .groupby("session_len")
+        .aggregate(Sum("c", alias_name="n_sessions"))
+        .sort("session_len")
+    )

@@ -575,3 +575,102 @@ def grouped_mad_ds(ds, group_col: str, value_col: str, *, num_partitions: int = 
         )
 
     return mad.map_batches(attach, batch_format="pyarrow").sort(group_col)
+
+
+def grouped_weighted_median_ds(
+    ds,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    num_partitions: int = 16,
+):
+    """Per-group weighted (lower) median: the smallest value ``v`` with
+    ``2 · Σ{w : value ≤ v} ≥ Σw`` — the 50% point of the weight mass,
+    tie-order-free because equal values pool their weights before the
+    threshold test. Weights must be non-negative int64 (quantize floats
+    first); rows with null group/value/weight are dropped.
+
+    Returns a Dataset of (group_col, wmedian) sorted by group.
+
+    Scale shape: per-batch (group, value) weight-sum combiner, ONE
+    hash-partition shuffle on the group column, then a vectorized pass
+    per partition (mergesort + run-boundary weight cumsum + first-index
+    crossing via reduceat) — no per-group Python.
+    """
+    from lsearch_ray.functions.dedup import partition_ids
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col, weight_col])
+        valid = pc.and_(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col])),
+            pc.is_valid(t[weight_col]),
+        )
+        t = t.filter(valid)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        t = t.filter(pa.array(fin))
+        agg = (
+            pa.table(
+                {
+                    group_col: t[group_col],
+                    value_col: t[value_col],
+                    "w": pc.cast(t[weight_col], pa.int64()),
+                }
+            )
+            .group_by([group_col, value_col])
+            .aggregate([("w", "sum")])
+        )
+        agg = agg.rename_columns(
+            [
+                "w" if c == "w_sum" else c
+                for c in agg.column_names
+            ]
+        )
+        return agg.append_column(
+            "__part", pa.array(partition_ids(agg, [group_col], num_partitions))
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        idx = pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"), (value_col, "ascending")]
+        )
+        t = t.take(idx)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: t[group_col],
+                    "wmedian": pa.array([], pa.float64()),
+                }
+            )
+        from lsearch_ray.functions.grouped import run_bounds
+
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        _, starts, run_of = run_bounds(t[group_col])
+        total = np.cumsum(w)
+        run_prev = (total[starts] - w[starts])[run_of]
+        cum = total - run_prev  # within-run inclusive cumsum
+        ends = np.append(starts[1:], len(w))
+        tot_run = cum[ends - 1][run_of]  # per-run total, broadcast per row
+        below = (2 * cum) < tot_run
+        # weight-mass median: first index per run where 2·cum ≥ total
+        n_below = np.add.reduceat(below.astype(np.int64), starts)
+        first = starts + n_below
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        return pa.table(
+            {
+                group_col: grp.take(pa.array(starts)),
+                "wmedian": pa.array(vals[first]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+        .sort(group_col)
+    )

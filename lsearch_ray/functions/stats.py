@@ -165,3 +165,108 @@ def decayed_topk_ds(
         lambda t: _block_topk(t, k, sort_keys), batch_format="pyarrow"
     )
     return pruned.sort(["score", key_col], descending=[True, False]).limit(k)
+
+
+def zscore_outliers_ds(
+    ds,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    z: int = 3,
+):
+    """Per-group z-score anomaly flags with EXACT integer arithmetic:
+    row x (fixed-point, ``floor(v·scale + 0.5)``) is an outlier in its
+    group iff ``(n·x − S)² > z²·(n·Sxx − S²)`` — algebraically identical
+    to ``(x − μ)² > z²·σ²`` (population σ) but with every quantity an
+    integer, so there is no float variance to diverge on.
+
+    The quadratic test is reduced to two per-group int64 bounds computed
+    once on the driver in arbitrary-precision Python
+    (``x ≥ hi_num//n + 1`` or ``x ≤ ceil(lo_num/n) − 1`` with
+    ``hi/lo = S ± isqrt(z²·(n·Sxx − S²))`` — exact for integer x), so
+    the row-filter pass never multiplies n·x — the product that silently
+    overflows first on skewed domains (one huge x among billions of
+    rows). Domain contract: per-row ``x²`` and the per-group int64 moment
+    sums must fit int64 — ``|x| > isqrt(2^63−1)`` raises rather than
+    wrapping. Group cardinality must be driver-sized (event types,
+    languages); the moment aggregation itself is a per-batch combiner.
+
+    Returns a Dataset of (id_col, key_col, cents) — the outlier rows —
+    sorted by id. Null keys/non-finite values are excluded.
+    """
+    from ray.data.aggregate import Sum
+
+    x_cap = isqrt(2**63 - 1)
+
+    def quantize(v: np.ndarray) -> np.ndarray:
+        x = np.floor(v * scale + 0.5).astype(np.int64)
+        if len(x) and int(np.abs(x).max()) > x_cap:
+            raise ValueError(
+                "zscore_outliers_ds: |value·scale| exceeds the int64 "
+                "square bound — reduce scale"
+            )
+        return x
+
+    def moments(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, value_col])
+        t = t.filter(pc.is_valid(t[key_col]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        t = t.filter(pa.array(fin))
+        x = quantize(v[fin])
+        m = pa.table(
+            {
+                key_col: t[key_col],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "s": pa.array(x),
+                "sxx": pa.array(x * x),
+            }
+        )
+        g = m.group_by(key_col).aggregate(
+            [("n", "sum"), ("s", "sum"), ("sxx", "sum")]
+        )
+        return _rename(g, {"n_sum": "n", "s_sum": "s", "sxx_sum": "sxx"})
+
+    rows = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s", "sxx")])
+        .take_all()
+    )
+    hi_min: dict = {}
+    lo_max: dict = {}
+    for r in rows:
+        n, s, sxx = int(r["n"]), int(r["s"]), int(r["sxx"])
+        rr = z * z * (n * sxx - s * s)
+        q = isqrt(rr)
+        hi_min[r[key_col]] = (s + q) // n + 1
+        lo_max[r[key_col]] = -((-(s - q)) // n) - 1  # ceil(lo/n) - 1
+
+    def flag(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, key_col, value_col])
+        t = t.filter(pc.is_valid(t[key_col]))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        t = t.filter(pa.array(fin))
+        x = quantize(v[fin])
+        grp = t[key_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        uniq = pc.unique(grp)
+        hi = np.array([hi_min[u.as_py()] for u in uniq], dtype=np.int64)
+        lo = np.array([lo_max[u.as_py()] for u in uniq], dtype=np.int64)
+        idx = pc.index_in(grp, value_set=uniq).to_numpy(zero_copy_only=False)
+        idx = idx.astype(np.int64)
+        mask = (x >= hi[idx]) | (x <= lo[idx])
+        t = t.filter(pa.array(mask))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                key_col: t[key_col],
+                "cents": pa.array(x[mask]),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort(id_col)

@@ -106,3 +106,77 @@ def tumbling_window_agg(
         size_s=size_s,
         slide_s=size_s,
     )
+
+
+def gapfill_hourly_counts_ds(
+    events_ds,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Zero-filled hourly series: per-key event counts on the DENSE hour
+    grid spanning [min hour, max hour] of the data — every (key, hour)
+    cell appears, absent cells as 0 (the densification step before
+    time-series models, which cannot see gaps that are not rows).
+
+    The sparse counts are a groupby aggregate; the dense grid is
+    keys × hours — bounded by the time span and key cardinality, not by
+    event volume — so the fill is a driver-side cross-expansion of the
+    aggregate (the same collect budget as any dims-sized result). Null
+    keys/timestamps are excluded. Returns a pa.Table
+    (key, hour, n) sorted by (key, hour).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    us_per_hour = np.int64(3_600_000_000)
+
+    def trunc(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, ts_col])
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])))
+        us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "hour_us": pa.array((us // us_per_hour) * us_per_hour),
+            }
+        )
+
+    sparse = (
+        events_ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby([key_col, "hour_us"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    if not sparse:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "hour": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    by_cell = {(r[key_col], int(r["hour_us"])): int(r["n"]) for r in sparse}
+    hours_us = np.array([int(r["hour_us"]) for r in sparse], dtype=np.int64)
+    grid = np.arange(
+        hours_us.min(), hours_us.max() + 1, us_per_hour, dtype=np.int64
+    )
+    keys = sorted({r[key_col] for r in sparse})
+    n_cells = len(keys) * len(grid)
+    out_key = np.repeat(np.arange(len(keys)), len(grid))
+    out_us = np.tile(grid, len(keys))
+    out_n = np.fromiter(
+        (
+            by_cell.get((keys[ki], int(u)), 0)
+            for ki, u in zip(out_key, out_us)
+        ),
+        dtype=np.int64,
+        count=n_cells,
+    )
+    return pa.table(
+        {
+            key_col: pa.array([keys[i] for i in out_key]),
+            "hour": pa.array(out_us).cast(pa.timestamp("us")),
+            "n": pa.array(out_n),
+        }
+    )

@@ -260,3 +260,186 @@ def test_ann_recall_full_probe_is_total():
     assert (out["recall_pct"] <= 100).all() and (out["recall_pct"] >= 0).all()
     # the self-vector is always in both arms (its own bucket is probed)
     assert (out["n_exact"] == 10).all()
+
+
+# ---------------------------------------------------------------------------
+# batch 2: z-score outliers, weighted median, session sizes, hourly gap-fill
+
+
+from lsearch_ray.functions.joins import session_size_hist_ds
+from lsearch_ray.functions.quantiles import grouped_weighted_median_ds
+from lsearch_ray.functions.stats import zscore_outliers_ds
+from lsearch_ray.functions.windows import gapfill_hourly_counts_ds
+
+
+def _ref_outliers(ids, keys, vals, scale=100, z=3):
+    out = []
+    by_g = {}
+    for i, gk, v in zip(ids, keys, vals):
+        if np.isfinite(v):
+            by_g.setdefault(gk, []).append((i, int(np.floor(v * scale + 0.5))))
+    for gk, rows in by_g.items():
+        n = len(rows)
+        s = sum(x for _, x in rows)
+        sxx = sum(x * x for _, x in rows)
+        rr = z * z * (n * sxx - s * s)
+        for i, x in rows:
+            t = n * x - s
+            if t * t > rr:
+                out.append((i, gk, x))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_zscore_outliers_matches_integer_replay(blocks):
+    rng = np.random.RandomState(2)
+    n = 300
+    keys = rng.choice(["a", "b"], size=n)
+    vals = rng.randn(n) * 5 + 50
+    vals[::97] = 500.0  # planted anomalies
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"id": ids, "g": keys, "v": vals})
+    ).repartition(blocks)
+    out = zscore_outliers_ds(ds, "g", "id", "v").to_pandas()
+    got = sorted(zip(out["id"], out["g"], out["cents"]))
+    assert got == _ref_outliers(ids.tolist(), keys.tolist(), vals.tolist())
+    assert len(got) >= 3  # the planted anomalies are found
+
+
+def test_zscore_outliers_large_magnitude_exact():
+    # cents ~1e9: (n·x − S)² ≈ 1e19 exceeds float64's 2^53 integer range,
+    # so a float z-score would be inexact — the big-int replay must match
+    base = 1.1e7  # → x ≈ 1.1e9 cents (within the int64 square bound)
+    vals = np.array([base, base + 0.01, base - 0.01, base * 1.5], dtype=np.float64)
+    ids = np.arange(len(vals), dtype=np.int64)
+    keys = ["g"] * len(vals)
+    ds = rd.from_arrow(pa.table({"id": ids, "g": keys, "v": vals}))
+    out = zscore_outliers_ds(ds, "g", "id", "v", z=1).to_pandas()
+    got = sorted(zip(out["id"], out["g"], out["cents"]))
+    assert got == _ref_outliers(ids.tolist(), keys, vals.tolist(), z=1)
+    assert [i for i, _, _ in got] == [3]
+
+
+def test_zscore_outliers_raises_beyond_square_bound():
+    # x² would wrap int64 silently — the quantizer must refuse instead
+    vals = np.array([1e14, 2e14], dtype=np.float64)
+    ids = np.arange(2, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids, "g": ["g", "g"], "v": vals}))
+    with pytest.raises(Exception, match="int64 square bound"):
+        zscore_outliers_ds(ds, "g", "id", "v").to_pandas()
+
+
+def _ref_wmedian(vals, ws):
+    order = np.argsort(vals, kind="mergesort")
+    v, w = np.asarray(vals)[order], np.asarray(ws)[order]
+    cum = np.cumsum(w)
+    tot = cum[-1]
+    return float(v[np.argmax(2 * cum >= tot)])
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_grouped_weighted_median_matches_replay(blocks):
+    rng = np.random.RandomState(4)
+    n = 500
+    g = rng.choice(["x", "y", "z"], size=n)
+    v = rng.randint(0, 40, size=n).astype(np.float64)  # many ties
+    w = rng.randint(1, 10, size=n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v, "w": w})).repartition(blocks)
+    out = (
+        grouped_weighted_median_ds(ds, "g", "v", "w")
+        .to_pandas()
+        .set_index("g")["wmedian"]
+    )
+    for gk in "xyz":
+        m = g == gk
+        assert out[gk] == _ref_wmedian(v[m], w[m])
+
+
+def test_grouped_weighted_median_point_mass():
+    # one huge weight dominates: median is that value regardless of order
+    tab = pa.table(
+        {
+            "g": ["a"] * 4,
+            "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "w": pa.array([1, 100, 1, 1], pa.int64()),
+        }
+    )
+    out = grouped_weighted_median_ds(rd.from_arrow(tab), "g", "v", "w").to_pandas()
+    assert out["wmedian"].tolist() == [2.0]
+
+
+def _ref_session_sizes(users, tss, eids, gap_s=1800.0):
+    import pandas as pd
+
+    df = pd.DataFrame({"u": users, "ts": tss, "e": eids}).sort_values(
+        ["u", "ts", "e"], kind="mergesort"
+    )
+    sizes = {}
+    prev_u, prev_ts, cur = None, None, 0
+    lens = []
+    for u, ts in zip(df["u"], df["ts"]):
+        if prev_u != u or (ts - prev_ts) / np.timedelta64(1, "s") > gap_s:
+            if cur:
+                lens.append(cur)
+            cur = 0
+        cur += 1
+        prev_u, prev_ts = u, ts
+    if cur:
+        lens.append(cur)
+    for L in lens:
+        sizes[L] = sizes.get(L, 0) + 1
+    return sizes
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_session_size_hist_matches_replay(blocks):
+    rng = np.random.RandomState(9)
+    n = 400
+    users = rng.randint(0, 20, size=n).astype(np.int64)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    tss = base + rng.randint(0, 86_400 * 3, size=n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    eids = np.arange(n, dtype=np.int64)
+    tab = pa.table(
+        {
+            "user_id": pa.array(users),
+            "ts": pa.array(tss),
+            "event_id": pa.array(eids),
+        }
+    )
+    out = (
+        session_size_hist_ds(rd.from_arrow(tab).repartition(blocks))
+        .to_pandas()
+        .set_index("session_len")["n_sessions"]
+        .to_dict()
+    )
+    assert out == _ref_session_sizes(users, tss, eids)
+
+
+def test_gapfill_hourly_dense_grid():
+    base = np.datetime64("2024-03-01T00:30:00", "us")
+    rows = [
+        ("a", base),
+        ("a", base + np.timedelta64(3, "h")),
+        ("b", base + np.timedelta64(1, "h")),
+        ("b", base + np.timedelta64(1, "h") + np.timedelta64(5, "m")),
+    ]
+    tab = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = gapfill_hourly_counts_ds(rd.from_arrow(tab)).to_pandas()
+    # grid: hours 00..03 × keys {a,b} = 8 cells
+    assert len(out) == 8
+    got = {
+        (r.event_type, str(r.hour), r.n) for r in out.itertuples()
+    }
+    assert ("a", "2024-03-01 00:00:00", 1) in got
+    assert ("a", "2024-03-01 01:00:00", 0) in got
+    assert ("b", "2024-03-01 01:00:00", 2) in got
+    assert ("b", "2024-03-01 03:00:00", 0) in got
+    assert out["n"].sum() == 4
