@@ -4086,8 +4086,11 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "r AS (SELECT min(hu) AS h0, max(hu) AS h1 FROM c), "
             "hours AS (SELECT unnest(range((SELECT h0 FROM r), "
             "  (SELECT h1 FROM r) + 1, 3600000000)) AS hu), "
+            # types from ts-valid rows only — the engine derives its key
+            # set from the same filtered pass (a key whose every ts is
+            # null has no defined cells on either side)
             "types AS (SELECT DISTINCT event_type FROM events "
-            "  WHERE event_type IS NOT NULL) "
+            "  WHERE event_type IS NOT NULL AND ts IS NOT NULL) "
             "SELECT t.event_type, make_timestamp(h.hu) AS hour, "
             "CAST(coalesce(c.n, 0) AS BIGINT) AS n "
             "FROM types t CROSS JOIN hours h "
@@ -4107,11 +4110,14 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         "session_sizes": (
             # exact twin of joins.session_size_hist_ds: 30-min-gap
             # session numbering (strict >, same as the engine's ns test
-            # on µs-resolution data), then the length histogram
-            "WITH s AS (SELECT user_id, ts, event_id, "
+            # on µs-resolution data), then the length histogram; null
+            # users/timestamps excluded (engine contract)
+            "WITH f AS (SELECT user_id, ts, event_id FROM events "
+            "  WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "s AS (SELECT user_id, ts, event_id, "
             "  CASE WHEN lag(ts) OVER w IS NULL OR "
             "    date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 "
-            "  THEN 1 ELSE 0 END AS new_s FROM events "
+            "  THEN 1 ELSE 0 END AS new_s FROM f "
             "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "t AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id "
             "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s), "

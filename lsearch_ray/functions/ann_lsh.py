@@ -195,8 +195,13 @@ def ann_recall_table(
     vectors whose hyperplane bucket is within hamming ``nprobe_hamming``
     of the query's bucket (the lsh_cosine_topk probe rule, same planes /
     seed) before its partial top-k. The driver merges Q×2×k-row partials
-    and reports ``recall_pct = |approx ∩ exact| * 100 // k`` per query —
-    tie order (sim desc, id asc) matches the ann family contract.
+    and reports ``recall_pct = |approx ∩ exact| * 100 // k`` per query.
+
+    Ranking contract: (round(sim, 4) desc, id asc) — the SQL twin ranks
+    on the ROUNDED cosine, and raw-float ordering can swap membership at
+    the rank-k boundary where two sims tie at 4 decimals; rounding
+    before ranking (and an exact lexsort top-k per batch, not a tie-
+    arbitrary argpartition) keeps both arms engine-independent.
 
     Returns a pa.Table (query_id, n_exact, recall_pct) sorted by
     query_id. Q is broadcast once; nothing else leaves the tasks.
@@ -233,7 +238,7 @@ def ann_recall_table(
                 return empty
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
-            sims = (m / norms[:, None]) @ self.qn.T  # n × Q
+            sims = np.round((m / norms[:, None]) @ self.qn.T, 4)  # n × Q
             bkt = _bucket_of(m, self.planes)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             out_qi, out_kind, out_id, out_sim = [], [], [], []
@@ -242,8 +247,11 @@ def ann_recall_table(
                 for kind, mask in ((0, None), (1, np.isin(bkt, self.probe_sets[qi]))):
                     sv, iv = (s, ids) if mask is None else (s[mask], ids[mask])
                     if len(sv) > k:
-                        part = np.argpartition(-sv, k)[:k]
-                        sv, iv = sv[part], iv[part]
+                        # exact top-k under (sim desc, id asc): ties at
+                        # the boundary must keep the LOWER id, so no
+                        # tie-arbitrary argpartition here
+                        order = np.lexsort((iv, -sv))[:k]
+                        sv, iv = sv[order], iv[order]
                     out_qi.append(np.full(len(sv), qi, dtype=np.int64))
                     out_kind.append(np.full(len(sv), kind, dtype=np.int64))
                     out_id.append(iv.astype(np.int64))

@@ -472,7 +472,10 @@ def session_size_hist_ds(
     key change OR gap exceeded, per-session lengths via diff over
     boundary indices, then a partition-local value_counts partial into
     one tiny groupby-sum (distinct lengths, not sessions, cross the
-    exchange)."""
+    exchange). Rows with null key or null timestamp are excluded (a
+    null key is not a sessionizable identity, and int64-with-null keys
+    would silently become float64+NaN — every NaN pair compares unequal,
+    splitting nulls into per-row sessions)."""
     from ray.data.aggregate import Sum
 
     from lsearch_ray.functions.dedup import partition_ids
@@ -480,6 +483,7 @@ def session_size_hist_ds(
     gap_ns = int(round(gap_seconds * 1e9))
 
     def add_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[key_col]), pc.is_valid(b[ts_col])))
         cols = {key_col: b[key_col], ts_col: b[ts_col]}
         for c in order_cols:
             cols[c] = b[c]

@@ -449,12 +449,17 @@ def negative_pairs_ds(
         lambda t: pa.table({"neg_id": t[id_col], "rk": t["rk"]}),
         batch_format="pyarrow",
     )
+    # partitions sized to the SMALLER (targets, n rows) side: more
+    # partitions than rows yields empty right-side partitions, which
+    # Ray's hash-join aggregator rejects (ArrowInvalid at finalize)
+    from lsearch_ray.functions.minhash import _pair_partitions
+
     joined = hash_join(
         probe_ds,
         targets,
         on="prk",
         right_on="rk",
-        num_partitions=max(2, min(16, (n * k) // 100_000 + 2)),
+        num_partitions=_pair_partitions(n, cap=16),
     )
     out = joined.map_batches(
         lambda t: pa.table(

@@ -49,8 +49,16 @@ def grouped_corr_ds(ds, key_col: str, x_col: str, y_col: str, *, scale: int = 1_
     fixed-point. Returns a Dataset of (key_col, n, corr_micro) —
     ``corr_micro`` = correlation in millionths, floor of the magnitude
     (sign applied after, so SQL's truncating ``//`` matches). Null keys
-    and null x/y rows are dropped."""
+    and null x/y rows are dropped.
+
+    Domain contract: per-row ``x²``/``y²`` must fit int64 —
+    ``|x| > isqrt(2^63−1)`` raises rather than silently wrapping (the
+    SQL twin computes in int128; a wrapped numpy product would diverge
+    with no error). The per-group moment sums must also fit int64
+    (quantize with a smaller scale for huge groups)."""
     from ray.data.aggregate import Sum
+
+    x_cap = isqrt(2**63 - 1)
 
     def partial(b: pa.Table) -> pa.Table:
         t = b.select([key_col, x_col, y_col])
@@ -61,6 +69,12 @@ def grouped_corr_ds(ds, key_col: str, x_col: str, y_col: str, *, scale: int = 1_
         t = t.filter(valid)
         x = pc.cast(t[x_col], pa.int64()).to_numpy(zero_copy_only=False)
         y = pc.cast(t[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        for arr in (x, y):
+            if len(arr) and int(np.abs(arr).max()) > x_cap:
+                raise ValueError(
+                    "grouped_corr_ds: |x| or |y| exceeds the int64 "
+                    "square bound — quantize with a smaller scale"
+                )
         moments = pa.table(
             {
                 key_col: t[key_col],
@@ -198,6 +212,7 @@ def zscore_outliers_ds(
     """
     from ray.data.aggregate import Sum
 
+    ds = ds.materialize()  # consumed twice: moments pass + flag pass
     x_cap = isqrt(2**63 - 1)
 
     def quantize(v: np.ndarray) -> np.ndarray:

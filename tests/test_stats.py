@@ -230,9 +230,12 @@ def test_ann_recall_matches_brute_force_replay(blocks):
     ).to_pandas()
     planes = _planes(m.shape[1], 8, 99)
     mm = m.astype(np.float64)
-    sims_all = (mm / np.linalg.norm(mm, axis=1, keepdims=True)) @ (
-        q / np.linalg.norm(q, axis=1, keepdims=True)
-    ).T
+    # the ranking contract rounds to 4 decimals before ordering
+    sims_all = np.round(
+        (mm / np.linalg.norm(mm, axis=1, keepdims=True))
+        @ (q / np.linalg.norm(q, axis=1, keepdims=True)).T,
+        4,
+    )
     bkt = _bucket_of(mm, planes)
     for row, qi in zip(out.itertuples(), range(len(qids))):
         s = sims_all[:, qi]
@@ -443,3 +446,52 @@ def test_gapfill_hourly_dense_grid():
     assert ("b", "2024-03-01 01:00:00", 2) in got
     assert ("b", "2024-03-01 03:00:00", 0) in got
     assert out["n"].sum() == 4
+
+
+def test_session_size_hist_null_rows_excluded():
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    tab = pa.table(
+        {
+            "user_id": pa.array([1, 1, None, None, 2], pa.int64()),
+            "ts": pa.array(
+                [base, base + np.timedelta64(1, "m"), base, base, None],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        session_size_hist_ds(rd.from_arrow(tab))
+        .to_pandas()
+        .set_index("session_len")["n_sessions"]
+        .to_dict()
+    )
+    # only user 1's two-event session survives (nulls excluded, user 2's
+    # single row has a null ts)
+    assert out == {2: 1}
+
+
+def test_ann_recall_duplicate_embeddings_tiebreak():
+    # duplicate vectors tie exactly at every rank — the per-batch top-k
+    # must keep the LOWEST ids so the merge matches row_number order
+    row = np.ones(8, dtype=np.float64)
+    m = np.tile(row, (30, 1))
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array(
+                [r.astype(np.float32) for r in m], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = ann_recall_table(
+        rd.from_arrow(tab).repartition(4),
+        m[:1],
+        [0],
+        k=10,
+        nplanes=4,
+        nprobe_hamming=0,
+        seed=1,
+    ).to_pandas()
+    # all sims equal → both arms are ids 0..9 → recall 100
+    assert out["recall_pct"].tolist() == [100]
