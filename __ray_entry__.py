@@ -2311,6 +2311,36 @@ def _q_session_sizes(sf_dir: str):
     return session_size_hist_ds(ev)
 
 
+_TC_MIN_COUNT, _TC_MIN_PMI = 5, 0
+
+
+def _q_term_clusters(sf_dir: str):
+    """Term-association clustering: PMI-filtered bigram graph (n ≥ 5,
+    pmi ≥ 0, no self-loops) → distributed connected components; every
+    vocabulary term labeled with the min-lex term of its cluster."""
+    from lsearch_ray.functions.ngrams import term_clusters_ds
+
+    return term_clusters_ds(
+        _docs(sf_dir, ["doc_id", "text"]),
+        min_count=_TC_MIN_COUNT,
+        min_pmi_micro=_TC_MIN_PMI,
+    )
+
+
+_PROJ_DIM = 16
+
+
+def _q_embed_project(sf_dir: str):
+    """Johnson-Lindenstrauss random projection: embeddings onto 16
+    seeded Gaussian directions, long-form fixed-point coordinates —
+    the data-independent dim reduction before clustering at scale."""
+    from lsearch_ray.functions.ann_lsh import project_embeddings_ds
+
+    return project_embeddings_ds(
+        _read(sf_dir, "embeddings"), out_dim=_PROJ_DIM, seed=4242
+    ).sort(["vec_id", "dim"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -2428,6 +2458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_gapfill": _q_hourly_gapfill,
         "windowed_dedup": _q_windowed_dedup,
         "session_sizes": _q_session_sizes,
+        "term_clusters": _q_term_clusters,
+        "embed_project": _q_embed_project,
     }
 
 
@@ -2747,6 +2779,67 @@ SELECT ex.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
        CAST(count(ap.vec_id) * 100 // 10 AS BIGINT) AS recall_pct
 FROM exact ex LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
 GROUP BY ex.qid ORDER BY ex.qid
+"""
+
+
+def _term_clusters_sql() -> str:
+    """Exact SQL twin of functions.ngrams.term_clusters_ds: the
+    pmi_bigrams scoring CTEs (identical ln decomposition), edges =
+    pairs with n ≥ min_count and pmi_micro ≥ min_pmi (self-loops out),
+    then the recursive min-label closure over VARCHAR terms (least()
+    is lexicographic — exactly the engine's sorted-vocab ordinal min)."""
+    return f"""
+WITH uni AS (SELECT term, count(*) AS n1 FROM ({_TOKS}) GROUP BY term),
+big AS (SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS n2
+  FROM (SELECT list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> t <> '') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  GROUP BY 1, 2),
+t1 AS (SELECT sum(n1) AS s FROM uni),
+b2 AS (SELECT sum(n2) AS s FROM big),
+p AS (SELECT w1, w2,
+        CAST(floor((ln(n2 * 1.0) - ln(ua.n1 * 1.0) - ln(ub.n1 * 1.0)
+          + (2.0 * ln(t1.s * 1.0) - ln(b2.s * 1.0)))
+          * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+      FROM big CROSS JOIN t1 CROSS JOIN b2
+      JOIN uni ua ON ua.term = big.w1
+      JOIN uni ub ON ub.term = big.w2
+      WHERE n2 >= {_TC_MIN_COUNT}),
+edges AS (SELECT w1 AS a, w2 AS b FROM p
+          WHERE pmi_micro >= {_TC_MIN_PMI} AND w1 <> w2),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a
+  ) SELECT src, dst FROM r
+),
+lbl AS (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+SELECT u.term, coalesce(l.comp, u.term) AS comp_term
+FROM uni u LEFT JOIN lbl l ON l.src = u.term ORDER BY u.term
+"""
+
+
+def _embed_project_sql() -> str:
+    """Exact SQL twin of functions.ann_lsh.project_embeddings_ds: the
+    seeded (64 × 16) Gaussian projection matrix embedded as float
+    literals, coordinates = list_dot_product, floor-half-away micro."""
+    from lsearch_ray.functions.ann_lsh import _planes
+
+    planes = _planes(64, _PROJ_DIM, 4242)
+    plane_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[:, j])}]::DOUBLE[])"
+        for j in range(planes.shape[1])
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(j, p) AS (VALUES {plane_rows})
+SELECT e.vec_id, CAST(pl.j AS BIGINT) AS dim,
+       CAST(floor(list_dot_product(e.v, pl.p) * 1000000 + 0.5) AS BIGINT)
+         AS coord_micro
+FROM e CROSS JOIN planes pl ORDER BY e.vec_id, dim
 """
 
 
@@ -4039,6 +4132,8 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "ORDER BY p.doc_id, j"
         ),
         "ann_recall": _ann_recall_sql(),
+        "term_clusters": _term_clusters_sql(),
+        "embed_project": _embed_project_sql(),
         "outlier_events": (
             # exact twin of functions.stats.zscore_outliers_ds: outlier ⇔
             # (n·x − S)² > 9(n·Sxx − S²), spelled n·x > S ± isqrt(·) so

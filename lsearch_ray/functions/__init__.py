@@ -110,3 +110,8 @@ from lsearch_ray.functions.sampling import (  # noqa: F401
     hash_rank_ds,
     negative_pairs_ds,
 )
+from lsearch_ray.functions.ngrams import term_clusters_ds  # noqa: F401
+from lsearch_ray.functions.ann_lsh import (  # noqa: F401
+    ann_recall_table,
+    project_embeddings_ds,
+)

@@ -288,3 +288,59 @@ def ann_recall_table(
             "recall_pct": pa.array([r[2] for r in out_rows], pa.int64()),
         }
     )
+
+
+def project_embeddings_ds(
+    emb_ds,
+    out_dim: int = 16,
+    *,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+):
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    project each embedding onto ``out_dim`` seeded Gaussian directions —
+    the cheap, data-independent dim reduction used before clustering /
+    coarse ANN at scale. The same seeded planes as the LSH family, so
+    any engine can replay them from (dim, out_dim, seed).
+
+    Stateless one-pass map: per batch ONE matmul against the broadcast
+    (dim × out_dim) plane matrix; nothing shuffles. Returns a Dataset in
+    long form (id, dim, coord_micro) — coordinates fixed-point rounded
+    half-away to micro units — sorted output is the caller's choice.
+    """
+
+    class _Project:
+        def __init__(self):
+            self.planes = None  # lazily sized from the first batch
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from lsearch_ray.functions.ann import _stack_embeddings
+
+            m = _stack_embeddings(batch[emb_col]).astype(np.float64)
+            if m.shape[0] == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "coord_micro": pa.array([], pa.int64()),
+                    }
+                )
+            d = dim if dim is not None else m.shape[1]
+            if self.planes is None:
+                self.planes = _planes(d, out_dim, seed)
+            coords = m @ self.planes  # n × out_dim
+            micro = np.floor(coords * 1e6 + 0.5).astype(np.int64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(np.repeat(ids, out_dim)),
+                    "dim": pa.array(
+                        np.tile(np.arange(out_dim, dtype=np.int64), len(ids))
+                    ),
+                    "coord_micro": pa.array(micro.reshape(-1)),
+                }
+            )
+
+    return emb_ds.map_batches(_Project(), batch_format="pyarrow")

@@ -288,25 +288,12 @@ def _ln_of_counts(x: np.ndarray) -> np.ndarray:
     return lns[inv]
 
 
-def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
-    """Top-k collocations: adjacent word pairs ranked by pointwise mutual
-    information, ``pmi = ln(p(w1 w2) / (p(w1) p(w2)))`` with p from corpus
-    bigram / unigram counts.
-
-    Returns an Arrow table (w1, w2, n, pmi_micro) ordered by
-    (pmi_micro desc, w1, w2), n ≥ min_count. pmi is computed as
-    ``ln n2 − ln n1a − ln n1b + (2 ln T − ln B)`` — each term an ln of an
-    integer count — and rounded half-up to integer micro-nats, so the SQL
-    oracle replays the identical IEEE operation sequence bit-exactly.
-
-    Scale plan: unigram and bigram counts are both per-batch
-    ``value_counts`` partials into one groupby-sum each (the exchange
-    carries one row per distinct gram per batch, never per occurrence);
-    the vocab-sized unigram table is broadcast into two vectorized
-    lookup joins (hash-join on term is the alternative for vocabularies
-    too big to broadcast — see ``functions.joins.hash_join``); per-block
-    top-k prunes before the tiny global sort.
-    """
+def pmi_scored_pairs_ds(ds, *, min_count: int = 5, text_col: str = "text"):
+    """All adjacent word pairs with n ≥ min_count, PMI-scored — the shared
+    scoring stage behind :func:`pmi_bigrams_ds` (top-k collocations) and
+    the PMI-graph term clustering. Returns a Dataset of
+    (w1, w2, n, pmi_micro); see pmi_bigrams_ds for the exact-replay
+    micro-nat contract and the scale plan."""
     from lsearch_ray.functions.joins import broadcast_join
 
     uni_rows = unigram_counts_rows(ds, text_col)
@@ -367,6 +354,30 @@ def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text
             }
         )
 
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
+    """Top-k collocations: adjacent word pairs ranked by pointwise mutual
+    information, ``pmi = ln(p(w1 w2) / (p(w1) p(w2)))`` with p from corpus
+    bigram / unigram counts.
+
+    Returns an Arrow table (w1, w2, n, pmi_micro) ordered by
+    (pmi_micro desc, w1, w2), n ≥ min_count. pmi is computed as
+    ``ln n2 − ln n1a − ln n1b + (2 ln T − ln B)`` — each term an ln of an
+    integer count — and rounded half-up to integer micro-nats, so the SQL
+    oracle replays the identical IEEE operation sequence bit-exactly.
+
+    Scale plan: unigram and bigram counts are both per-batch
+    ``value_counts`` partials into one groupby-sum each (the exchange
+    carries one row per distinct gram per batch, never per occurrence);
+    the vocab-sized unigram table is broadcast into two vectorized
+    lookup joins (hash-join on term is the alternative for vocabularies
+    too big to broadcast — see ``functions.joins.hash_join``); per-block
+    top-k prunes before the tiny global sort.
+    """
+    scored = pmi_scored_pairs_ds(ds, min_count=min_count, text_col=text_col)
+
     def block_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
             return t
@@ -381,8 +392,7 @@ def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text
         return t.take(idx.slice(0, k))
 
     top = (
-        joined.map_batches(score, batch_format="pyarrow")
-        .map_batches(block_topk, batch_format="pyarrow")
+        scored.map_batches(block_topk, batch_format="pyarrow")
         .sort(["pmi_micro", "w1", "w2"], descending=[True, False, False])
         .limit(k)
         .take_all()
@@ -553,3 +563,69 @@ def bigram_lm_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text")
             "p_micro": pa.array(out["p_micro"], pa.int64()),
         }
     )
+
+
+def term_clusters_ds(
+    ds,
+    *,
+    min_count: int = 5,
+    min_pmi_micro: int = 0,
+    text_col: str = "text",
+):
+    """Term-association clusters: the PMI-filtered bigram graph (edges =
+    adjacent pairs with n ≥ min_count and pmi_micro ≥ min_pmi_micro,
+    self-loops dropped) run through distributed connected components —
+    the classic collocation-clustering composition (PMI scoring →
+    association graph → min-label propagation).
+
+    Returns a Dataset of (term, comp_term) for every vocabulary term —
+    comp_term = the lexicographically smallest term reachable in the
+    association graph (edge-free terms label themselves) — sorted by
+    term. Terms travel as sorted-vocab ordinals through the integer
+    components kernel, so the min-ordinal label IS the min-lex term.
+
+    Scale: PMI scoring is the shared combiner pipeline; the vocabulary
+    (ordinal map) is broadcast — swap for a hash join beyond the
+    broadcast budget; components is the distributed propagation loop.
+    """
+    import ray.data as rd
+
+    from lsearch_ray.functions.components import component_labels_ds
+
+    uni_rows = unigram_counts_rows(ds, text_col)
+    vocab = sorted(r["term"] for r in uni_rows)
+    ord_of = {t: i for i, t in enumerate(vocab)}
+    vocab_arr = np.array(vocab, dtype=object)
+
+    scored = pmi_scored_pairs_ds(ds, min_count=min_count, text_col=text_col)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["pmi_micro"], pa.scalar(min_pmi_micro)),
+                pc.not_equal(t["w1"], t["w2"]),
+            )
+        )
+        a = np.array([ord_of[w] for w in t["w1"].to_pylist()], dtype=np.int64)
+        b = np.array([ord_of[w] for w in t["w2"].to_pylist()], dtype=np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    edges = scored.map_batches(to_edges, batch_format="pyarrow")
+    nodes = rd.from_arrow(
+        pa.table({"tid": pa.array(np.arange(len(vocab), dtype=np.int64))})
+    )
+    labels = component_labels_ds(nodes, edges, "tid")
+
+    def back(t: pa.Table) -> pa.Table:
+        tid = t["tid"].to_numpy(zero_copy_only=False)
+        comp = t["component"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": pa.array(vocab_arr[tid].tolist(), pa.large_string()),
+                "comp_term": pa.array(
+                    vocab_arr[comp].tolist(), pa.large_string()
+                ),
+            }
+        )
+
+    return labels.map_batches(back, batch_format="pyarrow").sort("term")

@@ -277,3 +277,54 @@ def test_bigram_lm_matches_pure_python():
         )
     )
     assert got == expect
+
+
+def test_term_clusters_disjoint_vocabularies():
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import term_clusters_ds
+
+    # two sublanguages that never co-occur → two PMI components
+    docs_a = ["alpha beta gamma alpha beta gamma alpha beta"] * 10
+    docs_b = ["delta epsilon zeta delta epsilon zeta delta epsilon"] * 10
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": docs_a + docs_b,
+        }
+    )
+    out = (
+        term_clusters_ds(rd.from_arrow(tab).repartition(3), min_count=5)
+        .to_pandas()
+        .set_index("term")["comp_term"]
+        .to_dict()
+    )
+    assert out == {
+        "alpha": "alpha",
+        "beta": "alpha",
+        "gamma": "alpha",
+        "delta": "delta",
+        "epsilon": "delta",
+        "zeta": "delta",
+    }
+
+
+def test_term_clusters_edge_free_terms_self_label():
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import term_clusters_ds
+
+    # below min_count → no edges → every term labels itself
+    tab = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": ["one two three"],
+        }
+    )
+    out = (
+        term_clusters_ds(rd.from_arrow(tab), min_count=5)
+        .to_pandas()
+        .set_index("term")["comp_term"]
+        .to_dict()
+    )
+    assert out == {"one": "one", "two": "two", "three": "three"}

@@ -495,3 +495,23 @@ def test_ann_recall_duplicate_embeddings_tiebreak():
     ).to_pandas()
     # all sims equal → both arms are ids 0..9 → recall 100
     assert out["recall_pct"].tolist() == [100]
+
+
+def test_embed_project_matches_numpy_replay():
+    from lsearch_ray.functions.ann_lsh import project_embeddings_ds
+
+    tab, m = _recall_corpus(n=50, d=12, seed=8)
+    out = (
+        project_embeddings_ds(
+            rd.from_arrow(tab).repartition(3), out_dim=5, seed=77
+        )
+        .sort(["vec_id", "dim"])
+        .to_pandas()
+    )
+    planes = _planes(12, 5, 77)
+    # the stored column is float32 — replay the same round-trip
+    coords = m.astype(np.float32).astype(np.float64) @ planes
+    expect = np.floor(coords * 1e6 + 0.5).astype(np.int64).reshape(-1)
+    assert len(out) == 50 * 5
+    assert out["coord_micro"].to_numpy().tolist() == expect.tolist()
+    assert out["dim"].tolist()[:5] == [0, 1, 2, 3, 4]
