@@ -2341,6 +2341,42 @@ def _q_embed_project(sf_dir: str):
     ).sort(["vec_id", "dim"])
 
 
+def _q_bigram_nll(sf_dir: str):
+    """Order-2 perplexity scoring: per-doc NLL under the corpus MLE
+    bigram LM in integer micro-nats (per-bigram log costs rounded
+    BEFORE the weighted sum — the unigram_nll contract one order up)."""
+    from lsearch_ray.functions.ngrams import bigram_nll_ds
+
+    return bigram_nll_ds(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+_NOVELTY_N = 3
+
+
+def _q_ngram_novelty(sf_dir: str):
+    """Inter-document diversity: share of each doc's distinct 3-grams
+    appearing in no other document (floor fixed-point)."""
+    from lsearch_ray.functions.ngrams import ngram_novelty_ds
+
+    return ngram_novelty_ds(
+        _docs(sf_dir, ["doc_id", "text"]), n=_NOVELTY_N
+    ).sort("doc_id")
+
+
+_DSIR_BUCKETS = 64
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR hashed importance weights: per-doc log-likelihood ratio of
+    hashed unigram features, target = lang='en' docs vs the raw corpus,
+    integer micro-nats end to end."""
+    from lsearch_ray.functions.dsir import dsir_weights_ds
+
+    return dsir_weights_ds(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), buckets=_DSIR_BUCKETS
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -2460,6 +2496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_sizes": _q_session_sizes,
         "term_clusters": _q_term_clusters,
         "embed_project": _q_embed_project,
+        "bigram_nll": _q_bigram_nll,
+        "ngram_novelty": _q_ngram_novelty,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -4134,6 +4173,65 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         "ann_recall": _ann_recall_sql(),
         "term_clusters": _term_clusters_sql(),
         "embed_project": _embed_project_sql(),
+        "bigram_nll": (
+            # cost = floor(-ln(n2/n1)·1e6 + 0.5) per corpus bigram with
+            # n1 = Σ_w n(w1 w) (left-context total); both engines spell
+            # the SAME double division then libm ln, and every per-doc
+            # total is a pure integer sum
+            "WITH g AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 "
+            "  FROM (SELECT doc_id, "
+            "          list_filter(string_split_regex(lower(text), "
+            "                      '[^a-z0-9]+'), t -> t <> '') AS toks "
+            "        FROM documents), "
+            "       UNNEST(generate_series(1, len(toks) - 1)) AS s(i)), "
+            "per AS (SELECT doc_id, w1, w2, count(*) AS c FROM g "
+            "  GROUP BY 1, 2, 3), "
+            "n2 AS (SELECT w1, w2, sum(c) AS n2 FROM per GROUP BY 1, 2), "
+            "n1 AS (SELECT w1, sum(n2) AS n1 FROM n2 GROUP BY 1), "
+            "cost AS (SELECT w1, w2, "
+            "  CAST(floor(-ln(n2 * 1.0 / n1) * 1000000.0 + 0.5) AS BIGINT) "
+            "  AS c FROM n2 JOIN n1 USING (w1)) "
+            "SELECT per.doc_id, CAST(sum(per.c) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(per.c * cost.c) AS BIGINT) AS nll_micro "
+            "FROM per JOIN cost USING (w1, w2) GROUP BY 1 ORDER BY 1"
+        ),
+        "ngram_novelty": (
+            # novelty = novel·1e6 // distinct over non-negative integers
+            # (floor division agrees across engines on this domain)
+            f"WITH g AS (SELECT DISTINCT doc_id, gram FROM "
+            f"({_grams_sql(_NOVELTY_N)})), "
+            "df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1), "
+            "a AS (SELECT g.doc_id, count(*) AS d, "
+            "  sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS nov "
+            "  FROM g JOIN df USING (gram) GROUP BY 1) "
+            "SELECT doc_id, CAST(d AS BIGINT) AS distinct_grams, "
+            "CAST(nov AS BIGINT) AS novel_grams, "
+            "CAST(nov * 1000000 // d AS BIGINT) AS novelty_micro "
+            "FROM a ORDER BY doc_id"
+        ),
+        "dsir_weights": (
+            # delta(b) = floor((ln((ct+1)/(Tt+B)) − ln((cr+1)/(Tr+B)))·1e6
+            # + 0.5) per hashed bucket, weight = Σ tf·delta — the engine's
+            # finalized FNV-63 replayed via HUGEINT, micro-nat contract
+            f"WITH tf AS ({_TF}), "
+            "dt AS (SELECT DISTINCT term FROM tf), "
+            f"th AS (SELECT term, CAST(({_mixed_hash63_of('term')}) "
+            f"  % {_DSIR_BUCKETS} AS BIGINT) AS b FROM dt), "
+            "e AS (SELECT tf.doc_id, tf.tf, th.b, "
+            "  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS tgt "
+            "  FROM tf JOIN th USING (term) "
+            "  JOIN documents d USING (doc_id)), "
+            "bc AS (SELECT b, sum(tf * tgt) AS ct, sum(tf) AS cr "
+            "  FROM e GROUP BY 1), "
+            "tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc), "
+            "delta AS (SELECT b, CAST(floor(("
+            f"  ln((ct + 1) * 1.0 / (tt + {_DSIR_BUCKETS})) "
+            f"  - ln((cr + 1) * 1.0 / (tr + {_DSIR_BUCKETS}))) "
+            "  * 1000000.0 + 0.5) AS BIGINT) AS dlt FROM bc, tot) "
+            "SELECT e.doc_id, CAST(sum(e.tf) AS BIGINT) AS n_tokens, "
+            "CAST(sum(e.tf * delta.dlt) AS BIGINT) AS weight_micro "
+            "FROM e JOIN delta USING (b) GROUP BY 1 ORDER BY 1"
+        ),
         "outlier_events": (
             # exact twin of functions.stats.zscore_outliers_ds: outlier ⇔
             # (n·x − S)² > 9(n·Sxx − S²), spelled n·x > S ± isqrt(·) so

@@ -59,13 +59,16 @@ from lsearch_ray.functions.grouped import (  # noqa: F401
 )
 from lsearch_ray.functions.ngrams import (  # noqa: F401
     benchmark_grams,
+    bigram_nll_ds,
     decontaminate_ds,
     doc_ngrams,
     doc_repetition_stats,
     ngram_counts_ds,
+    ngram_novelty_ds,
     pmi_bigrams_ds,
     skipgram_counts_ds,
 )
+from lsearch_ray.functions.dsir import dsir_weights_ds  # noqa: F401
 from lsearch_ray.functions.chunks import (  # noqa: F401
     chunk_exact_dedup,
     doc_chunks,

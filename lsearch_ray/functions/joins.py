@@ -28,6 +28,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def safe_partitions(requested: int, n_rows: int) -> int:
+    """Effective hash-join partition count: the requested count bounded
+    by (a) the live cluster's CPU count — partition counts far above the
+    executor's parallelism deadlock Ray's hash-shuffle aggregators on
+    small sessions — and (b) the row volume (≥64 rows per partition;
+    fully-empty partitions crash the join aggregator's finalize)."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", requested))
+        if ray.is_initialized()
+        else requested
+    )
+    return max(1, min(requested, cpus, n_rows // 64 or 1))
+
+
 def broadcast_join(
     big_ds,
     small: pa.Table,

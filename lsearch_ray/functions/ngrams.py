@@ -629,3 +629,295 @@ def term_clusters_ds(
         )
 
     return labels.map_batches(back, batch_format="pyarrow").sort("term")
+
+
+def _doc_gram_counts(
+    batch: pa.Table, n: int, text_col: str, id_col: str
+) -> pa.Table:
+    """Per-document n-gram counts for one batch of DOCUMENTS: a table of
+    (id_col, gram, c). A document never spans batches (one row per doc),
+    so per-batch counts are per-doc-complete — the shared combiner behind
+    :func:`bigram_nll_ds` and :func:`ngram_novelty_ds`."""
+    parents, grams = doc_ngrams(batch[text_col], n)
+    if len(grams) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "gram": pa.array([], type=pa.large_string()),
+                "c": pa.array([], type=pa.int64()),
+            }
+        )
+    enc = grams.dictionary_encode()
+    codes = np.asarray(enc.indices).astype(np.int64)
+    pairs, counts = np.unique(
+        np.stack([parents, codes], axis=1), axis=0, return_counts=True
+    )
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[pairs[:, 0]]
+    return pa.table(
+        {
+            id_col: pa.array(ids.astype(np.int64)),
+            "gram": enc.dictionary.take(pa.array(pairs[:, 1])).cast(
+                pa.large_string()
+            ),
+            "c": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def bigram_nll_ds(
+    docs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    broadcast_costs: bool = True,
+):
+    """Per-document negative log-likelihood under the corpus MLE bigram
+    LM — the order-2 counterpart of ``unigram_nll`` (documents whose
+    word TRANSITIONS are improbable under the corpus score high; the
+    perplexity-style fluency signal of a training-data pipeline).
+
+    Returns a Dataset of (id_col, n_bigrams, nll_micro) over documents
+    with at least one bigram:
+
+        cost(w1 w2) = floor(-ln(n2 / n1) * 1e6 + 0.5)    [micro-nats]
+        nll_micro   = Σ_bigrams c_doc · cost
+
+    where ``n2`` = corpus count of the bigram and ``n1 = Σ_w n(w1 w)``
+    is the left-context total (so Σ_w P(w|w1) = 1 exactly). Every
+    per-bigram cost is rounded to an INTEGER before the weighted sum —
+    pure integer totals, bit-exact across engines regardless of
+    summation order.
+
+    Scale plan mirrors ``unigram_nll``: ONE per-doc bigram-count pass
+    (materialized, consumed by the corpus aggregate and the scoring
+    join); ``broadcast_costs=True`` collects the (gram, cost) table —
+    vocabulary-pair-sized — and ships it once per task, else everything
+    stays distributed: n2 by one gram shuffle, n1 by a w1 shuffle over
+    the (already tiny) n2 rows, costs attached by partitioned hash
+    joins. ln via ``math.log`` per DISTINCT (n2, n1) pair (libm parity
+    with DuckDB's ln).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    per = docs_ds.map_batches(
+        lambda b: _doc_gram_counts(b, 2, text_col, id_col),
+        batch_format="pyarrow",
+    ).materialize()
+    n2_ds = per.select_columns(["gram", "c"]).groupby("gram").sum("c")
+
+    def cost_rows(grams: pa.Array, n2: np.ndarray, n1: np.ndarray) -> pa.Table:
+        pairs = np.stack([n2, n1], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        c = np.array(
+            [
+                math.floor(-math.log(int(a) / int(b)) * 1e6 + 0.5)
+                for a, b in uniq
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "gram": grams.cast(pa.large_string()),
+                "__cost": pa.array(c[inv], type=pa.int64()),
+            }
+        )
+
+    from lsearch_ray.functions.joins import (
+        broadcast_join,
+        hash_join,
+        safe_partitions,
+    )
+
+    if broadcast_costs:
+        tab = pa.Table.from_pylist(
+            n2_ds.take_all(),
+            schema=pa.schema(
+                [("gram", pa.large_string()), ("sum(c)", pa.int64())]
+            ),
+        )
+        grams = tab["gram"].combine_chunks()
+        n2 = tab["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w1 = pc.list_element(pc.split_pattern(grams, GRAM_SEP), 0)
+        agg = (
+            pa.table({"w1": w1, "n": pa.array(n2)})
+            .group_by("w1")
+            .aggregate([("n", "sum")])
+        )
+        lut = dict(
+            zip(
+                agg["w1"].to_pylist(),
+                agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+        n1 = np.array([lut[w] for w in w1.to_pylist()], dtype=np.int64)
+        joined = broadcast_join(per, cost_rows(grams, n2, n1), on="gram")
+    else:
+        n2_ds = n2_ds.materialize()
+        # both cost joins are n2-table-sized on their smaller side
+        num_partitions = safe_partitions(num_partitions, n2_ds.count())
+
+        def to_w1(b: pa.Table) -> pa.Table:
+            g = b["gram"].combine_chunks().cast(pa.large_string())
+            return pa.table(
+                {
+                    "w1": pc.list_element(pc.split_pattern(g, GRAM_SEP), 0),
+                    "gram": g,
+                    "n2": b["sum(c)"].cast(pa.int64()),
+                }
+            )
+
+        with_w1 = n2_ds.map_batches(to_w1, batch_format="pyarrow")
+        n1_ds = (
+            with_w1.select_columns(["w1", "n2"]).groupby("w1").sum("n2")
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    # groupby output downgrades to string — the join key
+                    # must match with_w1's large_string exactly
+                    "w1": b["w1"].cast(pa.large_string()),
+                    "n1": b["sum(n2)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        costs_ds = hash_join(
+            with_w1, n1_ds, on="w1", num_partitions=num_partitions
+        ).map_batches(
+            lambda b: cost_rows(
+                b["gram"].combine_chunks(),
+                b["n2"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["n1"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            per, costs_ds, on="gram", num_partitions=num_partitions
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = c * b["__cost"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                id_col: b[id_col],
+                "c": pa.array(c),
+                "contrib": pa.array(contrib),
+            }
+        )
+        return t.group_by(id_col).aggregate([("c", "sum"), ("contrib", "sum")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("c_sum", alias_name="n_bigrams"),
+            Sum("contrib_sum", alias_name="nll_micro"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "n_bigrams": b["n_bigrams"].cast(pa.int64()),
+                "nll_micro": b["nll_micro"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ngram_novelty_ds(
+    docs_ds,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+):
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    word n-grams that appear in NO other document — the inter-document
+    diversity signal complementing ``doc_repetition`` (intra-document
+    repetition). Boilerplate-heavy near-duplicates score near 0; unique
+    prose scores near 1e6.
+
+    Returns a Dataset of (id_col, distinct_grams, novel_grams,
+    novelty_micro) over documents with at least one n-gram, where
+    ``novelty_micro = novel_grams * 1e6 // distinct_grams`` (floor
+    fixed-point over non-negative integers — exact in any engine).
+
+    Scale plan: one per-doc distinct-gram pass (each (doc, gram) row
+    emitted once); gram document-frequency is ONE gram-keyed shuffle
+    over those rows; the df=1 flag joins back by the SAME key (the join
+    reuses the gram partitioning); per-doc totals are per-batch partial
+    sums into a final id shuffle. Nothing is ever collected driver-side.
+    """
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.functions.joins import hash_join, safe_partitions
+
+    per = (
+        docs_ds.map_batches(
+            lambda b: _doc_gram_counts(b, n, text_col, id_col),
+            batch_format="pyarrow",
+        )
+        .select_columns([id_col, "gram"])
+        .materialize()
+    )
+    df_ds = (
+        per.select_columns(["gram"])
+        .groupby("gram")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    # groupby output downgrades to string — the join key
+                    # must match per's large_string exactly
+                    "gram": b["gram"].cast(pa.large_string()),
+                    "df": b["count()"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    # the df table is the join's smaller side — partitions must be sized
+    # to IT (and to the live cpu count) or tiny inputs produce empty
+    # partitions / small sessions deadlock the shuffle aggregators
+    num_partitions = safe_partitions(num_partitions, df_ds.count())
+    joined = hash_join(per, df_ds, on="gram", num_partitions=num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        novel = pc.equal(b["df"], pa.scalar(1)).cast(pa.int64())
+        t = pa.table(
+            {
+                id_col: b[id_col],
+                "d": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "nov": novel,
+            }
+        )
+        return t.group_by(id_col).aggregate([("d", "sum"), ("nov", "sum")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("d_sum", alias_name="distinct_grams"),
+            Sum("nov_sum", alias_name="novel_grams"),
+        )
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        d = b["distinct_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = b["novel_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "distinct_grams": pa.array(d),
+                "novel_grams": pa.array(nv),
+                "novelty_micro": pa.array(nv * 10**6 // d),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -328,3 +328,109 @@ def test_term_clusters_edge_free_terms_self_label():
         .to_dict()
     )
     assert out == {"one": "one", "two": "two", "three": "three"}
+
+
+def _bigram_nll_reference(texts: list[str]) -> dict[int, tuple[int, int]]:
+    """Sequential replay of the bigram-NLL contract: per-doc bigram
+    counts, corpus n2/n1, floor(-ln(n2/n1)*1e6+0.5) per bigram."""
+    import math
+    import re
+    from collections import Counter
+
+    per: list[Counter] = []
+    n2: Counter = Counter()
+    for t in texts:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        c = Counter(zip(toks, toks[1:]))
+        per.append(c)
+        n2.update(c)
+    n1: Counter = Counter()
+    for (w1, _), n in n2.items():
+        n1[w1] += n
+    out = {}
+    for i, c in enumerate(per):
+        if not c:
+            continue
+        nll = sum(
+            k * math.floor(-math.log(n2[g] / n1[g[0]]) * 1e6 + 0.5)
+            for g, k in c.items()
+        )
+        out[i] = (sum(c.values()), nll)
+    return out
+
+
+def test_bigram_nll_matches_reference_and_paths_agree():
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import bigram_nll_ds
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a log",
+        "",
+        "single",
+        "the cat sat on the mat again and again",
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    want = _bigram_nll_reference(texts)
+    got = (
+        bigram_nll_ds(rd.from_arrow(tab).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert {
+        int(i): (int(r["n_bigrams"]), int(r["nll_micro"]))
+        for i, r in got.iterrows()
+    } == want
+    # distributed-cost path = broadcast path, bit-identical
+    got_dist = (
+        bigram_nll_ds(
+            rd.from_arrow(tab).repartition(3),
+            broadcast_costs=False,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.sort_index().equals(got_dist)
+
+
+def test_ngram_novelty_flags_unique_grams():
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import ngram_novelty_ds
+
+    texts = [
+        "alpha beta gamma delta",   # grams: a-b-g (shared), b-g-d (unique)
+        "alpha beta gamma epsilon", # a-b-g (shared), b-g-e (unique)
+        "zeta eta theta",           # z-e-t (unique)
+        "short one",                # no 3-gram -> no row
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    got = (
+        # num_partitions sized to the 4-cpu test session (wide hash
+        # joins deadlock when partitions ≫ cpus)
+        ngram_novelty_ds(rd.from_arrow(tab).repartition(2), n=3, num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == [0, 1, 2]
+    assert got.loc[0, "distinct_grams"] == 2
+    assert got.loc[0, "novel_grams"] == 1
+    assert got.loc[0, "novelty_micro"] == 500000
+    assert got.loc[2, "distinct_grams"] == 1
+    assert got.loc[2, "novel_grams"] == 1
+    assert got.loc[2, "novelty_micro"] == 1000000
