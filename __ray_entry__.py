@@ -2862,23 +2862,31 @@ FROM uni u LEFT JOIN lbl l ON l.src = u.term ORDER BY u.term
 
 
 def _embed_project_sql() -> str:
-    """Exact SQL twin of functions.ann_lsh.project_embeddings_ds: the
-    seeded (64 × 16) Gaussian projection matrix embedded as float
-    literals, coordinates = list_dot_product, floor-half-away micro."""
-    from lsearch_ray.functions.ann_lsh import _planes
+    """Exact SQL twin of functions.ann_lsh.project_embeddings_ds: both
+    sides quantize embedding values and plane entries to the 1e-6 grid
+    (floor half-up) and take a pure-int64 dot product — integer SUM is
+    summation-order-free, so the parity is bit-exact by construction
+    (a float dot product's accumulation order differs between numpy
+    BLAS and DuckDB's kernel; measured ulp drift breaks rounding)."""
+    from lsearch_ray.functions.ann_lsh import _planes, quantize_micro
 
-    planes = _planes(64, _PROJ_DIM, 4242)
+    qplanes = quantize_micro(_planes(64, _PROJ_DIM, 4242))
     plane_rows = ", ".join(
-        f"({j}, [{', '.join(repr(float(x)) for x in planes[:, j])}]::DOUBLE[])"
-        for j in range(planes.shape[1])
+        f"({j}, {i + 1}, {int(qplanes[i, j])})"
+        for j in range(qplanes.shape[1])
+        for i in range(qplanes.shape[0])
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-planes(j, p) AS (VALUES {plane_rows})
-SELECT e.vec_id, CAST(pl.j AS BIGINT) AS dim,
-       CAST(floor(list_dot_product(e.v, pl.p) * 1000000 + 0.5) AS BIGINT)
-         AS coord_micro
-FROM e CROSS JOIN planes pl ORDER BY e.vec_id, dim
+q AS (SELECT vec_id, i,
+        CAST(floor(u * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM (SELECT vec_id, unnest(v) AS u,
+                   generate_subscripts(v, 1) AS i FROM e)),
+planes(j, i, qp) AS (VALUES {plane_rows})
+SELECT q.vec_id, CAST(p.j AS BIGINT) AS dim,
+       CAST(sum(q.qv * p.qp) AS BIGINT) AS coord_pico
+FROM q JOIN planes p USING (i) GROUP BY q.vec_id, p.j
+ORDER BY q.vec_id, dim
 """
 
 

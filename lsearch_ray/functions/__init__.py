@@ -25,8 +25,10 @@ from lsearch_ray.functions.joins import (  # noqa: F401
     sessionize,
 )
 from lsearch_ray.functions.ann_lsh import (  # noqa: F401
+    ann_recall_table,
     embedding_dedup,
     lsh_cosine_topk,
+    project_embeddings_ds,
 )
 from lsearch_ray.functions.bloom import (  # noqa: F401
     bloom_semi_join,
@@ -67,6 +69,7 @@ from lsearch_ray.functions.ngrams import (  # noqa: F401
     ngram_novelty_ds,
     pmi_bigrams_ds,
     skipgram_counts_ds,
+    term_clusters_ds,
 )
 from lsearch_ray.functions.dsir import dsir_weights_ds  # noqa: F401
 from lsearch_ray.functions.chunks import (  # noqa: F401
@@ -112,9 +115,4 @@ from lsearch_ray.functions.quantiles import (  # noqa: F401
 from lsearch_ray.functions.sampling import (  # noqa: F401
     hash_rank_ds,
     negative_pairs_ds,
-)
-from lsearch_ray.functions.ngrams import term_clusters_ds  # noqa: F401
-from lsearch_ray.functions.ann_lsh import (  # noqa: F401
-    ann_recall_table,
-    project_embeddings_ds,
 )

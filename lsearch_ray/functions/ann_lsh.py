@@ -307,31 +307,35 @@ def project_embeddings_ds(
 
     Stateless one-pass map: per batch ONE matmul against the broadcast
     (dim × out_dim) plane matrix; nothing shuffles. Returns a Dataset in
-    long form (id, dim, coord_micro) — coordinates fixed-point rounded
-    half-away to micro units — sorted output is the caller's choice.
+    long form (id, dim, coord_pico): both the embedding values and the
+    plane entries are fixed-point quantized to the 1e-6 grid
+    (``floor(x·1e6 + 0.5)``) BEFORE the dot product, so each coordinate
+    is a pure int64 sum (unit 1e-12 ≈ pico) — bit-exact across engines
+    regardless of summation order (a float matmul's accumulation order
+    differs between BLAS and SQL kernels; measured ulp drift flips the
+    rounded value whenever a coordinate lands within ~1 ulp of a
+    half-grid boundary). Sorted output is the caller's choice.
     """
 
     class _Project:
         def __init__(self):
-            self.planes = None  # lazily sized from the first batch
+            self.qplanes = None  # lazily sized from the first batch
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from lsearch_ray.functions.ann import _stack_embeddings
-
             m = _stack_embeddings(batch[emb_col]).astype(np.float64)
             if m.shape[0] == 0:
                 return pa.table(
                     {
                         id_col: pa.array([], pa.int64()),
                         "dim": pa.array([], pa.int64()),
-                        "coord_micro": pa.array([], pa.int64()),
+                        "coord_pico": pa.array([], pa.int64()),
                     }
                 )
             d = dim if dim is not None else m.shape[1]
-            if self.planes is None:
-                self.planes = _planes(d, out_dim, seed)
-            coords = m @ self.planes  # n × out_dim
-            micro = np.floor(coords * 1e6 + 0.5).astype(np.int64)
+            if self.qplanes is None:
+                self.qplanes = quantize_micro(_planes(d, out_dim, seed))
+            qm = quantize_micro(m)
+            coords = qm @ self.qplanes  # n × out_dim, exact int64
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
                 {
@@ -339,8 +343,15 @@ def project_embeddings_ds(
                     "dim": pa.array(
                         np.tile(np.arange(out_dim, dtype=np.int64), len(ids))
                     ),
-                    "coord_micro": pa.array(micro.reshape(-1)),
+                    "coord_pico": pa.array(coords.reshape(-1)),
                 }
             )
 
     return emb_ds.map_batches(_Project(), batch_format="pyarrow")
+
+
+def quantize_micro(x: np.ndarray) -> np.ndarray:
+    """Fixed-point quantization to the 1e-6 grid, half-up — the shared
+    pre-dot-product step of :func:`project_embeddings_ds` and its SQL
+    twin (``CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)``)."""
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)

@@ -44,9 +44,11 @@ def connected_components_ds(
         )
 
     edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    from lsearch_ray.functions.joins import safe_partitions
+
     # scale partitions with data: Ray's hash-join aggregator fails on
     # fully-empty partitions, which tiny inputs with many partitions make
-    num_partitions = max(1, min(num_partitions, edges.count() // 64 or 1))
+    num_partitions = safe_partitions(num_partitions, edges.count())
     # labels start as the node's own id (incl. its neighbors' ids round 1)
     labels = (
         edges.groupby("node")

@@ -68,7 +68,8 @@ def _doc_bucket_partial(
     doc, bk, tf = doc[order], bk[order], tf[order]
     change = np.flatnonzero((np.diff(doc) != 0) | (np.diff(bk) != 0)) + 1
     starts = np.concatenate(([0], change))
-    # doc -> target flag from this batch's rows (null target misses)
+    # doc -> target flag from this batch's rows (null target misses);
+    # vectorized id -> row-position lookup, no Python per-row loop
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     is_t = (
         pc.fill_null(
@@ -77,16 +78,15 @@ def _doc_bucket_partial(
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
-    tgt_of = dict(zip(ids.tolist(), is_t.tolist()))
     d = doc[starts]
+    order = np.argsort(ids, kind="mergesort")
+    rows = order[np.searchsorted(ids[order], d)]
     return pa.table(
         {
             id_col: pa.array(d),
             "bucket": pa.array(bk[starts]),
             "v": pa.array(np.add.reduceat(tf, starts)),
-            "tgt": pa.array(
-                np.array([tgt_of[int(x)] for x in d], dtype=np.int64)
-            ),
+            "tgt": pa.array(is_t[rows]),
         }
     )
 

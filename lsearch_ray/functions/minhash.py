@@ -263,10 +263,12 @@ def _verify_pairs_distributed(
 
 
 def _pair_partitions(n_pairs: int, cap: int = 8) -> int:
-    """Hash-join partition count for a pair volume. Kept ≥64 rows per
-    partition: Ray's hash-join aggregator rejects fully-empty partitions,
-    which tiny inputs with many partitions produce."""
-    return max(1, min(cap, n_pairs // 64 or 1))
+    """Hash-join partition count for a pair volume — delegates to the
+    shared :func:`joins.safe_partitions` rule (≥64 rows per partition,
+    bounded by the live cpu count)."""
+    from lsearch_ray.functions.joins import safe_partitions
+
+    return safe_partitions(cap, n_pairs)
 
 
 def minhash_dedup(

@@ -288,15 +288,20 @@ def _ln_of_counts(x: np.ndarray) -> np.ndarray:
     return lns[inv]
 
 
-def pmi_scored_pairs_ds(ds, *, min_count: int = 5, text_col: str = "text"):
+def pmi_scored_pairs_ds(
+    ds, *, min_count: int = 5, text_col: str = "text", uni_rows=None
+):
     """All adjacent word pairs with n ≥ min_count, PMI-scored — the shared
     scoring stage behind :func:`pmi_bigrams_ds` (top-k collocations) and
     the PMI-graph term clustering. Returns a Dataset of
     (w1, w2, n, pmi_micro); see pmi_bigrams_ds for the exact-replay
-    micro-nat contract and the scale plan."""
+    micro-nat contract and the scale plan. Pass precomputed
+    ``uni_rows`` (the :func:`unigram_counts_rows` result) to avoid a
+    second full-corpus tokenize pass when the caller already has it."""
     from lsearch_ray.functions.joins import broadcast_join
 
-    uni_rows = unigram_counts_rows(ds, text_col)
+    if uni_rows is None:
+        uni_rows = unigram_counts_rows(ds, text_col)
     t_total = sum(int(r["sum(n)"]) for r in uni_rows)
     uni_terms = pa.array([r["term"] for r in uni_rows], type=pa.large_string())
     uni_counts = pa.array(
@@ -571,6 +576,8 @@ def term_clusters_ds(
     min_count: int = 5,
     min_pmi_micro: int = 0,
     text_col: str = "text",
+    max_rounds: int = 50,
+    num_partitions: int = 2,
 ):
     """Term-association clusters: the PMI-filtered bigram graph (edges =
     adjacent pairs with n ≥ min_count and pmi_micro ≥ min_pmi_micro,
@@ -597,7 +604,11 @@ def term_clusters_ds(
     ord_of = {t: i for i, t in enumerate(vocab)}
     vocab_arr = np.array(vocab, dtype=object)
 
-    scored = pmi_scored_pairs_ds(ds, min_count=min_count, text_col=text_col)
+    # the vocab rows double as the PMI stage's unigram counts — ONE
+    # full-corpus tokenize pass, not two
+    scored = pmi_scored_pairs_ds(
+        ds, min_count=min_count, text_col=text_col, uni_rows=uni_rows
+    )
 
     def to_edges(t: pa.Table) -> pa.Table:
         t = t.filter(
@@ -614,7 +625,10 @@ def term_clusters_ds(
     nodes = rd.from_arrow(
         pa.table({"tid": pa.array(np.arange(len(vocab), dtype=np.int64))})
     )
-    labels = component_labels_ds(nodes, edges, "tid")
+    labels = component_labels_ds(
+        nodes, edges, "tid", max_rounds=max_rounds,
+        num_partitions=num_partitions,
+    )
 
     def back(t: pa.Table) -> pa.Table:
         tid = t["tid"].to_numpy(zero_copy_only=False)

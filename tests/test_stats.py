@@ -508,10 +508,13 @@ def test_embed_project_matches_numpy_replay():
         .sort(["vec_id", "dim"])
         .to_pandas()
     )
-    planes = _planes(12, 5, 77)
-    # the stored column is float32 — replay the same round-trip
-    coords = m.astype(np.float32).astype(np.float64) @ planes
-    expect = np.floor(coords * 1e6 + 0.5).astype(np.int64).reshape(-1)
+    from lsearch_ray.functions.ann_lsh import quantize_micro
+
+    # the stored column is float32 — replay the same round-trip; both
+    # sides quantize to the 1e-6 grid before the (exact int64) dot
+    qm = quantize_micro(m.astype(np.float32).astype(np.float64))
+    qp = quantize_micro(_planes(12, 5, 77))
+    expect = (qm @ qp).reshape(-1)
     assert len(out) == 50 * 5
-    assert out["coord_micro"].to_numpy().tolist() == expect.tolist()
+    assert out["coord_pico"].to_numpy().tolist() == expect.tolist()
     assert out["dim"].tolist()[:5] == [0, 1, 2, 3, 4]
