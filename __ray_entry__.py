@@ -2377,6 +2377,18 @@ def _q_dsir_weights(sf_dir: str):
     ).sort("doc_id")
 
 
+_BPE_ITERS = 4
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Distributed tokenizer training: the first 4 BPE merges learned
+    over the corpus token stream (corpus-argmax pair per step, greedy
+    left-to-right fuse, deterministic tie-break)."""
+    from lsearch_ray.functions.bpe import bpe_merges_ds
+
+    return bpe_merges_ds(_docs(sf_dir, ["doc_id", "text"]), iters=_BPE_ITERS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -2499,6 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_nll": _q_bigram_nll,
         "ngram_novelty": _q_ngram_novelty,
         "dsir_weights": _q_dsir_weights,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -2859,6 +2872,69 @@ lbl AS (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src)
 SELECT u.term, coalesce(l.comp, u.term) AS comp_term
 FROM uni u LEFT JOIN lbl l ON l.src = u.term ORDER BY u.term
 """
+
+
+def _bpe_merges_sql(iters: int) -> str:
+    """Exact SQL twin of functions.bpe.bpe_merges_ds, unrolled per merge
+    step (the kmeans-CTE pattern): each step counts within-doc adjacent
+    pairs of the current stream (lead() per doc), takes the
+    (n DESC, w1, w2) argmax, and rebuilds the stream with the greedy
+    left-to-right fuse — runs of consecutive candidates keep odd
+    ordinals (1-based) exactly like the engine's run-parity kernel;
+    fused tokens join with chr(1) and render with spaces."""
+    parts = [
+        "t0 AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS p, term AS tok "
+        f"FROM ({_ORDERED_TOKS}))"
+    ]
+    sel = []
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pr{k} AS (SELECT doc_id, p, tok, lead(tok) OVER "
+            f"(PARTITION BY doc_id ORDER BY p) AS nxt FROM t{k - 1})"
+        )
+        parts.append(
+            f"bs{k} AS (SELECT tok AS w1, nxt AS w2, count(*) AS n "
+            f"FROM pr{k} WHERE nxt IS NOT NULL GROUP BY 1, 2 "
+            "ORDER BY n DESC, w1, w2 LIMIT 1)"
+        )
+        if k < iters:
+            parts.append(
+                f"cd{k} AS (SELECT pr.doc_id, pr.p, pr.tok, pr.nxt, "
+                "coalesce(pr.tok = bs.w1 AND pr.nxt = bs.w2, FALSE) AS cand "
+                f"FROM pr{k} pr CROSS JOIN bs{k} bs)"
+            )
+            parts.append(
+                f"ck{k} AS (SELECT doc_id, p FROM ("
+                "SELECT doc_id, p, row_number() OVER "
+                "(PARTITION BY doc_id, grp ORDER BY p) AS o FROM ("
+                "SELECT doc_id, p, p - row_number() OVER "
+                "(PARTITION BY doc_id ORDER BY p) AS grp "
+                f"FROM cd{k} WHERE cand)) WHERE o % 2 = 1)"
+            )
+            parts.append(
+                f"t{k} AS (SELECT doc_id, row_number() OVER "
+                "(PARTITION BY doc_id ORDER BY p) AS p, tok FROM ("
+                "SELECT c.doc_id, c.p, CASE WHEN m.p IS NOT NULL "
+                "THEN c.tok || chr(1) || c.nxt ELSE c.tok END AS tok "
+                f"FROM cd{k} c "
+                f"LEFT JOIN ck{k} m ON m.doc_id = c.doc_id AND m.p = c.p "
+                f"LEFT JOIN ck{k} cons ON cons.doc_id = c.doc_id "
+                "AND cons.p = c.p - 1 WHERE cons.p IS NULL))"
+            )
+        sel.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, "
+            "replace(w1, chr(1), ' ') AS w1, "
+            "replace(w2, chr(1), ' ') AS w2, "
+            f"CAST(n AS BIGINT) AS n FROM bs{k}"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " "
+        + " UNION ALL ".join(sel)
+        + " ORDER BY step"
+    )
 
 
 def _embed_project_sql() -> str:
@@ -4181,6 +4257,7 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         "ann_recall": _ann_recall_sql(),
         "term_clusters": _term_clusters_sql(),
         "embed_project": _embed_project_sql(),
+        "bpe_merges": _bpe_merges_sql(_BPE_ITERS),
         "bigram_nll": (
             # cost = floor(-ln(n2/n1)·1e6 + 0.5) per corpus bigram with
             # n1 = Σ_w n(w1 w) (left-context total); both engines spell

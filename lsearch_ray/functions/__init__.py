@@ -72,6 +72,10 @@ from lsearch_ray.functions.ngrams import (  # noqa: F401
     term_clusters_ds,
 )
 from lsearch_ray.functions.dsir import dsir_weights_ds  # noqa: F401
+from lsearch_ray.functions.bpe import (  # noqa: F401
+    bpe_apply_ds,
+    bpe_merges_ds,
+)
 from lsearch_ray.functions.chunks import (  # noqa: F401
     chunk_exact_dedup,
     doc_chunks,
