@@ -2377,6 +2377,20 @@ def _q_dsir_weights(sf_dir: str):
     ).sort("doc_id")
 
 
+_KEY_K, _KEY_MIN = 20, 5
+
+
+def _q_keyness_terms(sf_dir: str):
+    """Slice-signature diagnostic: top-20 Dunning log-likelihood keyness
+    terms of the lang='en' slice vs the rest of the corpus, integer
+    micro-nat G2 (each ln bracket rounded before the count multiply)."""
+    from lsearch_ray.functions.keyness import keyness_terms_ds
+
+    return keyness_terms_ds(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), k=_KEY_K, min_count=_KEY_MIN
+    )
+
+
 _BPE_ITERS = 4
 
 
@@ -2512,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "dsir_weights": _q_dsir_weights,
         "bpe_merges": _q_bpe_merges,
+        "keyness_terms": _q_keyness_terms,
     }
 
 
@@ -4258,6 +4273,34 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         "term_clusters": _term_clusters_sql(),
         "embed_project": _embed_project_sql(),
         "bpe_merges": _bpe_merges_sql(_BPE_ITERS),
+        "keyness_terms": (
+            # G2 brackets spelled ln(a) − ln(a+b) − ln(A) + ln(A+B)
+            # left-to-right, rounded to micro-nats BEFORE the count
+            # multiply — identical IEEE sequence to the engine; assoc
+            # compares HUGEINT cross-products (the engine uses exact
+            # Python ints on the k result rows)
+            f"WITH toks AS ({_TOKS}), "
+            "e AS (SELECT t.term, "
+            "  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS tgt "
+            "  FROM toks t JOIN documents d USING (doc_id)), "
+            "tt AS (SELECT term, sum(tgt) AS a, sum(1 - tgt) AS b "
+            "  FROM e GROUP BY 1), "
+            "tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM tt), "
+            "sc AS (SELECT term, CAST(a AS BIGINT) AS a, "
+            "  CAST(b AS BIGINT) AS b, "
+            "  CAST(CASE WHEN a * tb > b * ta THEN 1 "
+            "       WHEN a * tb < b * ta THEN -1 ELSE 0 END AS BIGINT) "
+            "  AS assoc, "
+            "  CAST(2 * (CASE WHEN a > 0 THEN a * CAST(floor((ln(a) "
+            "    - ln(a + b) - ln(ta) + ln(ta + tb)) * 1000000.0 + 0.5) "
+            "    AS BIGINT) ELSE 0 END "
+            "  + CASE WHEN b > 0 THEN b * CAST(floor((ln(b) - ln(a + b) "
+            "    - ln(tb) + ln(ta + tb)) * 1000000.0 + 0.5) AS BIGINT) "
+            "    ELSE 0 END) AS BIGINT) AS g2_micro "
+            f"  FROM tt, tot WHERE a + b >= {_KEY_MIN}) "
+            "SELECT term, a, b, assoc, g2_micro FROM sc "
+            f"ORDER BY g2_micro DESC, term LIMIT {_KEY_K}"
+        ),
         "bigram_nll": (
             # cost = floor(-ln(n2/n1)·1e6 + 0.5) per corpus bigram with
             # n1 = Σ_w n(w1 w) (left-context total); both engines spell

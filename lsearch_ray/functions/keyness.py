@@ -1,0 +1,196 @@
+"""Corpus keyness (Dunning '93 log-likelihood ratio, public method):
+which terms are most DISTINCTIVE of a target document slice vs the rest
+of the corpus — the domain-signature / slice-drift diagnostic of a
+training-data pipeline (what vocabulary does the 'en' slice, a source,
+or a time window over-use?).
+
+Per term with target count ``a`` and rest count ``b`` (token totals
+``A``, ``B``):
+
+    G2 = 2 · (a·ln(a/E1) + b·ln(b/E2)),   E1 = A(a+b)/(A+B),
+                                          E2 = B(a+b)/(A+B)
+
+decomposed so every ln argument is an INTEGER ratio spelled identically
+in both engines, each bracket rounded to integer micro-nats BEFORE the
+count multiply:
+
+    t1 = floor((ln a − ln(a+b) − ln A + ln(A+B)) · 1e6 + 0.5)   [a>0]
+    t2 = floor((ln b − ln(a+b) − ln B + ln(A+B)) · 1e6 + 0.5)   [b>0]
+    g2_micro = 2 · (a·t1 + b·t2)                 [pure int64]
+
+so outputs are exact integers (the established micro-nat contract).
+``assoc`` = +1 when the term is over-represented in the target
+(a·B > b·A), −1 when under-represented, 0 at exact proportionality.
+
+Scale shape: one tokenize pass emitting per-batch (term, a, b) partials
+(a two-column value-count combiner keyed by the doc's target flag), ONE
+term-keyed groupby.sum, vocabulary-sized; scoring is vectorized with
+``math.log`` per DISTINCT count (libm parity with DuckDB); top-k via
+per-block prune + tiny global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lsearch_ray.analyzer import flat_tokens_arrow
+
+
+def _ln_micro_of(x: np.ndarray) -> np.ndarray:
+    """ln per DISTINCT integer value (float64, un-rounded — callers
+    compose brackets then round once)."""
+    uniq, inv = np.unique(x, return_inverse=True)
+    lns = np.array(
+        [math.log(int(v)) if v > 0 else 0.0 for v in uniq], dtype=np.float64
+    )
+    return lns[inv]
+
+
+def keyness_terms_ds(
+    docs_ds,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Top-k keyness terms of the target slice vs the rest.
+
+    Returns (term, a, b, assoc, g2_micro) ordered by
+    (g2_micro DESC, term ASC) LIMIT k, over terms with a+b ≥ min_count.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, flat = flat_tokens_arrow(b[text_col])
+        empty = pa.table(
+            {
+                "term": pa.array([], type=pa.large_string()),
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        is_t = (
+            pc.fill_null(
+                pc.equal(b[target_col], pa.scalar(target_value)), False
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tgt = is_t[parents]
+        t = pa.table(
+            {
+                "term": flat,
+                "a": pa.array(tgt),
+                "b": pa.array(1 - tgt),
+            }
+        )
+        agg = t.group_by("term").aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table(
+            {
+                "term": agg["term"].combine_chunks().cast(pa.large_string()),
+                "a": agg["a_sum"].cast(pa.int64()),
+                "b": agg["b_sum"].cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["a", "b"])
+        .materialize()
+    )
+    tot_a = int(counts.sum("sum(a)") or 0)
+    tot_b = int(counts.sum("sum(b)") or 0)
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t["sum(a)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["sum(b)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (a + b) >= min_count
+        if not keep.any():
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.large_string()),
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "assoc": pa.array([], type=pa.int64()),
+                    "g2_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        term = t["term"].combine_chunks().cast(pa.large_string()).filter(
+            pa.array(keep)
+        )
+        a, b = a[keep], b[keep]
+        ab = a + b
+        ln_a, ln_b, ln_ab = (
+            _ln_micro_of(a),
+            _ln_micro_of(b),
+            _ln_micro_of(ab),
+        )
+        ln_ta = math.log(tot_a) if tot_a > 0 else 0.0
+        ln_tb = math.log(tot_b) if tot_b > 0 else 0.0
+        ln_tt = math.log(tot_a + tot_b)
+        # bracket spelled EXACTLY like the SQL twin: ln a − ln(a+b) −
+        # ln A + ln(A+B), left-to-right, rounded once per bracket
+        t1 = np.floor(((ln_a - ln_ab - ln_ta) + ln_tt) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        t2 = np.floor(((ln_b - ln_ab - ln_tb) + ln_tt) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        g2 = 2 * (a * np.where(a > 0, t1, 0) + b * np.where(b > 0, t2, 0))
+        return pa.table(
+            {
+                "term": term,
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "g2_micro": pa.array(g2),
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("g2_micro", "descending"), ("term", "ascending")],
+        )
+        return t.take(idx.slice(0, k))
+
+    top = (
+        counts.map_batches(score, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["g2_micro", "term"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+
+    def sign(x: int) -> int:
+        return (x > 0) - (x < 0)
+
+    # assoc on the k result rows with EXACT Python ints — the vectorized
+    # a·B − b·A cross-product would wrap int64 at extreme corpus counts
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in top], pa.large_string()),
+            "a": pa.array([int(r["a"]) for r in top], pa.int64()),
+            "b": pa.array([int(r["b"]) for r in top], pa.int64()),
+            "assoc": pa.array(
+                [
+                    sign(int(r["a"]) * tot_b - int(r["b"]) * tot_a)
+                    for r in top
+                ],
+                pa.int64(),
+            ),
+            "g2_micro": pa.array(
+                [int(r["g2_micro"]) for r in top], pa.int64()
+            ),
+        }
+    )
