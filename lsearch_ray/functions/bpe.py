@@ -92,21 +92,21 @@ def _best_pair(state_ds) -> tuple[str, str, int] | None:
         .sum("n")
     )
 
-    def block_top1(t: pa.Table) -> pa.Table:
-        if t.num_rows <= 1:
-            return t
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("sum(n)", "descending"),
-                ("w1", "ascending"),
-                ("w2", "ascending"),
-            ],
-        )
-        return t.take(idx.slice(0, 1))
+    from lsearch_ray.functions.ngrams import _block_topk
 
     top = (
-        counts.map_batches(block_top1, batch_format="pyarrow")
+        counts.map_batches(
+            lambda t: _block_topk(
+                t,
+                1,
+                [
+                    ("sum(n)", "descending"),
+                    ("w1", "ascending"),
+                    ("w2", "ascending"),
+                ],
+            ),
+            batch_format="pyarrow",
+        )
         .sort(["sum(n)", "w1", "w2"], descending=[True, False, False])
         .limit(1)
         .take_all()
@@ -214,15 +214,20 @@ def bpe_apply_ds(
     """Apply a learned merge list to a corpus — the tokenize step once
     the merge table is trained. Returns (id_col, n_tokens) per document
     (the fused-stream length; the list state itself stays distributed).
-    Merges use the INTERNAL token representation (``\\x01``-joined)."""
-    state = docs_ds.map_batches(
-        lambda b: _toks_state(b, text_col, id_col), batch_format="pyarrow"
-    )
-    for w1, w2 in merges:
-        state = state.map_batches(
-            lambda b, _w1=w1, _w2=w2: _apply_merge(b, _w1, _w2, id_col),
-            batch_format="pyarrow",
-        )
+    Merges use the INTERNAL token representation (``\\x01``-joined).
+
+    ONE plan stage: the merge list loops INSIDE the batch function (a
+    trained table has thousands of entries — one chained map_batches
+    per merge would build a thousands-deep logical plan and flatten /
+    rebuild every list column once per stage)."""
+
+    def apply_all(b: pa.Table) -> pa.Table:
+        t = _toks_state(b, text_col, id_col)
+        for w1, w2 in merges:
+            t = _apply_merge(t, w1, w2, id_col)
+        return t
+
+    state = docs_ds.map_batches(apply_all, batch_format="pyarrow")
     return state.map_batches(
         lambda b: pa.table(
             {

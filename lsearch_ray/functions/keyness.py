@@ -107,20 +107,23 @@ def keyness_terms_ds(
         .sum(["a", "b"])
         .materialize()
     )
-    tot_a = int(counts.sum("sum(a)") or 0)
-    tot_b = int(counts.sum("sum(b)") or 0)
+    tots = counts.sum(["sum(a)", "sum(b)"]) or {}
+    tot_a = int(tots.get("sum(sum(a))") or 0)
+    tot_b = int(tots.get("sum(sum(b))") or 0)
 
     def score(t: pa.Table) -> pa.Table:
         a = t["sum(a)"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["sum(b)"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = (a + b) >= min_count
         if not keep.any():
+            # same 4-column schema as the data path (assoc is added only
+            # in the final driver-side rebuild) — mixed block schemas
+            # break stricter concat/sort paths
             return pa.table(
                 {
                     "term": pa.array([], type=pa.large_string()),
                     "a": pa.array([], type=pa.int64()),
                     "b": pa.array([], type=pa.int64()),
-                    "assoc": pa.array([], type=pa.int64()),
                     "g2_micro": pa.array([], type=pa.int64()),
                 }
             )
@@ -155,18 +158,16 @@ def keyness_terms_ds(
             }
         )
 
-    def block_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[("g2_micro", "descending"), ("term", "ascending")],
-        )
-        return t.take(idx.slice(0, k))
+    from lsearch_ray.functions.ngrams import _block_topk
 
     top = (
         counts.map_batches(score, batch_format="pyarrow")
-        .map_batches(block_topk, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _block_topk(
+                t, k, [("g2_micro", "descending"), ("term", "ascending")]
+            ),
+            batch_format="pyarrow",
+        )
         .sort(["g2_micro", "term"], descending=[True, False])
         .limit(k)
         .take_all()

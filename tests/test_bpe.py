@@ -77,8 +77,7 @@ def test_bpe_apply_fused_lengths_match_replay():
     tab = pa.table(
         {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
     )
-    _, docs = _replay(texts, 2)  # replay applies the first 2 merges
-    steps, _ = _replay(texts, 2)
+    steps, docs = _replay(texts, 2)  # replay applies the first 2 merges
     merges = [
         (w1.replace(" ", "\x01"), w2.replace(" ", "\x01"))
         for _, w1, w2, _ in steps
