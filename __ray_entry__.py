@@ -2391,6 +2391,19 @@ def _q_keyness_terms(sf_dir: str):
     )
 
 
+_SJ_SLICES = ["de", "en", "fr"]
+
+
+def _q_slice_jaccard(sf_dir: str):
+    """Slice-overlap diagnostic: exact Jaccard similarity of distinct
+    3-gram sets between language slices (floor fixed-point)."""
+    from lsearch_ray.functions.keyness import slice_jaccard_ds
+
+    return slice_jaccard_ds(
+        _docs(sf_dir, ["doc_id", "lang", "text"]), _SJ_SLICES, n=3
+    )
+
+
 _BPE_ITERS = 4
 
 
@@ -2401,6 +2414,22 @@ def _q_bpe_merges(sf_dir: str):
     from lsearch_ray.functions.bpe import bpe_merges_ds
 
     return bpe_merges_ds(_docs(sf_dir, ["doc_id", "text"]), iters=_BPE_ITERS)
+
+
+def _q_bpe_tokenize(sf_dir: str):
+    """Learn-then-apply: per-doc fused-stream lengths after applying all
+    learned BPE merges (token-less docs report 0)."""
+    from lsearch_ray.functions.bpe import bpe_apply_ds, bpe_merges_ds
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    learned = bpe_merges_ds(docs, iters=_BPE_ITERS)
+    merges = [
+        (w1.replace(" ", "\x01"), w2.replace(" ", "\x01"))
+        for w1, w2 in zip(
+            learned["w1"].to_pylist(), learned["w2"].to_pylist()
+        )
+    ]
+    return bpe_apply_ds(docs, merges).sort("doc_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2526,7 +2555,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "dsir_weights": _q_dsir_weights,
         "bpe_merges": _q_bpe_merges,
+        "bpe_tokenize": _q_bpe_tokenize,
         "keyness_terms": _q_keyness_terms,
+        "slice_jaccard": _q_slice_jaccard,
     }
 
 
@@ -2917,7 +2948,7 @@ def _bpe_merges_sql(iters: int) -> str:
             parts.append(
                 f"cd{k} AS (SELECT pr.doc_id, pr.p, pr.tok, pr.nxt, "
                 "coalesce(pr.tok = bs.w1 AND pr.nxt = bs.w2, FALSE) AS cand "
-                f"FROM pr{k} pr CROSS JOIN bs{k} bs)"
+                f"FROM pr{k} pr LEFT JOIN bs{k} bs ON TRUE)"
             )
             parts.append(
                 f"ck{k} AS (SELECT doc_id, p FROM ("
@@ -2949,6 +2980,60 @@ def _bpe_merges_sql(iters: int) -> str:
         + " "
         + " UNION ALL ".join(sel)
         + " ORDER BY step"
+    )
+
+
+def _bpe_tokenize_sql(iters: int) -> str:
+    """Exact SQL twin of learn-then-apply: the _bpe_merges_sql stream
+    CTEs extended through t{iters} (every learned merge applied), then
+    per-doc fused-stream lengths; token-less documents report 0."""
+    parts = [
+        "t0 AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS p, term AS tok "
+        f"FROM ({_ORDERED_TOKS}))"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pr{k} AS (SELECT doc_id, p, tok, lead(tok) OVER "
+            f"(PARTITION BY doc_id ORDER BY p) AS nxt FROM t{k - 1})"
+        )
+        parts.append(
+            f"bs{k} AS (SELECT tok AS w1, nxt AS w2, count(*) AS n "
+            f"FROM pr{k} WHERE nxt IS NOT NULL GROUP BY 1, 2 "
+            "ORDER BY n DESC, w1, w2 LIMIT 1)"
+        )
+        parts.append(
+            f"cd{k} AS (SELECT pr.doc_id, pr.p, pr.tok, pr.nxt, "
+            "coalesce(pr.tok = bs.w1 AND pr.nxt = bs.w2, FALSE) AS cand "
+            f"FROM pr{k} pr LEFT JOIN bs{k} bs ON TRUE)"
+        )
+        parts.append(
+            f"ck{k} AS (SELECT doc_id, p FROM ("
+            "SELECT doc_id, p, row_number() OVER "
+            "(PARTITION BY doc_id, grp ORDER BY p) AS o FROM ("
+            "SELECT doc_id, p, p - row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY p) AS grp "
+            f"FROM cd{k} WHERE cand)) WHERE o % 2 = 1)"
+        )
+        parts.append(
+            f"t{k} AS (SELECT doc_id, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY p) AS p, tok FROM ("
+            "SELECT c.doc_id, c.p, CASE WHEN m.p IS NOT NULL "
+            "THEN c.tok || chr(1) || c.nxt ELSE c.tok END AS tok "
+            f"FROM cd{k} c "
+            f"LEFT JOIN ck{k} m ON m.doc_id = c.doc_id AND m.p = c.p "
+            f"LEFT JOIN ck{k} cons ON cons.doc_id = c.doc_id "
+            "AND cons.p = c.p - 1 WHERE cons.p IS NULL))"
+        )
+    parts.append(
+        f"lens AS (SELECT doc_id, count(*) AS n FROM t{iters} GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT d.doc_id, CAST(coalesce(lens.n, 0) AS BIGINT) "
+        "AS n_tokens FROM documents d "
+        "LEFT JOIN lens ON d.doc_id = lens.doc_id ORDER BY d.doc_id"
     )
 
 
@@ -4273,6 +4358,37 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         "term_clusters": _term_clusters_sql(),
         "embed_project": _embed_project_sql(),
         "bpe_merges": _bpe_merges_sql(_BPE_ITERS),
+        "bpe_tokenize": _bpe_tokenize_sql(_BPE_ITERS),
+        "slice_jaccard": (
+            # distinct (lang, gram) rows; inter via gram self-join with
+            # lang_a < lang_b; union by inclusion-exclusion; pinned slice
+            # pair list so empty slices still emit rows (jaccard 0)
+            f"WITH gg AS ({_grams_sql(3)}), "
+            "g AS (SELECT DISTINCT d.lang, gg.gram FROM gg "
+            "  JOIN documents d USING (doc_id) "
+            f"  WHERE d.lang IN ({', '.join(repr(s) for s in _SJ_SLICES)})), "
+            "c AS (SELECT lang, count(*) AS c FROM g GROUP BY 1), "
+            "x AS (SELECT a.lang AS sa, b.lang AS sb, count(*) AS inter "
+            "  FROM g a JOIN g b ON a.gram = b.gram AND a.lang < b.lang "
+            "  GROUP BY 1, 2), "
+            "sl(lang) AS (VALUES "
+            f"{', '.join('(' + repr(s) + ')' for s in _SJ_SLICES)}), "
+            "p AS (SELECT a.lang AS sa, b.lang AS sb FROM sl a "
+            "  JOIN sl b ON a.lang < b.lang) "
+            "SELECT p.sa AS slice_a, p.sb AS slice_b, "
+            "CAST(coalesce(x.inter, 0) AS BIGINT) AS inter, "
+            "CAST(coalesce(ca.c, 0) + coalesce(cb.c, 0) "
+            "  - coalesce(x.inter, 0) AS BIGINT) AS uni, "
+            "CAST(CASE WHEN coalesce(ca.c, 0) + coalesce(cb.c, 0) "
+            "  - coalesce(x.inter, 0) > 0 THEN coalesce(x.inter, 0) "
+            "  * 1000000 // (coalesce(ca.c, 0) + coalesce(cb.c, 0) "
+            "  - coalesce(x.inter, 0)) ELSE 0 END AS BIGINT) "
+            "  AS jaccard_micro "
+            "FROM p LEFT JOIN x ON x.sa = p.sa AND x.sb = p.sb "
+            "LEFT JOIN c ca ON ca.lang = p.sa "
+            "LEFT JOIN c cb ON cb.lang = p.sb "
+            "ORDER BY slice_a, slice_b"
+        ),
         "keyness_terms": (
             # G2 brackets spelled ln(a) − ln(a+b) − ln(A) + ln(A+B)
             # left-to-right, rounded to micro-nats BEFORE the count

@@ -76,7 +76,10 @@ from lsearch_ray.functions.bpe import (  # noqa: F401
     bpe_apply_ds,
     bpe_merges_ds,
 )
-from lsearch_ray.functions.keyness import keyness_terms_ds  # noqa: F401
+from lsearch_ray.functions.keyness import (  # noqa: F401
+    keyness_terms_ds,
+    slice_jaccard_ds,
+)
 from lsearch_ray.functions.chunks import (  # noqa: F401
     chunk_exact_dedup,
     doc_chunks,

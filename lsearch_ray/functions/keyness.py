@@ -195,3 +195,115 @@ def keyness_terms_ds(
             ),
         }
     )
+
+
+def slice_jaccard_ds(
+    docs_ds,
+    slices: list[str],
+    *,
+    slice_col: str = "lang",
+    n: int = 3,
+    text_col: str = "text",
+) -> pa.Table:
+    """Exact Jaccard similarity of DISTINCT word n-gram sets between
+    document slices (e.g. languages or sources) — the corpus-drift /
+    slice-overlap diagnostic: how much surface form do two slices share?
+
+    Returns (slice_a, slice_b, inter, uni, jaccard_micro) for every
+    unordered slice pair (slice_a < slice_b by the caller-supplied
+    order, which must be sorted), where ``jaccard_micro =
+    inter * 1e6 // uni`` (0 when the union is empty) — floor fixed-point
+    over non-negative integers, exact in any engine.
+
+    Scale shape: one pass emits per-batch DISTINCT (gram, slice-bit)
+    rows; ONE gram-keyed groupby.max merges presence flags (max of 0/1
+    = OR); per-batch partial sums reduce the flag table to an
+    L + L·(L−1)/2 column vector summed by the engine — nothing
+    vocabulary-sized ever reaches the driver.
+    """
+    import ray  # noqa: F401  (Dataset API via docs_ds)
+
+    if sorted(slices) != list(slices):
+        raise ValueError("slices must be sorted ascending")
+    from lsearch_ray.functions.ngrams import doc_ngrams
+
+    L = len(slices)
+    names = [f"b{i}" for i in range(L)]
+    pair_idx = [(i, j) for i in range(L) for j in range(i + 1, L)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.large_string()),
+                **{nm: pa.array([], type=pa.int64()) for nm in names},
+            }
+        )
+        parents, grams = doc_ngrams(b[text_col], n)
+        if len(grams) == 0:
+            return empty
+        sidx = pc.index_in(
+            b[slice_col], value_set=pa.array(slices, pa.string())
+        )
+        s = pc.fill_null(sidx, -1).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rs = s[parents]
+        keep = rs >= 0
+        if not keep.any():
+            return empty
+        enc = grams.filter(pa.array(keep)).dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        pairs = np.unique(np.stack([codes, rs[keep]], axis=1), axis=0)
+        cols = {
+            "gram": enc.dictionary.take(pa.array(pairs[:, 0])).cast(
+                pa.large_string()
+            )
+        }
+        for i, nm in enumerate(names):
+            cols[nm] = pa.array((pairs[:, 1] == i).astype(np.int64))
+        return pa.table(cols)
+
+    flags = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .max(names)
+    )
+
+    def pairsums(t: pa.Table) -> pa.Table:
+        arrs = [
+            t[f"max({nm})"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for nm in names
+        ]
+        row: dict[str, list[int]] = {}
+        for i in range(L):
+            row[f"c{i}"] = [int(arrs[i].sum())]
+        for i, j in pair_idx:
+            row[f"x{i}_{j}"] = [int((arrs[i] & arrs[j]).sum())]
+        return pa.table(row)
+
+    cols = [f"c{i}" for i in range(L)] + [f"x{i}_{j}" for i, j in pair_idx]
+    tot = (
+        flags.map_batches(pairsums, batch_format="pyarrow").sum(cols) or {}
+    )
+
+    def g(c: str) -> int:
+        return int(tot.get(f"sum({c})") or 0)
+
+    rows_a, rows_b, inter, uni, jac = [], [], [], [], []
+    for i, j in pair_idx:
+        x = g(f"x{i}_{j}")
+        u = g(f"c{i}") + g(f"c{j}") - x
+        rows_a.append(slices[i])
+        rows_b.append(slices[j])
+        inter.append(x)
+        uni.append(u)
+        jac.append(x * 10**6 // u if u > 0 else 0)
+    return pa.table(
+        {
+            "slice_a": pa.array(rows_a, pa.large_string()),
+            "slice_b": pa.array(rows_b, pa.large_string()),
+            "inter": pa.array(inter, pa.int64()),
+            "uni": pa.array(uni, pa.int64()),
+            "jaccard_micro": pa.array(jac, pa.int64()),
+        }
+    )

@@ -84,3 +84,52 @@ def test_keyness_terms_match_sequential_replay():
     for term in ("der", "le"):
         if term in by_term:
             assert by_term[term][1] == 0 and by_term[term][3] == -1
+
+
+def test_slice_jaccard_exact_sets():
+    import ray.data as rd
+
+    from lsearch_ray.functions.keyness import slice_jaccard_ds
+
+    texts = [
+        "alpha beta gamma delta",     # en: grams abg, bgd
+        "alpha beta gamma epsilon",   # de: grams abg, bge
+        "zeta eta theta",             # fr: gram zet
+        "alpha beta gamma delta",     # None lang — ignored
+    ]
+    langs = ["en", "de", "fr", None]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        slice_jaccard_ds(
+            rd.from_arrow(tab).repartition(2), ["de", "en", "fr"], n=3
+        )
+        .to_pandas()
+        .set_index(["slice_a", "slice_b"])
+    )
+    # de={abg,bge}, en={abg,bgd}, fr={zet}
+    assert out.loc[("de", "en")].tolist() == [1, 3, 333333]
+    assert out.loc[("de", "fr")].tolist() == [0, 3, 0]
+    assert out.loc[("en", "fr")].tolist() == [0, 3, 0]
+
+
+def test_slice_jaccard_requires_sorted_slices():
+    import pytest
+    import ray.data as rd
+
+    from lsearch_ray.functions.keyness import slice_jaccard_ds
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "lang": pa.array(["en"], pa.string()),
+            "text": pa.array(["a b c"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError):
+        slice_jaccard_ds(rd.from_arrow(tab), ["en", "de"])
