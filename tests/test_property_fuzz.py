@@ -505,3 +505,45 @@ def test_grouped_rank_percentile_fuzz_matches_pandas(rows):
     sizes = df.groupby("g")["v"].transform("size").astype("int64")
     expect = (rank0 * 10**6) // sizes
     assert list(out["pct_micro"]) == list(expect)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_bpe_merges_fuzz_vs_sequential_replay(docs, iters):
+    """The distributed BPE learner must equal the sequential greedy
+    replay on tie-heavy, repeated-token corpora (w1 == w2 runs exercise
+    the run-parity kernel; tiny alphabets force count ties)."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.bpe import bpe_merges_ds
+    from tests.test_bpe import _replay
+
+    texts = [" ".join(d) for d in docs]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    want, _ = _replay(texts, iters)
+    out = bpe_merges_ds(rd.from_arrow(tab).repartition(2), iters=iters)
+    got = list(
+        zip(
+            out["step"].to_pylist(),
+            out["w1"].to_pylist(),
+            out["w2"].to_pylist(),
+            out["n"].to_pylist(),
+        )
+    )
+    assert got == want
