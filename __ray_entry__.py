@@ -2391,6 +2391,60 @@ def _q_keyness_terms(sf_dir: str):
     )
 
 
+def _q_cluster_split(sf_dir: str):
+    """Leakage-safe train/val/test split: near-duplicate clusters
+    (exact-verified n-gram Jaccard pairs → distributed components) are
+    assigned as UNITS — every member of a dup cluster hashes on the
+    cluster LABEL, so near-dups can never straddle train and test."""
+    from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    labels = component_labels_ds(docs, pairs, "doc_id", num_partitions=8)
+
+    def split(b: pa.Table) -> pa.Table:
+        h = _key_hash63(b["component"]).astype(np.uint64) % 100
+        lbl = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "component": b["component"].cast(pa.int64()),
+                "split": pa.array(lbl.tolist(), pa.string()),
+            }
+        )
+
+    return labels.map_batches(split, batch_format="pyarrow").sort("doc_id")
+
+
+def _cluster_split_sql() -> str:
+    """Exact SQL twin of _q_cluster_split: the dup_components labeling
+    (recursive closure) hashed on the component label with the engine's
+    finalized FNV-63 over the label's decimal string form."""
+    hb = _mixed_hash63_of("CAST(component AS VARCHAR)")
+    return f"""
+{_NGRAM_EDGES_CTE},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a
+  ) SELECT src, dst FROM r
+),
+lbl AS (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+comp AS (SELECT d.doc_id,
+    CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
+  FROM documents d LEFT JOIN lbl l ON l.src = d.doc_id)
+SELECT doc_id, component,
+  CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val' ELSE 'test' END
+    AS split
+FROM (SELECT doc_id, component, ({hb}) % 100 AS hb FROM comp)
+ORDER BY doc_id
+"""
+
+
 _SJ_SLICES = ["de", "en", "fr"]
 
 
@@ -2558,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "keyness_terms": _q_keyness_terms,
         "slice_jaccard": _q_slice_jaccard,
+        "cluster_split": _q_cluster_split,
     }
 
 
@@ -4565,6 +4620,7 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         "dup_components": _cc_labels_sql(
             _NGRAM_EDGES_CTE, "documents", "doc_id"
         ),
+        "cluster_split": _cluster_split_sql(),
         "argmax_events": (
             "SELECT user_id, event_type, event_id, value FROM ("
             "  SELECT user_id, event_type, event_id, value, "

@@ -395,3 +395,49 @@ def test_bloom_anti_join_distributed_verify_branch():
     a = bloom_anti_join(fact, base, "k").to_pandas()
     b = bloom_anti_join(fact, base, "k", broadcast_limit=0).to_pandas()
     assert sorted(a["k"]) == sorted(b["k"]) == list(range(150, 300, 3))
+
+
+def test_cluster_split_keeps_dup_clusters_together():
+    """Leakage-safe split invariant: every member of a near-dup
+    component carries the same split label (the split hashes the
+    component, never the doc id)."""
+    import numpy as np
+    import ray.data as rd
+
+    from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+    from lsearch_ray.functions.sampling import _key_hash63
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base + " x", base] + [
+        f"unique document number {i} with entirely different words {i}"
+        for i in range(12)
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    docs = rd.from_arrow(tab).repartition(3)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    labels = component_labels_ds(docs, pairs, "doc_id", num_partitions=2)
+
+    def split(b: pa.Table) -> pa.Table:
+        h = _key_hash63(b["component"]).astype(np.uint64) % 100
+        lbl = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "component": b["component"].cast(pa.int64()),
+                "split": pa.array(lbl.tolist(), pa.string()),
+            }
+        )
+
+    out = labels.map_batches(split, batch_format="pyarrow").to_pandas()
+    # docs 0..2 are one near-dup cluster; they share component AND split
+    c = out.set_index("doc_id")
+    assert len(set(c.loc[[0, 1, 2], "component"])) == 1
+    assert len(set(c.loc[[0, 1, 2], "split"])) == 1
+    # per-component split uniqueness holds globally
+    assert (out.groupby("component")["split"].nunique() == 1).all()
