@@ -2391,6 +2391,64 @@ def _q_keyness_terms(sf_dir: str):
     )
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (fixed level 6) — the model-free
+    redundancy quality signal. No SQL twin (DuckDB has no zlib);
+    pytest-verified against a direct zlib replay."""
+    from lsearch_ray.functions.textstats import CompressionRatio
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(CompressionRatio, batch_format="pyarrow", concurrency=2)
+        .sort("doc_id")
+    )
+
+
+def _q_lang_mismatch(sf_dir: str):
+    """Metadata-vs-content confusion matrix: declared lang × predicted
+    lang doc counts — the mislabeled-slice diagnostic (a doc whose text
+    disagrees with its lang tag pollutes per-language corpora)."""
+    from lsearch_ray.functions import LangId
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    pred = docs.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": pc.fill_null(
+                    b["lang"].combine_chunks().cast(pa.string()), "<none>"
+                ),
+                "lang_pred": b["lang_pred"],
+            }
+        )
+        agg = t.group_by(["lang", "lang_pred"]).aggregate([("lang", "count")])
+        return pa.table(
+            {
+                "lang": agg["lang"],
+                "lang_pred": agg["lang_pred"],
+                "n": agg["lang_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        pred.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .sum("n")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b["lang"],
+                    "lang_pred": b["lang_pred"],
+                    "n": b["sum(n)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["lang", "lang_pred"])
+    )
+
+
 def _q_cluster_split(sf_dir: str):
     """Leakage-safe train/val/test split: near-duplicate clusters
     (exact-verified n-gram Jaccard pairs → distributed components) are
@@ -2613,6 +2671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_terms": _q_keyness_terms,
         "slice_jaccard": _q_slice_jaccard,
         "cluster_split": _q_cluster_split,
+        "lang_mismatch": _q_lang_mismatch,
+        "compression_ratio": _q_compression_ratio,
     }
 
 
@@ -3686,6 +3746,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": _fingerprint_sql(),
         "langid": _langid_sql(),
+        "lang_mismatch": (
+            # the langid twin as a CTE, cross-tabbed against the
+            # declared lang (nulls rendered '<none>' on both sides)
+            f"WITH pred AS ({_langid_sql()}) "
+            "SELECT coalesce(d.lang, '<none>') AS lang, p.lang_pred, "
+            "count(*) AS n FROM documents d JOIN pred p USING (doc_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "lsh_ann": _lsh_ann_sql(),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
         "embedding_dedup": _embedding_dedup_sql(),

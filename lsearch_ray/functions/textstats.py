@@ -451,3 +451,47 @@ def quality_filter_ds(
         return q.filter(keep).select([id_col, "n_tokens"])
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+class CompressionRatio:
+    """Actor-pool batch transform: per-document zlib compression ratio —
+    the model-free redundancy signal of web-pipeline quality filters
+    (boilerplate / spam compresses far better than prose; Gopher-class
+    pipelines gate on it). Emits (id_col, raw_len, comp_len,
+    ratio_micro) with ``ratio_micro = comp_len * 1e6 // max(raw_len, 1)``
+    — integers, so downstream threshold compares are exact.
+
+    Compression is inherently per-document: the loop body is one C call
+    (``zlib.compress`` at a FIXED level for determinism) per doc, the
+    legitimate per-row shape (same as multimodal decode). No SQL twin
+    exists — DuckDB has no zlib — so the op is pytest-verified against a
+    direct zlib replay and registered without an oracle entry.
+    """
+
+    LEVEL = 6  # zlib default — pinned so outputs are reproducible
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import zlib
+
+        self.zlib = zlib
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            bs = (t or "").encode("utf-8")
+            raw[i] = len(bs)
+            comp[i] = len(self.zlib.compress(bs, self.LEVEL))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "raw_len": pa.array(raw),
+                "comp_len": pa.array(comp),
+                "ratio_micro": pa.array(
+                    comp * 10**6 // np.maximum(raw, 1)
+                ),
+            }
+        )

@@ -664,3 +664,40 @@ def test_quality_filter_thresholds():
     )
     out = quality_filter_ds(ds).to_pandas()
     assert list(out["doc_id"]) == [0]
+
+
+def test_compression_ratio_matches_zlib_replay():
+    import zlib
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.textstats import CompressionRatio
+
+    texts = [
+        "spam spam spam spam spam spam spam spam",
+        "the quick brown fox jumps over one lazy dog",
+        "",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        rd.from_arrow(tab)
+        .repartition(2)
+        .map_batches(CompressionRatio, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, t in enumerate(texts):
+        bs = t.encode("utf-8")
+        c = len(zlib.compress(bs, CompressionRatio.LEVEL))
+        assert out.loc[i, "raw_len"] == len(bs)
+        assert out.loc[i, "comp_len"] == c
+        assert out.loc[i, "ratio_micro"] == c * 10**6 // max(len(bs), 1)
+    # redundant text compresses much better than prose
+    assert out.loc[3, "ratio_micro"] < out.loc[1, "ratio_micro"]
