@@ -1904,15 +1904,13 @@ def _q_token_budget_sample(sf_dir: str):
 
 def _q_dataset_split(sf_dir: str):
     """Reproducible 90/5/5 train/val/test assignment by hash bucket."""
-    from lsearch_ray.functions.sampling import _key_hash63
+    from lsearch_ray.functions.sampling import hash_split_labels
 
     def split(b: pa.Table) -> pa.Table:
-        h = _key_hash63(b["doc_id"]).astype(np.uint64) % 100
-        lbl = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "split": pa.array(lbl.tolist(), pa.string()),
+                "split": hash_split_labels(b["doc_id"]),
             }
         )
 
@@ -2456,20 +2454,18 @@ def _q_cluster_split(sf_dir: str):
     cluster LABEL, so near-dups can never straddle train and test."""
     from lsearch_ray.functions.components import component_labels_ds
     from lsearch_ray.functions.minhash import ngram_jaccard_pairs
-    from lsearch_ray.functions.sampling import _key_hash63
+    from lsearch_ray.functions.sampling import hash_split_labels
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     labels = component_labels_ds(docs, pairs, "doc_id", num_partitions=8)
 
     def split(b: pa.Table) -> pa.Table:
-        h = _key_hash63(b["component"]).astype(np.uint64) % 100
-        lbl = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "component": b["component"].cast(pa.int64()),
-                "split": pa.array(lbl.tolist(), pa.string()),
+                "split": hash_split_labels(b["component"]),
             }
         )
 
@@ -2478,27 +2474,16 @@ def _q_cluster_split(sf_dir: str):
 
 def _cluster_split_sql() -> str:
     """Exact SQL twin of _q_cluster_split: the dup_components labeling
-    (recursive closure) hashed on the component label with the engine's
-    finalized FNV-63 over the label's decimal string form."""
+    (_cc_labels_sql — the recursive-closure twin shared with the
+    dup_components oracle) hashed on the component label with the
+    engine's finalized FNV-63 over the label's decimal string form."""
     hb = _mixed_hash63_of("CAST(component AS VARCHAR)")
+    labels = _cc_labels_sql(_NGRAM_EDGES_CTE, "documents", "doc_id")
     return f"""
-{_NGRAM_EDGES_CTE},
-sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
-reach AS (
-  WITH RECURSIVE r(src, dst) AS (
-    SELECT a, b FROM sym
-    UNION
-    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a
-  ) SELECT src, dst FROM r
-),
-lbl AS (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src),
-comp AS (SELECT d.doc_id,
-    CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
-  FROM documents d LEFT JOIN lbl l ON l.src = d.doc_id)
 SELECT doc_id, component,
   CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val' ELSE 'test' END
     AS split
-FROM (SELECT doc_id, component, ({hb}) % 100 AS hb FROM comp)
+FROM (SELECT doc_id, component, ({hb}) % 100 AS hb FROM ({labels}))
 ORDER BY doc_id
 """
 
@@ -3035,54 +3020,60 @@ FROM uni u LEFT JOIN lbl l ON l.src = u.term ORDER BY u.term
 """
 
 
+def _bpe_step_ctes(k: int, apply: bool) -> list[str]:
+    """Per-step CTE blocks shared by _bpe_merges_sql and
+    _bpe_tokenize_sql: pair the stream (lead() per doc), take the
+    (n DESC, w1, w2) argmax, and — when ``apply`` — rebuild the stream
+    with the greedy left-to-right fuse (runs of consecutive candidates
+    keep odd 1-based ordinals, exactly the engine's run-parity kernel;
+    fused tokens join with chr(1)). bs{k} is LEFT-joined ON TRUE so an
+    empty step passes the stream through unchanged (engine early-stop
+    parity)."""
+    parts = [
+        f"pr{k} AS (SELECT doc_id, p, tok, lead(tok) OVER "
+        f"(PARTITION BY doc_id ORDER BY p) AS nxt FROM t{k - 1})",
+        f"bs{k} AS (SELECT tok AS w1, nxt AS w2, count(*) AS n "
+        f"FROM pr{k} WHERE nxt IS NOT NULL GROUP BY 1, 2 "
+        "ORDER BY n DESC, w1, w2 LIMIT 1)",
+    ]
+    if apply:
+        parts += [
+            f"cd{k} AS (SELECT pr.doc_id, pr.p, pr.tok, pr.nxt, "
+            "coalesce(pr.tok = bs.w1 AND pr.nxt = bs.w2, FALSE) AS cand "
+            f"FROM pr{k} pr LEFT JOIN bs{k} bs ON TRUE)",
+            f"ck{k} AS (SELECT doc_id, p FROM ("
+            "SELECT doc_id, p, row_number() OVER "
+            "(PARTITION BY doc_id, grp ORDER BY p) AS o FROM ("
+            "SELECT doc_id, p, p - row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY p) AS grp "
+            f"FROM cd{k} WHERE cand)) WHERE o % 2 = 1)",
+            f"t{k} AS (SELECT doc_id, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY p) AS p, tok FROM ("
+            "SELECT c.doc_id, c.p, CASE WHEN m.p IS NOT NULL "
+            "THEN c.tok || chr(1) || c.nxt ELSE c.tok END AS tok "
+            f"FROM cd{k} c "
+            f"LEFT JOIN ck{k} m ON m.doc_id = c.doc_id AND m.p = c.p "
+            f"LEFT JOIN ck{k} cons ON cons.doc_id = c.doc_id "
+            "AND cons.p = c.p - 1 WHERE cons.p IS NULL))",
+        ]
+    return parts
+
+
+_BPE_T0 = (
+    "t0 AS (SELECT doc_id, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS p, term AS tok "
+    f"FROM ({_ORDERED_TOKS}))"
+)
+
+
 def _bpe_merges_sql(iters: int) -> str:
     """Exact SQL twin of functions.bpe.bpe_merges_ds, unrolled per merge
-    step (the kmeans-CTE pattern): each step counts within-doc adjacent
-    pairs of the current stream (lead() per doc), takes the
-    (n DESC, w1, w2) argmax, and rebuilds the stream with the greedy
-    left-to-right fuse — runs of consecutive candidates keep odd
-    ordinals (1-based) exactly like the engine's run-parity kernel;
-    fused tokens join with chr(1) and render with spaces."""
-    parts = [
-        "t0 AS (SELECT doc_id, row_number() OVER "
-        "(PARTITION BY doc_id ORDER BY pos) AS p, term AS tok "
-        f"FROM ({_ORDERED_TOKS}))"
-    ]
+    step (the kmeans-CTE pattern); see _bpe_step_ctes for the per-step
+    blocks. The final step skips the apply (its stream is never read)."""
+    parts = [_BPE_T0]
     sel = []
     for k in range(1, iters + 1):
-        parts.append(
-            f"pr{k} AS (SELECT doc_id, p, tok, lead(tok) OVER "
-            f"(PARTITION BY doc_id ORDER BY p) AS nxt FROM t{k - 1})"
-        )
-        parts.append(
-            f"bs{k} AS (SELECT tok AS w1, nxt AS w2, count(*) AS n "
-            f"FROM pr{k} WHERE nxt IS NOT NULL GROUP BY 1, 2 "
-            "ORDER BY n DESC, w1, w2 LIMIT 1)"
-        )
-        if k < iters:
-            parts.append(
-                f"cd{k} AS (SELECT pr.doc_id, pr.p, pr.tok, pr.nxt, "
-                "coalesce(pr.tok = bs.w1 AND pr.nxt = bs.w2, FALSE) AS cand "
-                f"FROM pr{k} pr LEFT JOIN bs{k} bs ON TRUE)"
-            )
-            parts.append(
-                f"ck{k} AS (SELECT doc_id, p FROM ("
-                "SELECT doc_id, p, row_number() OVER "
-                "(PARTITION BY doc_id, grp ORDER BY p) AS o FROM ("
-                "SELECT doc_id, p, p - row_number() OVER "
-                "(PARTITION BY doc_id ORDER BY p) AS grp "
-                f"FROM cd{k} WHERE cand)) WHERE o % 2 = 1)"
-            )
-            parts.append(
-                f"t{k} AS (SELECT doc_id, row_number() OVER "
-                "(PARTITION BY doc_id ORDER BY p) AS p, tok FROM ("
-                "SELECT c.doc_id, c.p, CASE WHEN m.p IS NOT NULL "
-                "THEN c.tok || chr(1) || c.nxt ELSE c.tok END AS tok "
-                f"FROM cd{k} c "
-                f"LEFT JOIN ck{k} m ON m.doc_id = c.doc_id AND m.p = c.p "
-                f"LEFT JOIN ck{k} cons ON cons.doc_id = c.doc_id "
-                "AND cons.p = c.p - 1 WHERE cons.p IS NULL))"
-            )
+        parts += _bpe_step_ctes(k, apply=k < iters)
         sel.append(
             f"SELECT CAST({k} AS BIGINT) AS step, "
             "replace(w1, chr(1), ' ') AS w1, "
@@ -3099,47 +3090,12 @@ def _bpe_merges_sql(iters: int) -> str:
 
 
 def _bpe_tokenize_sql(iters: int) -> str:
-    """Exact SQL twin of learn-then-apply: the _bpe_merges_sql stream
-    CTEs extended through t{iters} (every learned merge applied), then
-    per-doc fused-stream lengths; token-less documents report 0."""
-    parts = [
-        "t0 AS (SELECT doc_id, row_number() OVER "
-        "(PARTITION BY doc_id ORDER BY pos) AS p, term AS tok "
-        f"FROM ({_ORDERED_TOKS}))"
-    ]
+    """Exact SQL twin of learn-then-apply: the shared step CTEs extended
+    through t{iters} (every learned merge applied), then per-doc
+    fused-stream lengths; token-less documents report 0."""
+    parts = [_BPE_T0]
     for k in range(1, iters + 1):
-        parts.append(
-            f"pr{k} AS (SELECT doc_id, p, tok, lead(tok) OVER "
-            f"(PARTITION BY doc_id ORDER BY p) AS nxt FROM t{k - 1})"
-        )
-        parts.append(
-            f"bs{k} AS (SELECT tok AS w1, nxt AS w2, count(*) AS n "
-            f"FROM pr{k} WHERE nxt IS NOT NULL GROUP BY 1, 2 "
-            "ORDER BY n DESC, w1, w2 LIMIT 1)"
-        )
-        parts.append(
-            f"cd{k} AS (SELECT pr.doc_id, pr.p, pr.tok, pr.nxt, "
-            "coalesce(pr.tok = bs.w1 AND pr.nxt = bs.w2, FALSE) AS cand "
-            f"FROM pr{k} pr LEFT JOIN bs{k} bs ON TRUE)"
-        )
-        parts.append(
-            f"ck{k} AS (SELECT doc_id, p FROM ("
-            "SELECT doc_id, p, row_number() OVER "
-            "(PARTITION BY doc_id, grp ORDER BY p) AS o FROM ("
-            "SELECT doc_id, p, p - row_number() OVER "
-            "(PARTITION BY doc_id ORDER BY p) AS grp "
-            f"FROM cd{k} WHERE cand)) WHERE o % 2 = 1)"
-        )
-        parts.append(
-            f"t{k} AS (SELECT doc_id, row_number() OVER "
-            "(PARTITION BY doc_id ORDER BY p) AS p, tok FROM ("
-            "SELECT c.doc_id, c.p, CASE WHEN m.p IS NOT NULL "
-            "THEN c.tok || chr(1) || c.nxt ELSE c.tok END AS tok "
-            f"FROM cd{k} c "
-            f"LEFT JOIN ck{k} m ON m.doc_id = c.doc_id AND m.p = c.p "
-            f"LEFT JOIN ck{k} cons ON cons.doc_id = c.doc_id "
-            "AND cons.p = c.p - 1 WHERE cons.p IS NULL))"
-        )
+        parts += _bpe_step_ctes(k, apply=True)
     parts.append(
         f"lens AS (SELECT doc_id, count(*) AS n FROM t{iters} GROUP BY 1)"
     )

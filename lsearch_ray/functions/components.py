@@ -18,7 +18,7 @@ import pyarrow as pa
 def connected_components_ds(
     pairs_ds,
     *,
-    max_rounds: int = 10,
+    max_rounds: int = 50,
     num_partitions: int = 2,
 ):
     """(a, b) edge Dataset → (node, label) Dataset, label = min node id of
@@ -123,7 +123,7 @@ def component_labels_ds(
     pairs_ds,
     id_col: str,
     *,
-    max_rounds: int = 10,
+    max_rounds: int = 50,
     num_partitions: int = 2,
 ):
     """Total component labeling: every id in ``ids_ds`` gets the min id of
@@ -178,7 +178,7 @@ def component_labels_ds(
 
 
 def drop_ids_from_pairs_ds(
-    pairs_ds, *, max_rounds: int = 10, num_partitions: int = 2
+    pairs_ds, *, max_rounds: int = 50, num_partitions: int = 2
 ):
     """Distributed counterpart of cluster.drop_ids_from_pairs: every node
     whose component label isn't itself is dropped (keep min per cluster).

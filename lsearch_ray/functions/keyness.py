@@ -221,10 +221,8 @@ def slice_jaccard_ds(
     L + L·(L−1)/2 column vector summed by the engine — nothing
     vocabulary-sized ever reaches the driver.
     """
-    import ray  # noqa: F401  (Dataset API via docs_ds)
-
-    if sorted(slices) != list(slices):
-        raise ValueError("slices must be sorted ascending")
+    if not slices or any(a >= b for a, b in zip(slices, slices[1:])):
+        raise ValueError("slices must be strictly increasing and non-empty")
     from lsearch_ray.functions.ngrams import doc_ngrams
 
     L = len(slices)

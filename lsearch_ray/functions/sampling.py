@@ -47,6 +47,16 @@ def _key_hash63(col) -> np.ndarray:
         return ((h * _MIX) & _MASK63).astype(np.int64)
 
 
+def hash_split_labels(col) -> "pa.Array":
+    """Reproducible 90/5/5 train/val/test labels from the finalized key
+    hash — the ONE definition behind dataset_split (keyed on doc id) and
+    cluster_split (keyed on the dup-component label, so near-dup
+    clusters move between splits as units)."""
+    h = _key_hash63(col).astype(np.uint64) % 100
+    lbl = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+    return pa.array(lbl.tolist(), pa.string())
+
+
 def hash_sample(ds, key_col: str, *, num: int = 1, denom: int = 10):
     """Deterministic p = num/denom sample keyed on ``hash(key_col)``."""
 

@@ -401,12 +401,11 @@ def test_cluster_split_keeps_dup_clusters_together():
     """Leakage-safe split invariant: every member of a near-dup
     component carries the same split label (the split hashes the
     component, never the doc id)."""
-    import numpy as np
     import ray.data as rd
 
     from lsearch_ray.functions.components import component_labels_ds
     from lsearch_ray.functions.minhash import ngram_jaccard_pairs
-    from lsearch_ray.functions.sampling import _key_hash63
+    from lsearch_ray.functions.sampling import hash_split_labels
 
     base = "the quick brown fox jumps over the lazy dog again and again"
     texts = [base, base + " x", base] + [
@@ -424,13 +423,11 @@ def test_cluster_split_keeps_dup_clusters_together():
     labels = component_labels_ds(docs, pairs, "doc_id", num_partitions=2)
 
     def split(b: pa.Table) -> pa.Table:
-        h = _key_hash63(b["component"]).astype(np.uint64) % 100
-        lbl = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "component": b["component"].cast(pa.int64()),
-                "split": pa.array(lbl.tolist(), pa.string()),
+                "split": hash_split_labels(b["component"]),
             }
         )
 
