@@ -2402,6 +2402,85 @@ def _q_compression_ratio(sf_dir: str):
     )
 
 
+def _q_source_quality(sf_dir: str):
+    """Per-source quality triage: doc counts, token mass and fixed-point
+    quality ratios from pure integer sums — the keep/downweight/drop
+    decision table for whole feeds."""
+    from lsearch_ray.functions.textstats import source_quality_ds
+
+    return source_quality_ds(_docs(sf_dir, ["doc_id", "source", "text"]))
+
+
+def _q_source_dup_rate(sf_dir: str):
+    """Per-source near-duplicate rate: share of each source's docs that
+    sit in a multi-doc dup cluster (exact-verified n-gram Jaccard →
+    components → cluster sizes → source rollup) — which feeds ship
+    boilerplate."""
+    from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.joins import hash_join, safe_partitions
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+    labels = component_labels_ds(
+        docs, ngram_jaccard_pairs(docs, threshold=0.8), "doc_id",
+        num_partitions=8,
+    ).materialize()
+    sizes = (
+        labels.groupby("component")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "component": b["component"].cast(pa.int64()),
+                    "csize": b["count()"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    np_eff = safe_partitions(16, labels.count())
+    flagged = hash_join(
+        hash_join(labels, sizes, on="component", num_partitions=np_eff),
+        docs.select_columns(["doc_id", "source"]),
+        on="doc_id",
+        num_partitions=np_eff,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": pc.fill_null(
+                    b["source"].combine_chunks().cast(pa.string()), "<none>"
+                ),
+                "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_dup": pc.greater(b["csize"], pa.scalar(1)).cast(pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_dup", "sum")]
+        )
+
+    agg = (
+        flagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs_sum", "n_dup_sum"])
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        nd = b["sum(n_docs_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = b["sum(n_dup_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pa.array(nd),
+                "n_dup": pa.array(du),
+                "dup_rate_micro": pa.array(du * 10**6 // nd),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("source")
+
+
 def _q_lang_mismatch(sf_dir: str):
     """Metadata-vs-content confusion matrix: declared lang × predicted
     lang doc counts — the mislabeled-slice diagnostic (a doc whose text
@@ -2470,6 +2549,38 @@ def _q_cluster_split(sf_dir: str):
         )
 
     return labels.map_batches(split, batch_format="pyarrow").sort("doc_id")
+
+
+def _source_quality_sql() -> str:
+    """Exact SQL twin of textstats.source_quality_ds: per-source integer
+    primitive sums (docs, tokens, stop hits, alpha bytes, text bytes)
+    then floor fixed-point ratios — strlen is BYTES like the engine's
+    binary_length; regexp_replace 'g' mirrors Arrow's replace-all."""
+    from lsearch_ray.functions.textstats import _EN_STOPWORDS
+
+    stops = ", ".join(repr(w) for w in sorted(_EN_STOPWORDS))
+    return (
+        f"WITH toks AS ({_TOKS}), "
+        "ts AS (SELECT doc_id, count(*) AS tok, "
+        f"  sum(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) AS stop "
+        "  FROM toks GROUP BY 1), "
+        "per AS (SELECT coalesce(d.source, '<none>') AS source, "
+        "  coalesce(ts.tok, 0) AS tok, coalesce(ts.stop, 0) AS stop, "
+        "  strlen(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS alpha, "
+        "  strlen(d.text) AS chars "
+        "  FROM documents d LEFT JOIN ts USING (doc_id)), "
+        "a AS (SELECT source, count(*) AS n_docs, sum(tok) AS tok, "
+        "  sum(stop) AS stop, sum(alpha) AS alpha, sum(chars) AS chars "
+        "  FROM per GROUP BY 1) "
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(tok AS BIGINT) AS n_tokens, "
+        "CAST(tok * 1000000 // n_docs AS BIGINT) AS tokens_per_doc_micro, "
+        "CAST(stop * 1000000 // greatest(tok, 1) AS BIGINT) "
+        "  AS stopword_ratio_micro, "
+        "CAST(alpha * 1000000 // greatest(chars, 1) AS BIGINT) "
+        "  AS alpha_ratio_micro "
+        "FROM a ORDER BY source"
+    )
 
 
 def _cluster_split_sql() -> str:
@@ -2658,6 +2769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_split": _q_cluster_split,
         "lang_mismatch": _q_lang_mismatch,
         "compression_ratio": _q_compression_ratio,
+        "source_quality": _q_source_quality,
+        "source_dup_rate": _q_source_dup_rate,
     }
 
 
@@ -4645,6 +4758,25 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             _NGRAM_EDGES_CTE, "documents", "doc_id"
         ),
         "cluster_split": _cluster_split_sql(),
+        "source_quality": _source_quality_sql(),
+        "source_dup_rate": (
+            # shared closure labeling → cluster sizes → source rollup;
+            # dup = component size > 1
+            "WITH lbl AS ("
+            + _cc_labels_sql(_NGRAM_EDGES_CTE, "documents", "doc_id")
+            + "), "
+            "sz AS (SELECT component, count(*) AS csize FROM lbl "
+            "  GROUP BY 1), "
+            "per AS (SELECT coalesce(d.source, '<none>') AS source, "
+            "  CASE WHEN sz.csize > 1 THEN 1 ELSE 0 END AS dup "
+            "  FROM documents d JOIN lbl ON lbl.doc_id = d.doc_id "
+            "  JOIN sz ON sz.component = lbl.component) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(dup) AS BIGINT) AS n_dup, "
+            "CAST(sum(dup) * 1000000 // count(*) AS BIGINT) "
+            "  AS dup_rate_micro "
+            "FROM per GROUP BY 1 ORDER BY 1"
+        ),
         "argmax_events": (
             "SELECT user_id, event_type, event_id, value FROM ("
             "  SELECT user_id, event_type, event_id, value, "

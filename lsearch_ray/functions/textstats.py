@@ -495,3 +495,105 @@ class CompressionRatio:
                 ),
             }
         )
+
+
+def source_quality_ds(
+    docs_ds,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-SOURCE quality triage table — the crawl-curation decision
+    surface (keep / downweight / drop a whole feed): document count,
+    token mass, and fixed-point quality ratios aggregated from pure
+    INTEGER primitives so every value replays exactly in any engine:
+
+        tokens_per_doc_micro  = tot_tokens · 1e6 // n_docs
+        stopword_ratio_micro  = tot_stop   · 1e6 // max(tot_tokens, 1)
+        alpha_ratio_micro     = tot_alpha  · 1e6 // max(tot_chars, 1)
+
+    (chars are BYTES of the utf-8 text via Arrow ``binary_length`` —
+    spelled ``strlen`` in the SQL twin). One combiner pass emits
+    per-batch per-source integer partials; ONE source-keyed shuffle of
+    pre-aggregated rows finishes it. Null sources group under
+    ``<none>``.
+    """
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    stop_set = pa.array(sorted(_EN_STOPWORDS))
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(
+            b[source_col].combine_chunks().cast(pa.string()), "<none>"
+        )
+        nrows = b.num_rows
+        parents, flat = flat_tokens_arrow(b[text_col])
+        toks = np.bincount(parents, minlength=nrows).astype(np.int64)
+        stops = np.zeros(nrows, dtype=np.int64)
+        if len(flat):
+            hits = (
+                pc.is_in(flat, value_set=stop_set)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            np.add.at(stops, parents, hits)
+        text = b[text_col].combine_chunks()
+        chars = (
+            pc.binary_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # alpha BYTES: strip non-letters, count remaining bytes
+        alpha = (
+            pc.binary_length(
+                pc.replace_substring_regex(text, "[^A-Za-z]", "")
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "source": src,
+                "n_docs": pa.array(np.ones(nrows, dtype=np.int64)),
+                "tok": pa.array(toks),
+                "stop": pa.array(stops),
+                "alpha": pa.array(alpha),
+                "chars": pa.array(chars),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [
+                ("n_docs", "sum"),
+                ("tok", "sum"),
+                ("stop", "sum"),
+                ("alpha", "sum"),
+                ("chars", "sum"),
+            ]
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs_sum", "tok_sum", "stop_sum", "alpha_sum", "chars_sum"])
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        nd = b["sum(n_docs_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = b["sum(tok_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stp = b["sum(stop_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        alp = b["sum(alpha_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chs = b["sum(chars_sum)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(tok),
+                "tokens_per_doc_micro": pa.array(tok * 10**6 // nd),
+                "stopword_ratio_micro": pa.array(
+                    stp * 10**6 // np.maximum(tok, 1)
+                ),
+                "alpha_ratio_micro": pa.array(
+                    alp * 10**6 // np.maximum(chs, 1)
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("source")

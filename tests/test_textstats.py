@@ -701,3 +701,48 @@ def test_compression_ratio_matches_zlib_replay():
         assert out.loc[i, "ratio_micro"] == c * 10**6 // max(len(bs), 1)
     # redundant text compresses much better than prose
     assert out.loc[3, "ratio_micro"] < out.loc[1, "ratio_micro"]
+
+
+def test_source_quality_integer_replay():
+    import re
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.textstats import _EN_STOPWORDS, source_quality_ds
+
+    texts = [
+        "The cat and the dog",        # srcA
+        "numbers 123 456 789",        # srcA
+        "",                           # srcB (0 tokens, 0 chars)
+        "to be or not to be",         # srcB
+    ]
+    sources = ["srcA", "srcA", "srcB", "srcB"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "source": pa.array(sources, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        source_quality_ds(rd.from_arrow(tab).repartition(2))
+        .to_pandas()
+        .set_index("source")
+    )
+    for src in ("srcA", "srcB"):
+        docs = [t for t, s in zip(texts, sources) if s == src]
+        toks = [
+            w
+            for t in docs
+            for w in re.split(r"[^a-z0-9]+", t.lower())
+            if w
+        ]
+        stop = sum(w in _EN_STOPWORDS for w in toks)
+        alpha = sum(len(re.sub(r"[^A-Za-z]", "", t).encode()) for t in docs)
+        chars = sum(len(t.encode()) for t in docs)
+        r = out.loc[src]
+        assert r["n_docs"] == len(docs)
+        assert r["n_tokens"] == len(toks)
+        assert r["tokens_per_doc_micro"] == len(toks) * 10**6 // len(docs)
+        assert r["stopword_ratio_micro"] == stop * 10**6 // max(len(toks), 1)
+        assert r["alpha_ratio_micro"] == alpha * 10**6 // max(chars, 1)
