@@ -2402,6 +2402,16 @@ def _q_compression_ratio(sf_dir: str):
     )
 
 
+def _q_hourly_anomalies(sf_dir: str):
+    """Stream-health monitor: per-type hours whose volume deviates >3σ
+    from the type's mean over the zero-filled hourly grid (exact
+    integer inequality — the outlier_events contract on counts)."""
+    from lsearch_ray.functions.windows import hourly_anomalies_ds
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return hourly_anomalies_ds(ev)
+
+
 def _q_source_quality(sf_dir: str):
     """Per-source quality triage: doc counts, token mass and fixed-point
     quality ratios from pure integer sums — the keep/downweight/drop
@@ -2771,6 +2781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "source_quality": _q_source_quality,
         "source_dup_rate": _q_source_dup_rate,
+        "hourly_anomalies": _q_hourly_anomalies,
     }
 
 
@@ -4759,6 +4770,38 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         ),
         "cluster_split": _cluster_split_sql(),
         "source_quality": _source_quality_sql(),
+        "hourly_anomalies": (
+            # dense grid (the hourly_gapfill CTEs) → per-type n/S/Sxx over
+            # INTEGER counts → the outlier_events sqrt-bracket inequality
+            "WITH c AS (SELECT event_type, "
+            "  (epoch_us(ts) // 3600000000) * 3600000000 AS hu, "
+            "  count(*) AS n FROM events WHERE event_type IS NOT NULL "
+            "  AND ts IS NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT min(hu) AS h0, max(hu) AS h1 FROM c), "
+            "hours AS (SELECT unnest(range((SELECT h0 FROM r), "
+            "  (SELECT h1 FROM r) + 1, 3600000000)) AS hu), "
+            "types AS (SELECT DISTINCT event_type FROM events "
+            "  WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+            "dense AS (SELECT t.event_type, h.hu, "
+            "  CAST(coalesce(c.n, 0) AS HUGEINT) AS x "
+            "  FROM types t CROSS JOIN hours h "
+            "  LEFT JOIN c ON c.event_type = t.event_type AND c.hu = h.hu), "
+            "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "  sum(x) AS s, sum(x*x) AS sxx FROM dense GROUP BY 1), "
+            "rr AS (SELECT event_type, n, s, 9 * (n * sxx - s * s) AS rr "
+            "  FROM m), "
+            "i AS (SELECT event_type, n, s, "
+            "  CASE WHEN (s0 + 1) * (s0 + 1) <= rr THEN s0 + 1 "
+            "       WHEN s0 * s0 > rr THEN s0 - 1 ELSE s0 END AS q "
+            "  FROM (SELECT event_type, n, s, rr, "
+            "    CASE WHEN rr > 0 THEN CAST(floor(sqrt(CAST(rr AS DOUBLE)))"
+            "      AS HUGEINT) ELSE 0 END AS s0 FROM rr)) "
+            "SELECT d.event_type, make_timestamp(d.hu) AS hour, "
+            "CAST(d.x AS BIGINT) AS n_events "
+            "FROM dense d JOIN i USING (event_type) "
+            "WHERE d.x * i.n > i.s + i.q OR d.x * i.n < i.s - i.q "
+            "ORDER BY d.event_type, hour"
+        ),
         "source_dup_rate": (
             # shared closure labeling → cluster sizes → source rollup;
             # dup = component size > 1

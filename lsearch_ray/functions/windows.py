@@ -180,3 +180,69 @@ def gapfill_hourly_counts_ds(
             "n": pa.array(out_n),
         }
     )
+
+
+def hourly_anomalies_ds(
+    events_ds,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Per-key hourly VOLUME anomalies: hours whose event count deviates
+    more than 3σ from that key's mean over the dense gap-filled grid —
+    the stream-health monitor (a feed that stalls to 0 or bursts 10× in
+    an hour shows up; sparse counts alone cannot see the stalls, which
+    is why the zero-filled grid is the input).
+
+    Exact integer contract (the ``outlier_events`` inequality): with
+    per-key hour count n, sum S and sum-of-squares Sxx over INTEGER
+    hourly counts x, flag x iff |n·x − S| > q where q brackets
+    sqrt(9(n·Sxx − S²)) via the float-sqrt ±1 integer-square correction
+    — every comparison is integer, replayed exactly in SQL (HUGEINT).
+
+    Scale shape: the distributed part is :func:`gapfill_hourly_counts_ds`
+    (a groupby aggregate; the dense grid is keys × hours — dims-sized,
+    not event-sized); the flagging is driver arithmetic on that
+    already-collected table. Returns (key_col, hour, n_events) for
+    anomalous cells, sorted.
+    """
+    import math
+
+    dense = gapfill_hourly_counts_ds(
+        events_ds, key_col=key_col, ts_col=ts_col
+    )
+    keys = dense[key_col].to_numpy(zero_copy_only=False)
+    x = dense["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="mergesort")  # gapfill is key-sorted,
+    # but re-derive runs defensively
+    keys_s, x_s = keys[order], x[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(keys_s[1:] != keys_s[:-1]) + 1, [len(keys_s)])
+    )
+    flag = np.zeros(len(keys_s), dtype=bool)
+    for a, b in zip(starts[:-1], starts[1:]):
+        seg = x_s[a:b]
+        n = int(b - a)
+        s = int(seg.sum())
+        sxx = int((seg.astype(object) * seg.astype(object)).sum())
+        rr = 9 * (n * sxx - s * s)
+        s0 = int(math.floor(math.sqrt(float(rr)))) if rr > 0 else 0
+        if (s0 + 1) * (s0 + 1) <= rr:
+            q = s0 + 1
+        elif s0 * s0 > rr:
+            q = s0 - 1
+        else:
+            q = s0
+        lhs = seg.astype(object) * n
+        flag[a:b] = (lhs > s + q) | (lhs < s - q)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    mask = pa.array(flag[inv])
+    out = dense.filter(mask)
+    return pa.table(
+        {
+            key_col: out[key_col],
+            "hour": out["hour"],
+            "n_events": out["n"].cast(pa.int64()),
+        }
+    )

@@ -518,3 +518,44 @@ def test_embed_project_matches_numpy_replay():
     assert len(out) == 50 * 5
     assert out["coord_pico"].to_numpy().tolist() == expect.tolist()
     assert out["dim"].tolist()[:5] == [0, 1, 2, 3, 4]
+
+
+def test_hourly_anomalies_flags_burst_and_stall():
+    import ray.data as rd
+
+    from lsearch_ray.functions.windows import hourly_anomalies_ds
+
+    # type 'a': steady 2 events/hour for 12 hours, then a 40-event burst
+    # hour; type 'b': steady 3/hour throughout (no anomaly)
+    rows_ts, rows_ty = [], []
+    base = 1_700_000_000_000_000  # µs epoch
+    hour = 3_600_000_000
+    for h in range(13):
+        n_a = 40 if h == 12 else 2
+        for i in range(n_a):
+            rows_ts.append(base + h * hour + i)
+            rows_ty.append("a")
+        for i in range(3):
+            rows_ts.append(base + h * hour + i)
+            rows_ty.append("b")
+    tab = pa.table(
+        {
+            "ts": pa.array(rows_ts, pa.timestamp("us")),
+            "event_type": pa.array(rows_ty, pa.string()),
+        }
+    )
+    out = hourly_anomalies_ds(rd.from_arrow(tab).repartition(3)).to_pandas()
+    # only the burst hour of type 'a' deviates beyond 3 sigma
+    assert list(out["event_type"]) == ["a"]
+    assert list(out["n_events"]) == [40]
+    # sequential replay of the integer inequality on type 'a'
+    import math
+
+    xs = [2] * 12 + [40]
+    n, s = len(xs), sum(xs)
+    sxx = sum(v * v for v in xs)
+    rr = 9 * (n * sxx - s * s)
+    s0 = int(math.floor(math.sqrt(float(rr))))
+    q = s0 + 1 if (s0 + 1) ** 2 <= rr else (s0 - 1 if s0 * s0 > rr else s0)
+    flagged = [v for v in xs if v * n > s + q or v * n < s - q]
+    assert flagged == [40]
