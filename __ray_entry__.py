@@ -622,9 +622,10 @@ def _cdc_sql() -> str:
         "tb AS (SELECT t.doc_id, t.pos, t.term, (th.hmod = 0) AS bnd "
         "       FROM toks t JOIN th USING(term)), "
         "c AS (SELECT doc_id, pos, term, "
-        "  COALESCE(SUM(CASE WHEN bnd THEN 1 ELSE 0 END) OVER ("
+        "  CAST(COALESCE(SUM(CASE WHEN bnd THEN 1 ELSE 0 END) OVER ("
         "    PARTITION BY doc_id ORDER BY pos "
-        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "    AS BIGINT) AS chunk_id "
         "  FROM tb) "
         "SELECT doc_id, chunk_id, count(*) AS n_tokens, "
         "string_agg(term, ' ' ORDER BY pos) AS chunk "
@@ -4144,7 +4145,8 @@ ORDER BY doc_id
             # flat-JSON field extraction twin: DuckDB regexp_extract is
             # RE2 like Arrow's extract_regex, so the pattern replays
             # byte-for-byte; absent/non-integer fields extract '' -> NULL
-            "SELECT event_type, count(k) AS n, sum(k) AS sum_k, "
+            "SELECT event_type, count(k) AS n, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
             "min(k) AS min_k, max(k) AS max_k FROM ("
             "  SELECT event_type, CAST(nullif(regexp_extract(props, "
             "  '\"k\":\\s*(-?\\d+)[,}\\s]', 1), '') AS BIGINT) AS k FROM events"
