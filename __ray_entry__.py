@@ -2577,8 +2577,9 @@ def _source_quality_sql() -> str:
         "  FROM toks GROUP BY 1), "
         "per AS (SELECT coalesce(d.source, '<none>') AS source, "
         "  coalesce(ts.tok, 0) AS tok, coalesce(ts.stop, 0) AS stop, "
-        "  strlen(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS alpha, "
-        "  strlen(d.text) AS chars "
+        "  strlen(regexp_replace(coalesce(d.text, ''), '[^A-Za-z]', '', 'g'))"
+        "    AS alpha, "
+        "  strlen(coalesce(d.text, '')) AS chars "
         "  FROM documents d LEFT JOIN ts USING (doc_id)), "
         "a AS (SELECT source, count(*) AS n_docs, sum(tok) AS tok, "
         "  sum(stop) AS stop, sum(alpha) AS alpha, sum(chars) AS chars "

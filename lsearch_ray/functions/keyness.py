@@ -148,13 +148,24 @@ def keyness_terms_ds(
         t2 = np.floor(((ln_b - ln_ab - ln_tb) + ln_tt) * 1e6 + 0.5).astype(
             np.int64
         )
-        g2 = 2 * (a * np.where(a > 0, t1, 0) + b * np.where(b > 0, t2, 0))
+        # exact Python-int products: a·t1 can exceed int64 at extreme
+        # corpus counts (a ~2e11 × t1 ~4e7 µnats) — same overflow-proof
+        # treatment as the assoc rebuild below; vocab-sized, so cheap
+        t1m = np.where(a > 0, t1, 0)
+        t2m = np.where(b > 0, t2, 0)
+        g2 = pa.array(
+            [
+                2 * (int(ai) * int(t1i) + int(bi) * int(t2i))
+                for ai, t1i, bi, t2i in zip(a, t1m, b, t2m)
+            ],
+            pa.int64(),
+        )
         return pa.table(
             {
                 "term": term,
                 "a": pa.array(a),
                 "b": pa.array(b),
-                "g2_micro": pa.array(g2),
+                "g2_micro": g2,
             }
         )
 

@@ -527,7 +527,13 @@ def source_quality_ds(
             b[source_col].combine_chunks().cast(pa.string()), "<none>"
         )
         nrows = b.num_rows
-        parents, flat = flat_tokens_arrow(b[text_col])
+        # null text ⇒ empty string (matches COALESCE(text,'') in the SQL
+        # twin); unguarded, binary_length(null)→null turns into garbage
+        # through .to_numpy().astype(int64)
+        text = pc.fill_null(
+            b[text_col].combine_chunks().cast(pa.string()), ""
+        )
+        parents, flat = flat_tokens_arrow(text)
         toks = np.bincount(parents, minlength=nrows).astype(np.int64)
         stops = np.zeros(nrows, dtype=np.int64)
         if len(flat):
@@ -537,7 +543,6 @@ def source_quality_ds(
                 .astype(np.int64)
             )
             np.add.at(stops, parents, hits)
-        text = b[text_col].combine_chunks()
         chars = (
             pc.binary_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
         )

@@ -746,3 +746,34 @@ def test_source_quality_integer_replay():
         assert r["tokens_per_doc_micro"] == len(toks) * 10**6 // len(docs)
         assert r["stopword_ratio_micro"] == stop * 10**6 // max(len(toks), 1)
         assert r["alpha_ratio_micro"] == alpha * 10**6 // max(chars, 1)
+
+
+def test_source_quality_null_text_as_empty():
+    """Null text must behave exactly like '' (the SQL twin coalesces);
+    regression for the binary_length(null)->NaN->astype(int64) garbage
+    path."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.textstats import source_quality_ds
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "source": pa.array(["s", "s", None, None], pa.string()),
+            "text": pa.array(["the cat", None, None, "dog"], pa.string()),
+        }
+    )
+    out = (
+        source_quality_ds(rd.from_arrow(tab).repartition(2))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    # srcA: "the cat" + null→"" : 2 docs, 2 tokens, 6 alpha bytes, 7 chars
+    r = out.loc["s"]
+    assert r["n_docs"] == 2 and r["n_tokens"] == 2
+    assert r["alpha_ratio_micro"] == 6 * 10**6 // 7
+    # null source groups under <none>: null text + "dog"
+    r = out.loc["<none>"]
+    assert r["n_docs"] == 2 and r["n_tokens"] == 1
+    assert r["alpha_ratio_micro"] == 3 * 10**6 // 3
