@@ -96,12 +96,20 @@ def _block_topk(
     return t.take(idx.slice(0, k))
 
 
-def unigram_counts_rows(ds, text_col: str = "text") -> list[dict]:
-    """Corpus unigram counts as driver-side rows (term, ``sum(n)``) —
-    the shared vocabulary-sized collect behind pmi_bigrams_ds and
-    bigram_lm_ds (per-batch ``value_counts`` partials into one
-    groupby-sum; swap the collect for a hash join at vocabularies beyond
-    the broadcast budget)."""
+#: Vocabulary rows above which the unigram-count table stops being
+#: broadcast to every task and is hash-joined instead (the knn_join
+#: totalization pattern, functions/ann.py). A 100-TB web crawl's raw
+#: token vocabulary (typos, URLs, hashes) is billions of rows — far past
+#: any driver collect.
+DEFAULT_VOCAB_BROADCAST_ROWS = 2_000_000
+
+
+def unigram_counts_ds(ds, text_col: str = "text"):
+    """Corpus unigram counts as a DATASET of (term, ``sum(n)``) — the
+    scale-safe form: per-batch ``value_counts`` partials into one
+    groupby-sum, nothing driver-side. The shared counting stage behind
+    pmi_bigrams_ds / bigram_lm_ds / term_clusters_ds; collect it with
+    :func:`unigram_counts_rows` only under the broadcast budget."""
     from lsearch_ray.analyzer import flat_tokens_arrow
 
     def uni_partial(batch: pa.Table) -> pa.Table:
@@ -122,8 +130,14 @@ def unigram_counts_rows(ds, text_col: str = "text") -> list[dict]:
         ds.map_batches(uni_partial, batch_format="pyarrow")
         .groupby("term")
         .sum("n")
-        .take_all()
     )
+
+
+def unigram_counts_rows(ds, text_col: str = "text") -> list[dict]:
+    """Driver-side collect of :func:`unigram_counts_ds` — only valid for
+    vocabularies under the broadcast budget; the routed consumers call
+    this exclusively on that side of the cap."""
+    return unigram_counts_ds(ds, text_col).take_all()
 
 
 def ngram_counts_ds(
@@ -289,24 +303,45 @@ def _ln_of_counts(x: np.ndarray) -> np.ndarray:
 
 
 def pmi_scored_pairs_ds(
-    ds, *, min_count: int = 5, text_col: str = "text", uni_rows=None
+    ds,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+    uni_rows=None,
+    uni_ds=None,
+    max_broadcast_rows: int = DEFAULT_VOCAB_BROADCAST_ROWS,
 ):
     """All adjacent word pairs with n ≥ min_count, PMI-scored — the shared
     scoring stage behind :func:`pmi_bigrams_ds` (top-k collocations) and
     the PMI-graph term clustering. Returns a Dataset of
     (w1, w2, n, pmi_micro); see pmi_bigrams_ds for the exact-replay
     micro-nat contract and the scale plan. Pass precomputed
-    ``uni_rows`` (the :func:`unigram_counts_rows` result) to avoid a
-    second full-corpus tokenize pass when the caller already has it."""
-    from lsearch_ray.functions.joins import broadcast_join
+    ``uni_rows`` (the :func:`unigram_counts_rows` result) or ``uni_ds``
+    (the materialized :func:`unigram_counts_ds` Dataset) to avoid a
+    second full-corpus tokenize pass when the caller already has one.
 
-    if uni_rows is None:
-        uni_rows = unigram_counts_rows(ds, text_col)
-    t_total = sum(int(r["sum(n)"]) for r in uni_rows)
-    uni_terms = pa.array([r["term"] for r in uni_rows], type=pa.large_string())
-    uni_counts = pa.array(
-        [int(r["sum(n)"]) for r in uni_rows], type=pa.int64()
+    Routing: vocabularies ≤ ``max_broadcast_rows`` broadcast the unigram
+    table into two vectorized lookup joins (one object-store copy read
+    by every task); beyond the cap the lookups run as partitioned hash
+    joins on the term key (``joins.hash_join``) — both sides stay
+    Datasets, nothing vocabulary-sized touches the driver. The two paths
+    are value-identical (parity-tested with a forced tiny cap)."""
+    from lsearch_ray.functions.joins import (
+        broadcast_join,
+        hash_join,
+        safe_partitions,
     )
+
+    if uni_rows is not None:
+        t_total = sum(int(r["sum(n)"]) for r in uni_rows)
+        vocab_n = len(uni_rows)
+    else:
+        if uni_ds is None:
+            uni_ds = unigram_counts_ds(ds, text_col).materialize()
+        vocab_n = uni_ds.count()
+        t_total = int(uni_ds.sum("sum(n)"))
+        if vocab_n <= max_broadcast_rows:
+            uni_rows = uni_ds.take_all()
 
     big_ds = (
         ds.map_batches(
@@ -336,9 +371,44 @@ def pmi_scored_pairs_ds(
         )
 
     pairs = big_ds.map_batches(split, batch_format="pyarrow")
-    lut1 = pa.table({"w1": uni_terms, "n1a": uni_counts})
-    lut2 = pa.table({"w2": uni_terms, "n1b": uni_counts})
-    joined = broadcast_join(broadcast_join(pairs, lut1, on="w1"), lut2, on="w2")
+    if uni_rows is not None:
+        uni_terms = pa.array(
+            [r["term"] for r in uni_rows], type=pa.large_string()
+        )
+        uni_counts = pa.array(
+            [int(r["sum(n)"]) for r in uni_rows], type=pa.int64()
+        )
+        lut1 = pa.table({"w1": uni_terms, "n1a": uni_counts})
+        lut2 = pa.table({"w2": uni_terms, "n1b": uni_counts})
+        joined = broadcast_join(
+            broadcast_join(pairs, lut1, on="w1"), lut2, on="w2"
+        )
+    else:
+        nparts = safe_partitions(64, vocab_n)
+        r1 = uni_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "w1": t["term"].cast(pa.large_string()),
+                    "n1a": t["sum(n)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        r2 = uni_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "w2": t["term"].cast(pa.large_string()),
+                    "n1b": t["sum(n)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            hash_join(pairs, r1, on="w1", num_partitions=nparts),
+            r2,
+            on="w2",
+            num_partitions=nparts,
+        )
 
     def score(b: pa.Table) -> pa.Table:
         n2 = b["n"].to_numpy(zero_copy_only=False)
@@ -362,7 +432,14 @@ def pmi_scored_pairs_ds(
     return joined.map_batches(score, batch_format="pyarrow")
 
 
-def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
+def pmi_bigrams_ds(
+    ds,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    max_broadcast_rows: int = DEFAULT_VOCAB_BROADCAST_ROWS,
+):
     """Top-k collocations: adjacent word pairs ranked by pointwise mutual
     information, ``pmi = ln(p(w1 w2) / (p(w1) p(w2)))`` with p from corpus
     bigram / unigram counts.
@@ -381,7 +458,12 @@ def pmi_bigrams_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text
     too big to broadcast — see ``functions.joins.hash_join``); per-block
     top-k prunes before the tiny global sort.
     """
-    scored = pmi_scored_pairs_ds(ds, min_count=min_count, text_col=text_col)
+    scored = pmi_scored_pairs_ds(
+        ds,
+        min_count=min_count,
+        text_col=text_col,
+        max_broadcast_rows=max_broadcast_rows,
+    )
 
     def block_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
@@ -485,7 +567,14 @@ def skipgram_counts_ds(
     )
 
 
-def bigram_lm_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text"):
+def bigram_lm_ds(
+    ds,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    max_broadcast_rows: int = DEFAULT_VOCAB_BROADCAST_ROWS,
+):
     """Top-k bigram conditional probabilities — the add-nothing MLE
     bigram language model ``P(w2|w1) = count(w1 w2) / count(w1)`` in
     floor-micro units (pure integers, so any engine replays it exactly):
@@ -497,16 +586,18 @@ def bigram_lm_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text")
     ordering keeps the result stable under probability ties.
 
     Same scale plan as :func:`pmi_bigrams_ds` (combiner-first unigram +
-    bigram counts, vocab-table broadcast into a vectorized lookup); only
-    the scoring kernel differs, and it needs just the w1 unigram count.
+    bigram counts, vocab-table broadcast into a vectorized lookup, a
+    partitioned hash join on w1 past ``max_broadcast_rows``); only the
+    scoring kernel differs, and it needs just the w1 unigram count.
     """
-    from lsearch_ray.functions.joins import broadcast_join
-
-    uni_rows = unigram_counts_rows(ds, text_col)
-    uni_terms = pa.array([r["term"] for r in uni_rows], type=pa.large_string())
-    uni_counts = pa.array(
-        [int(r["sum(n)"]) for r in uni_rows], type=pa.int64()
+    from lsearch_ray.functions.joins import (
+        broadcast_join,
+        hash_join,
+        safe_partitions,
     )
+
+    uni_ds = unigram_counts_ds(ds, text_col).materialize()
+    vocab_n = uni_ds.count()
 
     big_ds = (
         ds.map_batches(
@@ -530,9 +621,32 @@ def bigram_lm_ds(ds, *, k: int = 20, min_count: int = 5, text_col: str = "text")
         )
 
     pairs = big_ds.map_batches(split, batch_format="pyarrow")
-    joined = broadcast_join(
-        pairs, pa.table({"w1": uni_terms, "n1a": uni_counts}), on="w1"
-    )
+    if vocab_n <= max_broadcast_rows:
+        uni_rows = uni_ds.take_all()
+        uni_terms = pa.array(
+            [r["term"] for r in uni_rows], type=pa.large_string()
+        )
+        uni_counts = pa.array(
+            [int(r["sum(n)"]) for r in uni_rows], type=pa.int64()
+        )
+        joined = broadcast_join(
+            pairs, pa.table({"w1": uni_terms, "n1a": uni_counts}), on="w1"
+        )
+    else:
+        joined = hash_join(
+            pairs,
+            uni_ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "w1": t["term"].cast(pa.large_string()),
+                        "n1a": t["sum(n)"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on="w1",
+            num_partitions=safe_partitions(64, vocab_n),
+        )
 
     def score(b: pa.Table) -> pa.Table:
         n2 = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -578,6 +692,7 @@ def term_clusters_ds(
     text_col: str = "text",
     max_rounds: int = 50,
     num_partitions: int = 2,
+    max_broadcast_rows: int = DEFAULT_VOCAB_BROADCAST_ROWS,
 ):
     """Term-association clusters: the PMI-filtered bigram graph (edges =
     adjacent pairs with n ≥ min_count and pmi_micro ≥ min_pmi_micro,
@@ -588,61 +703,144 @@ def term_clusters_ds(
     Returns a Dataset of (term, comp_term) for every vocabulary term —
     comp_term = the lexicographically smallest term reachable in the
     association graph (edge-free terms label themselves) — sorted by
-    term. Terms travel as sorted-vocab ordinals through the integer
-    components kernel, so the min-ordinal label IS the min-lex term.
+    term.
 
-    Scale: PMI scoring is the shared combiner pipeline; the vocabulary
-    (ordinal map) is broadcast — swap for a hash join beyond the
-    broadcast budget; components is the distributed propagation loop.
-    """
+    Routing: under ``max_broadcast_rows`` the sorted vocabulary is
+    broadcast as an ordinal map, terms travel as ordinals through the
+    integer components kernel, and the min-ordinal label IS the min-lex
+    term. Beyond the cap nothing vocabulary-sized touches the driver:
+    node ids are the uniform 63-bit term hash (computed map-side on both
+    nodes and edges), components runs on the hashed graph, and the
+    min-LEX label is recovered with one ``groupby(component).min(term)``
+    plus a hash join back — value-identical to the ordinal path absent a
+    63-bit hash collision (p ≈ V²/2⁶⁴; parity-tested with a forced tiny
+    cap)."""
     import ray.data as rd
 
     from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.joins import hash_join, safe_partitions
 
-    uni_rows = unigram_counts_rows(ds, text_col)
-    vocab = sorted(r["term"] for r in uni_rows)
-    ord_of = {t: i for i, t in enumerate(vocab)}
-    vocab_arr = np.array(vocab, dtype=object)
+    uni_ds = unigram_counts_ds(ds, text_col).materialize()
+    vocab_n = uni_ds.count()
 
-    # the vocab rows double as the PMI stage's unigram counts — ONE
-    # full-corpus tokenize pass, not two
+    if vocab_n <= max_broadcast_rows:
+        uni_rows = uni_ds.take_all()
+        vocab = sorted(r["term"] for r in uni_rows)
+        ord_of = {t: i for i, t in enumerate(vocab)}
+        vocab_arr = np.array(vocab, dtype=object)
+
+        # the vocab rows double as the PMI stage's unigram counts — ONE
+        # full-corpus tokenize pass, not two
+        scored = pmi_scored_pairs_ds(
+            ds, min_count=min_count, text_col=text_col, uni_rows=uni_rows
+        )
+
+        def to_edges(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(
+                    pc.greater_equal(t["pmi_micro"], pa.scalar(min_pmi_micro)),
+                    pc.not_equal(t["w1"], t["w2"]),
+                )
+            )
+            a = np.array(
+                [ord_of[w] for w in t["w1"].to_pylist()], dtype=np.int64
+            )
+            b = np.array(
+                [ord_of[w] for w in t["w2"].to_pylist()], dtype=np.int64
+            )
+            return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+        edges = scored.map_batches(to_edges, batch_format="pyarrow")
+        nodes = rd.from_arrow(
+            pa.table({"tid": pa.array(np.arange(len(vocab), dtype=np.int64))})
+        )
+        labels = component_labels_ds(
+            nodes, edges, "tid", max_rounds=max_rounds,
+            num_partitions=num_partitions,
+        )
+
+        def back(t: pa.Table) -> pa.Table:
+            tid = t["tid"].to_numpy(zero_copy_only=False)
+            comp = t["component"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "term": pa.array(
+                        vocab_arr[tid].tolist(), pa.large_string()
+                    ),
+                    "comp_term": pa.array(
+                        vocab_arr[comp].tolist(), pa.large_string()
+                    ),
+                }
+            )
+
+        return labels.map_batches(back, batch_format="pyarrow").sort("term")
+
+    # --- over-budget route: hashed node ids, min-lex label recovery ---
+    from lsearch_ray.functions.sampling import _key_hash63
+
     scored = pmi_scored_pairs_ds(
-        ds, min_count=min_count, text_col=text_col, uni_rows=uni_rows
+        ds,
+        min_count=min_count,
+        text_col=text_col,
+        uni_ds=uni_ds,
+        max_broadcast_rows=max_broadcast_rows,
     )
 
-    def to_edges(t: pa.Table) -> pa.Table:
+    def to_edges_hashed(t: pa.Table) -> pa.Table:
         t = t.filter(
             pc.and_(
                 pc.greater_equal(t["pmi_micro"], pa.scalar(min_pmi_micro)),
                 pc.not_equal(t["w1"], t["w2"]),
             )
         )
-        a = np.array([ord_of[w] for w in t["w1"].to_pylist()], dtype=np.int64)
-        b = np.array([ord_of[w] for w in t["w2"].to_pylist()], dtype=np.int64)
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
-
-    edges = scored.map_batches(to_edges, batch_format="pyarrow")
-    nodes = rd.from_arrow(
-        pa.table({"tid": pa.array(np.arange(len(vocab), dtype=np.int64))})
-    )
-    labels = component_labels_ds(
-        nodes, edges, "tid", max_rounds=max_rounds,
-        num_partitions=num_partitions,
-    )
-
-    def back(t: pa.Table) -> pa.Table:
-        tid = t["tid"].to_numpy(zero_copy_only=False)
-        comp = t["component"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "term": pa.array(vocab_arr[tid].tolist(), pa.large_string()),
-                "comp_term": pa.array(
-                    vocab_arr[comp].tolist(), pa.large_string()
-                ),
+                "a": pa.array(_key_hash63(t["w1"])),
+                "b": pa.array(_key_hash63(t["w2"])),
             }
         )
 
-    return labels.map_batches(back, batch_format="pyarrow").sort("term")
+    edges = scored.map_batches(to_edges_hashed, batch_format="pyarrow")
+    term_tid = uni_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "tid": pa.array(_key_hash63(t["term"])),
+                "term": t["term"].cast(pa.large_string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    labels = component_labels_ds(
+        term_tid.select_columns(["tid"]),
+        edges,
+        "tid",
+        max_rounds=max_rounds,
+        num_partitions=num_partitions,
+    )
+    nparts = safe_partitions(64, vocab_n)
+    lab_terms = hash_join(
+        labels, term_tid, on="tid", num_partitions=nparts
+    )
+    comp_min = (
+        lab_terms.groupby("component")
+        .min("term")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "component": t["component"],
+                    "comp_term": t["min(term)"].cast(pa.large_string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = hash_join(
+        lab_terms.select_columns(["term", "component"]),
+        comp_min,
+        on="component",
+        num_partitions=nparts,
+    )
+    return out.select_columns(["term", "comp_term"]).sort("term")
 
 
 def _doc_gram_counts(

@@ -434,3 +434,55 @@ def test_ngram_novelty_flags_unique_grams():
     assert got.loc[2, "distinct_grams"] == 1
     assert got.loc[2, "novel_grams"] == 1
     assert got.loc[2, "novelty_micro"] == 1000000
+
+
+def test_vocab_hash_join_fallback_parity():
+    """Forcing max_broadcast_rows=0 routes the unigram lookup through
+    partitioned hash joins (and term_clusters through hashed node ids +
+    min-lex recovery); results must be value-identical to the broadcast
+    path."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import (
+        bigram_lm_ds,
+        pmi_bigrams_ds,
+        term_clusters_ds,
+    )
+
+    texts = [
+        "alpha beta gamma alpha beta gamma alpha beta",
+        "delta epsilon zeta delta epsilon zeta delta epsilon",
+        "a b a b c a b c a b",
+        "b c a b a c a b a b",
+    ] * 4
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(3)
+
+    pmi_b = pmi_bigrams_ds(ds, k=15, min_count=2).to_pandas()
+    pmi_h = pmi_bigrams_ds(
+        ds, k=15, min_count=2, max_broadcast_rows=0
+    ).to_pandas()
+    assert pmi_b.equals(pmi_h)
+
+    lm_b = bigram_lm_ds(ds, k=15, min_count=2).to_pandas()
+    lm_h = bigram_lm_ds(ds, k=15, min_count=2, max_broadcast_rows=0).to_pandas()
+    assert lm_b.equals(lm_h)
+
+    tc_b = (
+        term_clusters_ds(ds, min_count=3)
+        .to_pandas()
+        .set_index("term")["comp_term"]
+        .to_dict()
+    )
+    tc_h = (
+        term_clusters_ds(ds, min_count=3, max_broadcast_rows=0)
+        .to_pandas()
+        .set_index("term")["comp_term"]
+        .to_dict()
+    )
+    assert tc_b == tc_h
