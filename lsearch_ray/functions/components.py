@@ -15,20 +15,39 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _cc_partitions(requested: int | None, n_rows: int) -> int:
+    """Per-round hash-join partition count: cores-scaled when the caller
+    passes None, bounded by the live CPU count (far-above-parallelism
+    counts deadlock Ray's hash-shuffle aggregators on small sessions) and
+    the row volume (≥1 row per partition). Empty PARTITIONS are fine in
+    Ray's hash join — what its aggregator rejects is a fully-empty join
+    SIDE, which the empty-edges early returns below guard — so no
+    64-rows-per-partition strangle here."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 2))
+        if ray.is_initialized()
+        else 2
+    )
+    if requested is None:
+        requested = max(2, cpus)
+    return max(1, min(requested, cpus, n_rows or 1))
+
+
 def connected_components_ds(
     pairs_ds,
     *,
     max_rounds: int = 50,
-    num_partitions: int = 2,
+    num_partitions: int | None = None,
 ):
     """(a, b) edge Dataset → (node, label) Dataset, label = min node id of
     the component. Pure Dataset transforms; driver holds only the
     convergence counter.
 
-    ``num_partitions`` sizes the per-round hash join — pick ≈ cluster
-    cores at scale. (Kept small by default: Ray's hash-join aggregator
-    fails on fully-empty right partitions, which tiny inputs with many
-    partitions can produce.)"""
+    ``num_partitions`` sizes the per-round hash join — defaults to the
+    live cluster's core count (row-bounded); pass an explicit value only
+    to pin reducer memory."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -44,13 +63,24 @@ def connected_components_ds(
         )
 
     edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    from lsearch_ray.functions.joins import safe_partitions
+    n_edges = edges.count()
+    if n_edges == 0:
+        # a fully-empty join SIDE is the one shape Ray's hash-shuffle
+        # aggregator rejects at finalize — short-circuit it (no edges ⇒
+        # no labeled endpoints)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        )
+    num_partitions = _cc_partitions(num_partitions, n_edges)
+    from lsearch_ray.functions.joins import drop_empty_blocks
 
-    # scale partitions with data: Ray's hash-join aggregator fails on
-    # fully-empty partitions, which tiny inputs with many partitions make
-    num_partitions = safe_partitions(num_partitions, edges.count())
     # labels start as the node's own id (incl. its neighbors' ids round 1)
-    labels = (
+    labels = drop_empty_blocks(
         edges.groupby("node")
         .aggregate(Min("nbr", alias_name="label"))
         .map_batches(
@@ -89,7 +119,12 @@ def connected_components_ds(
                 batch_format="pyarrow",
             )
         )
-        new_labels = (
+        from lsearch_ray.functions.joins import drop_empty_blocks
+
+        # schema hygiene: the groupby emits one block per hash partition
+        # including schema-less empties; a leading one poisons the NEXT
+        # round's join-side schema (see joins.drop_empty_blocks)
+        new_labels = drop_empty_blocks(
             both.groupby("node")
             .aggregate(Min("cand", alias_name="label"))
             .materialize()
@@ -124,7 +159,7 @@ def component_labels_ds(
     id_col: str,
     *,
     max_rounds: int = 50,
-    num_partitions: int = 2,
+    num_partitions: int | None = None,
 ):
     """Total component labeling: every id in ``ids_ds`` gets the min id of
     its connected component in the ``(a, b)`` pair graph; ids touching no
@@ -149,17 +184,13 @@ def component_labels_ds(
     labels = connected_components_ds(
         pairs_ds, max_rounds=max_rounds, num_partitions=num_partitions
     )
-    from lsearch_ray.functions.minhash import _pair_partitions
-
     # size partitions to the SMALLER join side: labels covers only edge
-    # endpoints (≤ 2 · n_pairs rows), so sizing by the id universe leaves
-    # label partitions empty on sparse graphs — the condition Ray's
-    # hash-join aggregator rejects at finalize
+    # endpoints (≤ 2 · n_pairs rows)
     joined = ids_ds.select_columns([id_col]).join(
         labels,
         join_type="left_outer",
-        num_partitions=_pair_partitions(
-            min(ids_ds.count(), 2 * n_pairs), cap=num_partitions
+        num_partitions=_cc_partitions(
+            num_partitions, min(ids_ds.count(), 2 * n_pairs)
         ),
         on=(id_col,),
         right_on=("node",),
@@ -178,7 +209,7 @@ def component_labels_ds(
 
 
 def drop_ids_from_pairs_ds(
-    pairs_ds, *, max_rounds: int = 50, num_partitions: int = 2
+    pairs_ds, *, max_rounds: int = 50, num_partitions: int | None = None
 ):
     """Distributed counterpart of cluster.drop_ids_from_pairs: every node
     whose component label isn't itself is dropped (keep min per cluster).

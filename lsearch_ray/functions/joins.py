@@ -44,6 +44,29 @@ def safe_partitions(requested: int, n_rows: int) -> int:
     return max(1, min(requested, cpus, n_rows // 64 or 1))
 
 
+def drop_empty_blocks(mat_ds):
+    """Rebuild a MATERIALIZED dataset from its non-empty blocks only —
+    metadata-driven (no block fetch, refs pass through zero-copy).
+
+    Ray's groupby / join operators emit one output block per hash
+    partition, including empty ones, and a map_batches afterwards
+    short-circuits empty blocks into SCHEMA-LESS empties (the UDF never
+    runs on them). When such a block leads the dataset, schema inference
+    fails and a downstream hash-shuffle join finalizes a right side
+    without its key column (``ArrowInvalid: No match ... for key field
+    reference``). Dropping empty blocks between shuffle rounds removes
+    both the failure and the ``RefBundle ... different schema`` warning
+    spam. No-op on datasets with no non-empty block."""
+    import ray.data as rd
+
+    bundles = list(mat_ds.iter_internal_ref_bundles())
+    refs = [ref for bd in bundles for ref, meta in bd.blocks if meta.num_rows]
+    n_total = sum(len(bd.blocks) for bd in bundles)
+    if not refs or len(refs) == n_total:
+        return mat_ds
+    return rd.from_arrow_refs(refs)
+
+
 def broadcast_join(
     big_ds,
     small: pa.Table,

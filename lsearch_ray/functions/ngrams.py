@@ -691,7 +691,7 @@ def term_clusters_ds(
     min_pmi_micro: int = 0,
     text_col: str = "text",
     max_rounds: int = 50,
-    num_partitions: int = 2,
+    num_partitions: int | None = None,
     max_broadcast_rows: int = DEFAULT_VOCAB_BROADCAST_ROWS,
 ):
     """Term-association clusters: the PMI-filtered bigram graph (edges =

@@ -438,3 +438,44 @@ def test_cluster_split_keeps_dup_clusters_together():
     assert len(set(c.loc[[0, 1, 2], "split"])) == 1
     # per-component split uniqueness holds globally
     assert (out.groupby("component")["split"].nunique() == 1).all()
+
+
+def test_components_sixteen_partitions_sparse_graph():
+    """Regression (round-5 directive): num_partitions=16 on a tiny sparse
+    graph must work — empty hash-join PARTITIONS are fine; only a fully
+    empty join SIDE (now short-circuited) ever crashed the aggregator.
+    Also pins the cores-scaled default (None)."""
+    from lsearch_ray.functions.components import (
+        component_labels_ds,
+        connected_components_ds,
+    )
+
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 2, 3], type=pa.int64()),
+            "b": pa.array([2, 3, 4], type=pa.int64()),
+        }
+    )
+    ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(50), pa.int64())})
+    )
+    out = component_labels_ds(
+        ids, rd.from_arrow(pairs), "doc_id", num_partitions=16
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert all(got[i] == i for i in range(50) if i not in (2, 3, 4))
+
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components_ds(
+            rd.from_arrow(pairs), num_partitions=16
+        ).take_all()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    # empty edge set: short-circuit, no aggregator finalize crash
+    empty = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    assert connected_components_ds(empty, num_partitions=16).count() == 0
