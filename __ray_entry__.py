@@ -26,18 +26,29 @@ MORE_TERM = "scan"
 HAS_TERM = "merge"
 
 
+def _strip_meta(t):
+    """Drop the parquet files' ``b'pandas'`` schema metadata at the read
+    boundary: ``hash(pa.Schema)`` raises ``unhashable type: 'dict'`` on
+    it, which makes every sort/groupby shuffle log ``Failed to hash the
+    schemas (for deduplication)`` per reduce task. Zero-copy (metadata
+    swap only) and fused into the first downstream map stage."""
+    return t.replace_schema_metadata(None)
+
+
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=columns
-    )
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- entry ----
@@ -3365,6 +3376,174 @@ edges AS (
     return _cc_survivors_sql(edges, "embeddings", "vec_id")
 
 
+_U64 = "CAST(18446744073709551616 AS HUGEINT)"  # 2^64
+_U63 = "CAST(9223372036854775808 AS HUGEINT)"  # 2^63
+_MERS61 = "CAST(2305843009213693951 AS HUGEINT)"  # 2^61 - 1
+
+
+def _mul_shingle64(x: str) -> str:
+    """``(x · 0x9E3779B97F4A7C15) mod 2^64`` for x < 2^64 without INT128
+    overflow: the 64-bit multiplier is split into 32-bit halves
+    (hi=2654435769, lo=2135587861), each partial ≤ 2^96 fits HUGEINT;
+    the hi partial folds through mod 2^32 before its shift."""
+    return (
+        f"((({x}) * 2135587861 + "
+        f"((({x}) * 2654435769) % 4294967296) * 4294967296) % {_U64})"
+    )
+
+
+def _minhash_edges_cte() -> str:
+    """Exact replay of functions.minhash.minhash_candidate_pairs +
+    signature verify (minhash.py:140-160,234-271) as an ``edges`` CTE:
+
+    - token hash = 63-bit FNV-1a (corpus.fnv1a64 twin, ``_fnv63_of``);
+    - 3-gram shingle = rolling ``acc = (acc·M mod 2^64) xor h`` with
+      M = 0x9E3779B97F4A7C15 (docs with 1-2 tokens fold their full run);
+    - 128 universal permutations h_p(x) = (a_p·x + b_p) mod (2^61-1)
+      with the SAME a/b stream (np.random.RandomState(12345), embedded
+      as literals); DuckDB HUGEINT holds the 122-bit product exactly, so
+      no split-mulmod is needed;
+    - 32×4 banding: FNV-1a fold of each band's 4 signature rows, masked
+      to 63 bits (the engine's int64 storage mask);
+    - bucket pairs with the cap-64 rule (≤64 ⇒ all a<b pairs, >64 ⇒
+      star to the bucket minimum — cluster._emit_pairs_sorted);
+    - verify: ≥ 103 of 128 equal components ⇔ est ≥ 0.8 (exact integer
+      form of ``(sig_a == sig_b).mean() >= 0.8``);
+    - token-less docs carry the masked MAXH signature like the engine.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(12345)
+    a = rng.randint(1, (1 << 61) - 1, size=128, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=128, dtype=np.uint64)
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(128)
+    )
+    min_eq = next(k for k in range(129) if k / 128 >= 0.8)
+    s1 = f"xor({_mul_shingle64('hs[i]')}, hs[i+1])"
+    s2 = f"xor({_mul_shingle64(s1)}, hs[i+2])"
+    short2 = f"xor({_mul_shingle64('hs[1]')}, hs[2])"
+    return f"""
+WITH otoks AS ({_ORDERED_TOKS}),
+dt AS (SELECT DISTINCT term FROM otoks),
+th AS (SELECT term, ({_fnv63_of('term')}) AS h FROM dt),
+hl AS (SELECT t.doc_id, list(th.h ORDER BY t.pos) AS hs
+       FROM otoks t JOIN th USING (term) GROUP BY t.doc_id),
+shing AS (
+  SELECT DISTINCT doc_id, ({s2}) % {_MERS61} AS x
+  FROM hl, UNNEST(range(1, greatest(len(hs) - 2, 0) + 1)) AS u(i)
+  WHERE len(hs) >= 3
+  UNION
+  SELECT doc_id, hs[1] % {_MERS61} AS x FROM hl WHERE len(hs) = 1
+  UNION
+  SELECT doc_id, ({short2}) % {_MERS61} AS x
+  FROM hl WHERE len(hs) = 2
+),
+perms(p, pa, pb) AS (VALUES {perm_rows}),
+sig0 AS (
+  SELECT s.doc_id, pm.p,
+         min((CAST(pm.pa AS HUGEINT) * s.x + pm.pb) % {_MERS61}) AS v
+  FROM shing s CROSS JOIN perms pm GROUP BY 1, 2
+),
+sig AS (
+  SELECT d.doc_id, pm.p,
+         coalesce(s0.v, CAST(9223372036854775807 AS HUGEINT)) AS v
+  FROM documents d CROSS JOIN perms pm
+  LEFT JOIN sig0 s0 ON s0.doc_id = d.doc_id AND s0.p = pm.p
+),
+sl AS (SELECT doc_id, list(v ORDER BY p) AS sv FROM sig GROUP BY doc_id),
+bandrows AS (
+  SELECT doc_id, bb.b AS band,
+    CAST(list_reduce(
+      list_prepend({_FNV_BASIS}, list_slice(sv, 4*bb.b + 1, 4*bb.b + 4)),
+      {_FNV_STEP}) % {_U63} AS BIGINT) AS band_hash
+  FROM sl, UNNEST(range(0, 32)) AS bb(b)
+),
+bkt AS (SELECT band, band_hash, doc_id,
+               count(*) OVER w AS cnt, min(doc_id) OVER w AS mn
+        FROM bandrows WINDOW w AS (PARTITION BY band, band_hash)),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM bkt x JOIN bkt y
+    ON x.band = y.band AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+  WHERE x.cnt <= 64
+  UNION
+  SELECT mn AS a, doc_id AS b FROM bkt WHERE cnt > 64 AND doc_id <> mn
+),
+edges AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+  HAVING sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_eq}
+)"""
+
+
+def _minhash_dedup_sql() -> str:
+    """Exact twin of minhash_dedup(threshold=0.8, num_perm=128, bands=32,
+    ngram=3, seed=12345): replayed signatures/banding/verify (see
+    _minhash_edges_cte), then keep-min-per-component."""
+    return _cc_survivors_sql(_minhash_edges_cte(), "documents", "doc_id")
+
+
+def _simhash_edges_cte(max_hamming: int) -> str:
+    """Exact replay of functions.simhash.simhash_dedup (simhash.py:32-140)
+    as an ``edges`` CTE: 63-bit FNV-1a token hashes vote ±1 per bit per
+    OCCURRENCE (bit 63 is always 0 — fnv1a64 masks to 63 bits, so every
+    vote there is −1); fingerprint bit k set iff the vote sum is > 0;
+    4×16-bit banding; bucket pairs with the cap-64 rule; verify
+    ``bit_count(fp_a xor fp_b) <= max_hamming``. Token-less docs carry
+    fingerprint 0 like the engine."""
+    return f"""
+WITH toks AS ({_TOKS}),
+dt AS (SELECT DISTINCT term FROM toks),
+th AS (SELECT term, CAST(({_fnv63_of('term')}) AS BIGINT) AS h FROM dt),
+tc AS (SELECT t.doc_id, th.h, count(*) AS c
+       FROM toks t JOIN th USING (term) GROUP BY 1, 2),
+bits AS (
+  SELECT doc_id, kk.k AS k,
+         CASE WHEN sum(CASE WHEN ((h >> kk.k) & 1) = 1 THEN c ELSE -c END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tc, UNNEST(range(0, 63)) AS kk(k) GROUP BY 1, 2
+),
+fp0 AS (SELECT doc_id,
+               CAST(sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << k))
+                    AS BIGINT) AS fp
+        FROM bits GROUP BY 1),
+fp AS (SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+       FROM documents d LEFT JOIN fp0 f USING (doc_id)),
+bandrows AS (
+  SELECT doc_id, bb.b AS band,
+         CAST((fp >> (16 * bb.b)) & 65535 AS BIGINT) AS band_hash
+  FROM fp, UNNEST(range(0, 4)) AS bb(b)
+),
+bkt AS (SELECT band, band_hash, doc_id,
+               count(*) OVER w AS cnt, min(doc_id) OVER w AS mn
+        FROM bandrows WINDOW w AS (PARTITION BY band, band_hash)),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM bkt x JOIN bkt y
+    ON x.band = y.band AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+  WHERE x.cnt <= 64
+  UNION
+  SELECT mn AS a, doc_id AS b FROM bkt WHERE cnt > 64 AND doc_id <> mn
+),
+edges AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN fp fa ON fa.doc_id = c.a
+  JOIN fp fb ON fb.doc_id = c.b
+  WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}
+)"""
+
+
+def _simhash_dedup_sql() -> str:
+    """Exact twin of simhash_dedup(max_hamming=2): replayed fingerprints/
+    banding/verify (see _simhash_edges_cte), keep-min-per-component."""
+    return _cc_survivors_sql(_simhash_edges_cte(2), "documents", "doc_id")
+
+
 def _quality_sql() -> str:
     from lsearch_ray.functions.textstats import LANG_PROFILES
 
@@ -3838,6 +4017,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_ann": _lsh_ann_sql(),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
+        "minhash_dedup": _minhash_dedup_sql(),
+        "simhash_dedup": _simhash_dedup_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "

@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 from lsearch_ray.analyzer import term_counts_table
 from lsearch_ray.corpus import fnv1a64
 from lsearch_ray.functions.dedup import exact_dedup
+from lsearch_ray.functions.joins import drop_empty_blocks
 
 TOTAL_MICRO = 10**12
 
@@ -128,7 +129,11 @@ def pagerank_ds(edges_ds, n_nodes: int, *, iters: int = 3,
             "r", pa.array(np.full(b.num_rows, r0, dtype=np.int64))
         ),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    # schema hygiene on every loop-carried table: a leading schema-less
+    # empty block (Ray's empty-block map passthrough) poisons the next
+    # round's join-side schema — see joins.drop_empty_blocks
+    ranks = drop_empty_blocks(ranks.materialize())
 
     for _ in range(iters):
         dang_mass = (
@@ -177,6 +182,7 @@ def pagerank_ds(edges_ds, n_nodes: int, *, iters: int = 3,
             .map_batches(apply_rank, batch_format="pyarrow")
             .materialize()
         )
+        ranks = drop_empty_blocks(ranks)
 
     return (
         ranks.map_batches(
@@ -247,6 +253,7 @@ def bfs_distance_ds(edges_ds, n_nodes: int, *, seed_mod: int = 97,
             .aggregate(Min("nd", alias_name="nd"))
             .materialize()
         )
+        cand = drop_empty_blocks(cand)
         # an empty Dataset poisons downstream joins (see components.py);
         # no new candidates also means a fixed point — stop early
         if cand.count() == 0:
@@ -271,6 +278,7 @@ def bfs_distance_ds(edges_ds, n_nodes: int, *, seed_mod: int = 97,
             .map_batches(step, batch_format="pyarrow")
             .materialize()
         )
+        dist = drop_empty_blocks(dist)
 
     return (
         dist.map_batches(
@@ -357,6 +365,7 @@ def hits_ds(edges_ds, n_nodes: int, *, iters: int = 2,
             .aggregate(Sum(score_col, alias_name="s"))
             .materialize()
         )
+        raw = drop_empty_blocks(raw)
         tot_raw = int(raw.sum("s") or 0)
 
         def norm(b: pa.Table, tot_raw=tot_raw) -> pa.Table:
@@ -367,7 +376,7 @@ def hits_ds(edges_ds, n_nodes: int, *, iters: int = 2,
                 {"node": b["node"], out_col: pa.array(out.astype(np.int64))}
             )
 
-        return (
+        half = (
             nodes.join(
                 raw,
                 join_type="left_outer",
@@ -378,6 +387,7 @@ def hits_ds(edges_ds, n_nodes: int, *, iters: int = 2,
             .map_batches(norm, batch_format="pyarrow")
             .materialize()
         )
+        return drop_empty_blocks(half)
 
     for _ in range(iters):
         auth = _half_step(hub, "h", "src", "dst", "a")
