@@ -1276,6 +1276,82 @@ def _q_image_embed_knn(sf_dir: str):
     return result
 
 
+def _audio_embed_knn_result():
+    """Audio multimodal flagship: deterministic WAV PCM16 fixture → real
+    pure-numpy RIFF/WAVE decode (actor pool) → real DSP feature (energy
+    envelope + zero-crossing + amplitude histogram, L2-normalized) →
+    exact knn_join. Used by tools/make_audio_golden.py to regenerate the
+    committed contract."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.ann import knn_join
+    from lsearch_ray.functions.multimodal import (
+        DecodeAudio,
+        embed_audio,
+        make_wav_fixture,
+    )
+
+    fixture = make_wav_fixture(48)
+    decoded = rd.from_arrow(fixture).repartition(4).map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"audio_col": "audio", "fake": False},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    emb = decoded.map_batches(embed_audio, batch_format="pyarrow").select_columns(
+        ["clip_id", "embedding"]
+    )
+    out = (
+        knn_join(emb, id_col="clip_id", k=3)
+        .sort(["clip_id", "rn"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "clip_id": pa.array(out["clip_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rn": pa.array(out["rn"], type=pa.int64()),
+            "sim_micro": pa.array(out["sim_micro"], type=pa.int64()),
+        }
+    )
+
+
+def _q_audio_embed_knn(sf_dir: str):
+    """Audio decode → embed → similarity pipeline on the deterministic
+    synthetic WAV fixture (no audio table exists in the sf dirs and no
+    SQL can run the decode, so — like image_embed_knn — the
+    machine-checked contract is the committed golden
+    tests/golden/audio_embed_knn.json): the query compares its live
+    (clip_id, neighbor_id, rn, sim_micro) rows against the golden and
+    RAISES on drift."""
+    import json
+
+    result = _audio_embed_knn_result()
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "golden",
+        "audio_embed_knn.json",
+    )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    got = [
+        (int(r["clip_id"]), int(r["neighbor_id"]), int(r["rn"]), int(r["sim_micro"]))
+        for r in result.to_pylist()
+    ]
+    want = [
+        (r["clip_id"], r["neighbor_id"], r["rn"], r["sim_micro"])
+        for r in golden["rows"]
+    ]
+    if got != want:
+        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
+        raise RuntimeError(
+            f"audio_embed_knn drifted from committed golden "
+            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
+        )
+    return result
+
+
 _NGRAM_N = 3
 _NGRAM_K = 20
 _DECON_N = 8
@@ -2744,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_matches": _q_name_matches,
         "overlap_chunks": _q_overlap_chunks,
         "image_embed_knn": _q_image_embed_knn,
+        "audio_embed_knn": _q_audio_embed_knn,
         "pagerank_docs": _q_pagerank,
         "triangle_count": _q_triangles,
         "retention_cohorts": _q_retention,

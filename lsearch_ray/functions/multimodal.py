@@ -408,6 +408,118 @@ def embed_image(
     )
 
 
+def embed_audio(
+    batch: pa.Table,
+    samples_col: str = "samples",
+    nch_col: str = "n_channels",
+    segments: int = 8,
+    bins: int = 8,
+) -> pa.Table:
+    """REAL deterministic audio feature (classic public-knowledge DSP, no
+    model runtime and no FFT): per clip, the decoded int16 PCM is
+    mono-mixed (integer mean across channels), then
+
+    - ``segments`` mean-absolute-amplitude values (scaled to [0,1]) —
+      the energy envelope,
+    - ``segments`` zero-crossing fractions — the crude spectral proxy,
+    - a ``bins`` amplitude histogram over the full clip (fractions),
+
+    concatenated and L2-normalized: dim ``2·segments + bins`` (24
+    default). Integer-in/float64-out numpy only, so the vector is
+    bit-identical across hosts and decode → embed → knn_join pipelines
+    are golden-testable (the audio mirror of :func:`embed_image`).
+    Empty clips embed as the zero vector.
+
+    At scale this is the per-batch body of an actor-pool ``map_batches``
+    stage right after :class:`DecodeAudio`; a learned audio encoder
+    would slot into the same signature with the model loaded in the
+    actor's ``__init__``."""
+    if 65536 % bins:
+        raise ValueError(f"bins={bins} must divide 65536")
+    shift = 65536 // bins
+    col = batch[samples_col]
+    nch = batch[nch_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    chans = np.asarray(nch, dtype=np.int64)
+    vecs = []
+    for i, v in enumerate(col):
+        raw = v.as_py() or b""
+        c = max(int(chans[i]), 1)
+        pcm = np.frombuffer(raw, dtype="<i2")
+        n = len(pcm) // c
+        if n == 0:
+            vecs.append([0.0] * (2 * segments + bins))
+            continue
+        # integer mono mix (floor mean, matching // semantics everywhere)
+        mono = (
+            pcm[: n * c].reshape(n, c).astype(np.int64).sum(axis=1) // c
+        )
+        seg = (np.arange(n) * segments) // n
+        counts = np.bincount(seg, minlength=segments).astype(np.float64)
+        counts[counts == 0] = 1.0
+        energy = (
+            np.bincount(seg, weights=np.abs(mono), minlength=segments)
+            / (counts * 32768.0)
+        )
+        zc = np.zeros(segments, dtype=np.float64)
+        if n > 1:
+            crossings = (mono[1:] >= 0) != (mono[:-1] >= 0)
+            zc = (
+                np.bincount(seg[1:], weights=crossings, minlength=segments)
+                / counts
+            )
+        hist = (
+            np.bincount((mono + 32768) // shift, minlength=bins) / float(n)
+        )
+        feat = np.concatenate([energy, zc, hist])
+        norm = np.linalg.norm(feat)
+        feat = feat / norm if norm > 0 else feat
+        vecs.append(feat.astype(np.float32).tolist())
+    return batch.append_column(
+        "embedding", pa.array(vecs, type=pa.list_(pa.float32()))
+    )
+
+
+def make_wav_fixture(
+    n: int = 48, *, n_samples: int = 256, rate: int = 8000, seed: int = 99
+) -> pa.Table:
+    """Deterministic synthetic RIFF/WAVE PCM16 table with built-in
+    near-pair structure — clip 2j+1 is clip 2j attenuated ~3% (same
+    envelope shape, so the nearest-neighbor graph is stable and
+    golden-testable; the image-fixture convention). Alternating clips
+    are mono/stereo to exercise the channel path. Columns
+    (clip_id:int64, audio:binary)."""
+    import struct
+
+    clips = []
+    for i in range(n):
+        rng = np.random.RandomState(seed + (i // 2))
+        nch = 1 + (i // 2) % 2
+        pcm = rng.randint(-20000, 20000, size=(n_samples, nch)).astype(
+            np.int64
+        )
+        if i % 2 == 1:
+            pcm = (pcm * 31) // 32
+        data = pcm.astype("<i2").tobytes()
+        byte_rate = rate * nch * 2
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, nch, rate, byte_rate, nch * 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+        )
+        clips.append(hdr + data)
+    return pa.table(
+        {
+            "clip_id": pa.array(np.arange(n, dtype=np.int64)),
+            "audio": pa.array(clips, type=pa.binary()),
+        }
+    )
+
+
 def make_ppm_fixture(
     n: int = 48, *, h: int = 16, w: int = 16, seed: int = 77
 ) -> pa.Table:

@@ -777,3 +777,75 @@ def test_source_quality_null_text_as_empty():
     r = out.loc["<none>"]
     assert r["n_docs"] == 2 and r["n_tokens"] == 1
     assert r["alpha_ratio_micro"] == 3 * 10**6 // 3
+
+
+def test_audio_embed_knn_matches_wave_reference():
+    """End-to-end audio flagship (WAV fixture → real RIFF decode → real
+    DSP feature → knn_join) vs an independent reference: decode via the
+    STDLIB ``wave`` module, feature via plain loops/histograms, neighbors
+    via a dense cosine matrix."""
+    import io
+    import sys
+    import wave
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    from lsearch_ray.functions.multimodal import make_wav_fixture
+
+    got = em._audio_embed_knn_result().to_pylist()
+
+    fixture = make_wav_fixture(48)
+    segments, bins = 8, 8
+    feats = []
+    for raw in fixture["audio"].to_pylist():
+        with wave.open(io.BytesIO(raw)) as wf:
+            nch = wf.getnchannels()
+            assert wf.getsampwidth() == 2 and wf.getframerate() == 8000
+            frames = wf.readframes(wf.getnframes())
+        pcm = np.frombuffer(frames, dtype="<i2").reshape(-1, nch)
+        mono = pcm.astype(np.int64).sum(axis=1) // nch
+        n = len(mono)
+        energy, zc = [], []
+        for s in range(segments):
+            idx = [i for i in range(n) if (i * segments) // n == s]
+            energy.append(np.abs(mono[idx]).mean() / 32768.0)
+            cross = [
+                i
+                for i in idx
+                if i >= 1 and ((mono[i] >= 0) != (mono[i - 1] >= 0))
+            ]
+            zc.append(len(cross) / len(idx))
+        cnt, _ = np.histogram(mono + 32768, bins=bins, range=(0, 65536))
+        f = np.concatenate([energy, zc, cnt / n])
+        feats.append((f / np.linalg.norm(f)).astype(np.float32))
+    m = np.asarray(feats, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / (norms[:, None] * norms[None, :])
+    micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+    want = []
+    for i in range(48):
+        order = sorted(
+            (j for j in range(48) if j != i), key=lambda j: (-micro[i, j], j)
+        )[:3]
+        for rnk, j in enumerate(order, 1):
+            want.append((i, j, rnk, int(micro[i, j])))
+    assert [
+        (r["clip_id"], r["neighbor_id"], r["rn"], r["sim_micro"]) for r in got
+    ] == want
+
+
+def test_audio_embed_through_ray_pipeline_and_golden():
+    """The registry query gates against the committed golden and the
+    fixture's built-in near-pair structure holds: every clip's rank-1
+    neighbor is its attenuated twin."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    t = em.queries()["audio_embed_knn"]("/root/testdata/sf0.001")
+    rows = t.to_pylist()
+    assert len(rows) == 48 * 3
+    rn1 = {r["clip_id"]: r["neighbor_id"] for r in rows if r["rn"] == 1}
+    assert all(rn1[c] == (c ^ 1) for c in rn1)
