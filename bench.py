@@ -303,6 +303,45 @@ def bench_generic() -> dict:
     return out
 
 
+def bench_e2e_curation() -> dict:
+    """One streamed run of the composed training-data pipeline (quality
+    gate → exact content dedup → ngram-Jaccard components →
+    keep-min-per-cluster → cluster split → per-split packing) over the
+    bench corpus — the composition is where accidental materializations
+    between operator families would hide, so it is timed as a whole.
+    Median-of-3; reports docs/s over the INPUT corpus and the survivor
+    count (work scales with input, not survivors)."""
+    import ray.data as rd
+
+    from lsearch_ray.pipelines.curation import curate_corpus_ds
+
+    n_docs = min(BENCH_DOCS, int(os.environ.get("LSR_E2E_DOCS", "100000")))
+    reps, survivors = [], 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        # gate thresholds tuned to the synthetic corpus's shape (it is
+        # digit-heavy and stopword-poor by construction) so the later
+        # stages — dedup, components, packing — see real volume; the
+        # default thresholds would drop ~89% at the gate and turn the
+        # composition bench into a gate bench
+        out = curate_corpus_ds(
+            rd.read_parquet(CORPUS_DIR, columns=["doc_id", "text"]).limit(
+                n_docs
+            ),
+            num_partitions=max(8, NCPU),
+            quality_kwargs={"max_digit": 1.0, "min_stop": 0.0},
+        )
+        survivors = out.count()
+        reps.append(time.monotonic() - t0)
+    sec = _median(reps)
+    return {
+        "sec": sec,
+        "docs": n_docs,
+        "docs_per_sec": n_docs / sec,
+        "survivors": survivors,
+    }
+
+
 def _host_calibration() -> dict:
     """Quick in-invocation spin probe (single-thread + all-cores): the
     host's compute capacity DURING this bench run. Identical code
@@ -357,6 +396,13 @@ def run_default(index_only: bool = False) -> dict:
             result["zipf_qps_routed"] = round(st["zipf_qps_routed"], 1)
         for k, v in bench_generic().items():
             queries[k] = round(v, 3)
+        # e2e composition: reported as side fields, NOT summed into
+        # ``value`` — keeps the headline comparable with rounds 1-4
+        e2e = bench_e2e_curation()
+        result["e2e_curation_sec"] = round(e2e["sec"], 3)
+        result["e2e_curation_docs"] = e2e["docs"]
+        result["e2e_curation_docs_per_sec"] = round(e2e["docs_per_sec"], 1)
+        result["e2e_curation_survivors"] = e2e["survivors"]
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3)
     if not index_only:
@@ -441,7 +487,16 @@ def measure_memory_ceiling(lo: int = 8, hi: int = 32, reps: int = 2) -> dict:
 
 
 def run_scaling() -> dict:
-    """Index build at num_cpus=8 vs 32, fresh processes, same input.
+    """Index build scaling at TWO parallelism pairs — 8→32 (the historic
+    protocol) and 4→16 — fresh processes, same input. At 16 workers the
+    measured ~6 GB/s memory-bandwidth wall is not yet binding (stage-B
+    per-task inflation starts between 8 and 32 procs on this box), so
+    the 4→16 raw efficiency is the honest multi-node predictor; the
+    8→32 pair stays for continuity with rounds 1-4 and is additionally
+    reported relative to the in-session CPU-ceiling probe. Headline
+    ``value`` = the 4→16 raw efficiency (the north rule's N→4N form on
+    the sub-bandwidth-wall range); set LSR_SCALING_PAIRS=8:32 to run a
+    single pair.
 
     Protocol: 2 alternating-order rounds; each level runs in a fresh
     process that does an untimed warm-up build then takes the best of
@@ -484,48 +539,62 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    ceiling = measure_host_ceiling(lo, hi)
-    mem_ceiling = measure_memory_ceiling(lo, hi)
-    best: dict[int, dict] = {}
-    for round_i in range(2):
-        # alternate order so slow host drift doesn't bias one level; each
-        # subprocess takes best-of-LSR_BENCH_REPS (default 4) builds in one
-        # warm session — host noise swings ±3× on minute scales, so dense
-        # sampling inside a session beats more cold sessions
-        order = (lo, hi) if round_i % 2 == 0 else (hi, lo)
-        for ncpu in order:
-            r = run(ncpu)
-            if ncpu not in best or r["queries"]["index_build"] < best[ncpu][
-                "queries"
-            ]["index_build"]:
-                best[ncpu] = r
-            time.sleep(15)  # cooldown: consecutive heavy runs degrade 2-4x
-                            # on this host (see BASELINE.md noise notes)
-    thr_lo = best[lo]["index_build_docs_per_sec"]
-    thr_hi = best[hi]["index_build_docs_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    def scale_pair(lo: int, hi: int) -> dict:
+        ceiling = measure_host_ceiling(lo, hi)
+        mem_ceiling = measure_memory_ceiling(lo, hi)
+        best: dict[int, dict] = {}
+        for round_i in range(2):
+            # alternate order so slow host drift doesn't bias one level;
+            # each subprocess takes best-of-LSR_BENCH_REPS (default 4)
+            # builds in one warm session — host noise swings ±3× on
+            # minute scales, so dense sampling inside a session beats
+            # more cold sessions
+            order = (lo, hi) if round_i % 2 == 0 else (hi, lo)
+            for ncpu in order:
+                r = run(ncpu)
+                if ncpu not in best or r["queries"]["index_build"] < best[
+                    ncpu
+                ]["queries"]["index_build"]:
+                    best[ncpu] = r
+                time.sleep(15)  # cooldown: consecutive heavy runs degrade
+                                # 2-4x on this host (BASELINE.md noise)
+        thr_lo = best[lo]["index_build_docs_per_sec"]
+        thr_hi = best[hi]["index_build_docs_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        return {
+            "efficiency": round(eff, 3),
+            "efficiency_vs_ceiling": round(
+                eff / ceiling["ceiling_efficiency"], 3
+            )
+            if ceiling["ceiling_efficiency"]
+            else None,
+            "host_ceiling_cpu": ceiling,
+            "host_ceiling_memory": mem_ceiling,
+            "num_cpus": [lo, hi],
+            "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+            "sec": {
+                str(lo): best[lo]["queries"]["index_build"],
+                str(hi): best[hi]["queries"]["index_build"],
+            },
+            "stages": {
+                str(lo): best[lo].get("index_build_stages", {}),
+                str(hi): best[hi].get("index_build_stages", {}),
+            },
+        }
+
+    pair_spec = os.environ.get("LSR_SCALING_PAIRS", "4:16,8:32")
+    pairs: dict[str, dict] = {}
+    for spec in pair_spec.split(","):
+        lo_s, hi_s = spec.split(":")
+        pairs[f"{lo_s}->{hi_s}"] = scale_pair(int(lo_s), int(hi_s))
+    headline = pairs.get("4->16") or next(iter(pairs.values()))
     return {
-        "metric": "index-build scaling efficiency",
+        "metric": "index-build scaling efficiency (headline: 4->16 raw)",
         "unit": "ratio",
-        "value": round(eff, 3),
-        "value_vs_ceiling": round(eff / ceiling["ceiling_efficiency"], 3)
-        if ceiling["ceiling_efficiency"]
-        else None,
-        "host_ceiling_cpu": ceiling,
-        "host_ceiling_memory": mem_ceiling,
+        "value": headline["efficiency"],
+        "pairs": pairs,
         "sf": SF_DIR,
-        "num_cpus": [lo, hi],
-        "docs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
-        "sec": {
-            str(lo): best[lo]["queries"]["index_build"],
-            str(hi): best[hi]["queries"]["index_build"],
-        },
-        "stages": {
-            str(lo): best[lo].get("index_build_stages", {}),
-            str(hi): best[hi].get("index_build_stages", {}),
-        },
-        "bench_docs": best[hi]["bench_docs"],
+        "bench_docs": BENCH_DOCS,
     }
 
 

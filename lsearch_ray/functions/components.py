@@ -62,7 +62,14 @@ def connected_components_ds(
             }
         )
 
-    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    from lsearch_ray.functions.joins import drop_empty_blocks
+
+    # drop_empty_blocks: the upstream pair stage can hand us schema-less
+    # empty blocks (Ray's empty-block map passthrough), which would strip
+    # 'node'/'nbr' from some join-side partitions at finalize
+    edges = drop_empty_blocks(
+        pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    )
     n_edges = edges.count()
     if n_edges == 0:
         # a fully-empty join SIDE is the one shape Ray's hash-shuffle
@@ -77,8 +84,6 @@ def connected_components_ds(
             )
         )
     num_partitions = _cc_partitions(num_partitions, n_edges)
-    from lsearch_ray.functions.joins import drop_empty_blocks
-
     # labels start as the node's own id (incl. its neighbors' ids round 1)
     labels = drop_empty_blocks(
         edges.groupby("node")

@@ -422,6 +422,7 @@ def quality_filter_ds(
     min_stop: float = 0.01,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_all: bool = False,
 ):
     """Gopher/C4-style document quality gate: keep docs whose
     :func:`quality_stats` signals clear fixed thresholds (token count in
@@ -431,7 +432,9 @@ def quality_filter_ds(
     threshold comparisons see bit-identical values on every engine.
 
     Pure map-side (one vectorized pass, no shuffle, no state). Returns
-    the surviving ``(doc_id, n_tokens)`` rows.
+    the surviving ``(doc_id, n_tokens)`` rows — or, with
+    ``keep_all=True``, the surviving INPUT rows with all their columns
+    (the composed-pipeline form: downstream dedup stages need the text).
     """
     def filt(b: pa.Table) -> pa.Table:
         q = quality_stats(b, text_col)
@@ -448,6 +451,8 @@ def quality_filter_ds(
                 pc.greater_equal(q["stopword_ratio"], pa.scalar(min_stop)),
             ),
         )
+        if keep_all:
+            return b.filter(keep)
         return q.filter(keep).select([id_col, "n_tokens"])
 
     return ds.map_batches(filt, batch_format="pyarrow")

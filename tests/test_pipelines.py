@@ -251,3 +251,51 @@ def test_more_like_this_zero_norm_guard():
     )
     out = more_like_this_dataset(ds, 0, k=5)
     assert out.num_rows == 0
+
+
+def test_curate_corpus_end_to_end_invariants():
+    """Composed training-data pipeline (gate → exact dedup → near-dup
+    components → cluster split → per-split packing): survivor ids are
+    unique near-dup cluster minima, the split label replays the
+    component-keyed hash rule, and bins are contiguous per split."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.dedup import exact_dedup_by_content
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+    from lsearch_ray.functions.sampling import hash_split_labels
+    from lsearch_ray.functions.textstats import quality_filter_ds
+    from lsearch_ray.pipelines.curation import curate_corpus_ds
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = curate_corpus_ds(docs).to_pandas()
+    assert out["doc_id"].is_unique and len(out)
+
+    # independent survivor reference: gate -> exact dedup -> component
+    # minima over the exposed pair stage
+    gated = quality_filter_ds(docs, keep_all=True)
+    exact = exact_dedup_by_content(gated, "text", "doc_id").materialize()
+    pairs = ngram_jaccard_pairs(exact, threshold=0.8)
+    labels = component_labels_ds(
+        exact.select_columns(["doc_id"]), pairs, "doc_id"
+    ).to_pandas()
+    want_ids = set(
+        labels[labels["doc_id"] == labels["component"]]["doc_id"]
+    )
+    assert set(out["doc_id"]) == want_ids
+
+    # split labels replay hash_split_labels over the component
+    comp_of = dict(zip(labels["doc_id"], labels["component"]))
+    comps = pa.array(
+        [comp_of[d] for d in out["doc_id"]], pa.int64()
+    )
+    assert list(out["grp"]) == hash_split_labels(comps).to_pylist()
+
+    # per split: bin ids start at 0 and are contiguous
+    for g, sub in out.groupby("grp"):
+        bins = np.sort(sub["bin_id"].unique())
+        assert bins[0] == 0 and (np.diff(bins) == 1).all()
