@@ -42,6 +42,15 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         problems.append(f"schema: ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
         return problems
+    # the DRIVER's value hash is dtype-sensitive (99111 vs 99111.0 hash
+    # differently) — flag engine/oracle dtype divergence even when the
+    # values compare equal, so HUGEINT->float64 SQL-twin artifacts
+    # (round-4 cdc_chunks/cdc_dedup/props_stats) can't slip through the
+    # local gate again
+    for c in ray_df.columns:
+        a, b = ray_df[c].dtype, sql_df[c].dtype
+        if a != b and not (a == object and b == object):
+            problems.append(f"dtype col {c}: ray={a} sql={b}")
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
     a, b = canon(ray_df), canon(sql_df)
