@@ -49,8 +49,19 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     # local gate again
     for c in ray_df.columns:
         a, b = ray_df[c].dtype, sql_df[c].dtype
-        if a != b and not (a == object and b == object):
-            problems.append(f"dtype col {c}: ray={a} sql={b}")
+        if a == b:
+            continue
+        # the driver's hash is KIND-sensitive, not width-sensitive: ints
+        # widen to uint64 and datetimes convert to int64 ns before
+        # hashing (int32 vs int64 and datetime64[s] vs [us] hash equal;
+        # r04's funnel_counts/events_hourly were driver-green with
+        # exactly those diffs), but int-vs-FLOAT diverges (99111 vs
+        # 99111.0 — the r04 cdc/props failures). Flag cross-kind only.
+        ka = getattr(a, "kind", None)
+        kb = getattr(b, "kind", None)
+        if ka == kb and ka in ("i", "u", "f", "M", "m"):
+            continue
+        problems.append(f"dtype col {c}: ray={a} sql={b}")
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
     a, b = canon(ray_df), canon(sql_df)
