@@ -26,29 +26,40 @@ MORE_TERM = "scan"
 HAS_TERM = "merge"
 
 
-def _strip_meta(t):
-    """Drop the parquet files' ``b'pandas'`` schema metadata at the read
-    boundary: ``hash(pa.Schema)`` raises ``unhashable type: 'dict'`` on
-    it, which makes every sort/groupby shuffle log ``Failed to hash the
-    schemas (for deduplication)`` per reduce task. Zero-copy (metadata
-    swap only) and fused into the first downstream map stage."""
-    return t.replace_schema_metadata(None)
+def _clean_schema(path: str, columns):
+    """The file's schema with the ``b'pandas'`` metadata removed (pruned
+    to ``columns`` when given): ``hash(pa.Schema)`` raises ``unhashable
+    type: 'dict'`` on that metadata, making every sort/groupby shuffle
+    log ``Failed to hash the schemas (for deduplication)`` per reduce
+    task. Passing the cleaned schema to ``read_parquet`` strips it at
+    the source — block layout, column pruning and the metadata-only
+    ``count()`` shortcut all stay intact (a post-read ``map_batches``
+    strip costs ~15-20% on count-using pipelines: it turns the
+    metadata-only count into a full read)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
 
 
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
+    path = os.path.join(sf_dir, "documents.parquet")
     return rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow")
+        path, columns=columns, schema=_clean_schema(path, columns)
+    )
 
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
     return rd.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow")
+        path, columns=columns, schema=_clean_schema(path, columns)
+    )
 
 
 # ---------------------------------------------------------------- entry ----
