@@ -1363,6 +1363,83 @@ def _q_audio_embed_knn(sf_dir: str):
     return result
 
 
+def _video_embed_knn_result():
+    """Video multimodal flagship: deterministic Y4M fixture → real
+    pure-numpy frame split (actor pool, every 2nd frame) → real
+    luma-plane frame feature → per-video mean pool (one hash shuffle) →
+    exact knn_join. Used by tools/make_video_golden.py to regenerate the
+    committed contract."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.ann import knn_join
+    from lsearch_ray.functions.multimodal import (
+        SampleFrames,
+        embed_yuv_frame,
+        make_y4m_fixture,
+        mean_pool_embeddings,
+    )
+
+    fixture = make_y4m_fixture(48)
+    frames = rd.from_arrow(fixture).repartition(4).map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"video_col": "video", "every_n": 2, "fake": False},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    per_frame = frames.map_batches(
+        embed_yuv_frame, batch_format="pyarrow"
+    ).select_columns(["vid_id", "embedding"])
+    emb = mean_pool_embeddings(per_frame, "vid_id")
+    out = (
+        knn_join(emb, id_col="vid_id", k=3)
+        .sort(["vid_id", "rn"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "vid_id": pa.array(out["vid_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rn": pa.array(out["rn"], type=pa.int64()),
+            "sim_micro": pa.array(out["sim_micro"], type=pa.int64()),
+        }
+    )
+
+
+def _q_video_embed_knn(sf_dir: str):
+    """Video frame-sample → embed → mean-pool → similarity pipeline on
+    the deterministic synthetic Y4M fixture (no video table exists in
+    the sf dirs and no SQL can run the frame split, so — like
+    image_embed_knn / audio_embed_knn — the machine-checked contract is
+    the committed golden tests/golden/video_embed_knn.json): the query
+    compares its live rows against the golden and RAISES on drift."""
+    import json
+
+    result = _video_embed_knn_result()
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "golden",
+        "video_embed_knn.json",
+    )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    got = [
+        (int(r["vid_id"]), int(r["neighbor_id"]), int(r["rn"]), int(r["sim_micro"]))
+        for r in result.to_pylist()
+    ]
+    want = [
+        (r["vid_id"], r["neighbor_id"], r["rn"], r["sim_micro"])
+        for r in golden["rows"]
+    ]
+    if got != want:
+        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
+        raise RuntimeError(
+            f"video_embed_knn drifted from committed golden "
+            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
+        )
+    return result
+
+
 _NGRAM_N = 3
 _NGRAM_K = 20
 _DECON_N = 8
@@ -2832,6 +2909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_chunks": _q_overlap_chunks,
         "image_embed_knn": _q_image_embed_knn,
         "audio_embed_knn": _q_audio_embed_knn,
+        "video_embed_knn": _q_video_embed_knn,
         "pagerank_docs": _q_pagerank,
         "triangle_count": _q_triangles,
         "retention_cohorts": _q_retention,

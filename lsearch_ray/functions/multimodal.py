@@ -408,6 +408,136 @@ def embed_image(
     )
 
 
+def embed_yuv_frame(
+    batch: pa.Table,
+    frame_col: str = "frame",
+    w_col: str = "frame_w",
+    h_col: str = "frame_h",
+    grid: int = 4,
+    bins: int = 8,
+) -> pa.Table:
+    """REAL deterministic per-FRAME feature over raw planar YUV420
+    payloads (:class:`SampleFrames` output): the luma (Y) plane — the
+    first ``w·h`` bytes — is treated as a grayscale image and embedded
+    with the :func:`embed_image` recipe (``grid×grid`` blocked mean-pool
+    + ``bins`` histogram, each scaled to [0,1]), dim ``grid² + bins``
+    (24 default). NOT normalized — frame vectors are meant to be
+    mean-pooled into a video vector first (see
+    :func:`mean_pool_embeddings`); normalize after pooling. Undersized
+    payloads embed as the zero vector."""
+    if 256 % bins:
+        raise ValueError(f"bins={bins} must divide 256")
+    shift = 256 // bins
+    cols = {c: batch[c] for c in (frame_col, w_col, h_col)}
+    for k, v in cols.items():
+        if isinstance(v, pa.ChunkedArray):
+            cols[k] = v.combine_chunks()
+    ws = np.asarray(cols[w_col], dtype=np.int64)
+    hs = np.asarray(cols[h_col], dtype=np.int64)
+    vecs = []
+    for i, v in enumerate(cols[frame_col]):
+        w, h = int(ws[i]), int(hs[i])
+        raw = v.as_py() or b""
+        if w * h == 0 or len(raw) < w * h:
+            vecs.append([0.0] * (grid * grid + bins))
+            continue
+        y = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+        ri = (np.arange(h) * grid) // h
+        ci = (np.arange(w) * grid) // w
+        cell = (ri[:, None] * grid + ci[None, :]).ravel()
+        counts = np.bincount(cell, minlength=grid * grid).astype(np.float64)
+        counts[counts == 0] = 1.0
+        pooled = (
+            np.bincount(cell, weights=y.ravel(), minlength=grid * grid)
+            / (counts * 255.0)
+        )
+        hist = np.bincount(y.ravel() // shift, minlength=bins) / float(w * h)
+        vecs.append(
+            np.concatenate([pooled, hist]).astype(np.float32).tolist()
+        )
+    return batch.append_column(
+        "embedding", pa.array(vecs, type=pa.list_(pa.float32()))
+    )
+
+
+def mean_pool_embeddings(
+    frames_ds,
+    id_col: str,
+    *,
+    emb_col: str = "embedding",
+    num_partitions: int = 8,
+):
+    """(id, embedding)-per-FRAME Dataset → one L2-normalized mean vector
+    per id — the frame→video aggregation step. One hash shuffle on the
+    id, then a vectorized sum/count per group inside each partition (no
+    per-group Python); all-zero means stay zero."""
+    import pandas as pd
+
+    from lsearch_ray.functions.dedup import partition_ids
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, emb_col])
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [id_col], num_partitions))
+        )
+
+    def pool(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g[emb_col]]
+        )
+        new_run = np.empty(len(ids), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_run)
+        sums = np.add.reduceat(m, starts, axis=0)
+        counts = np.diff(np.append(starts, len(ids)))
+        means = sums / counts[:, None]
+        norms = np.linalg.norm(means, axis=1)
+        norms[norms == 0] = 1.0
+        means /= norms[:, None]
+        return pd.DataFrame(
+            {
+                id_col: ids[starts],
+                emb_col: [r.astype(np.float32).tolist() for r in means],
+            }
+        )
+
+    return (
+        frames_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pool, batch_format="pandas")
+    )
+
+
+def make_y4m_fixture(
+    n: int = 48, *, frames: int = 6, w: int = 16, h: int = 16, seed: int = 55
+) -> pa.Table:
+    """Deterministic synthetic YUV4MPEG2 (4:2:0) video table with
+    built-in near-pair structure — video 2j+1 is video 2j with a small
+    uniform luma shift (the image/audio fixture convention). Columns
+    (vid_id:int64, video:binary)."""
+    vids = []
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    for i in range(n):
+        rng = np.random.RandomState(seed + (i // 2))
+        parts = [header]
+        for _ in range(frames):
+            y = rng.randint(0, 256, size=w * h).astype(np.int16)
+            uv = rng.randint(0, 256, size=w * h // 2).astype(np.uint8)
+            if i % 2 == 1:
+                y = np.clip(y + 4, 0, 255)
+            parts.append(b"FRAME\n" + y.astype(np.uint8).tobytes() + uv.tobytes())
+        vids.append(b"".join(parts))
+    return pa.table(
+        {
+            "vid_id": pa.array(np.arange(n, dtype=np.int64)),
+            "video": pa.array(vids, type=pa.binary()),
+        }
+    )
+
+
 def embed_audio(
     batch: pa.Table,
     samples_col: str = "samples",

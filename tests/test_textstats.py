@@ -849,3 +849,65 @@ def test_audio_embed_through_ray_pipeline_and_golden():
     assert len(rows) == 48 * 3
     rn1 = {r["clip_id"]: r["neighbor_id"] for r in rows if r["rn"] == 1}
     assert all(rn1[c] == (c ^ 1) for c in rn1)
+
+
+def test_video_embed_knn_matches_bytelevel_reference():
+    """End-to-end video flagship (Y4M fixture → real frame split →
+    luma frame feature → per-video mean pool → knn_join) vs an
+    independent reference: byte-level Y4M parse (struct offsets, no
+    shared code path), per-frame feature via np.histogram + block
+    loops, neighbors via a dense cosine matrix."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    from lsearch_ray.functions.multimodal import make_y4m_fixture
+
+    got = em._video_embed_knn_result().to_pylist()
+
+    fixture = make_y4m_fixture(48)
+    grid, bins, every_n = 4, 8, 2
+    feats = []
+    for raw in fixture["video"].to_pylist():
+        nl = raw.index(b"\n")
+        toks = dict(
+            (t[:1], t[1:]) for t in raw[:nl].split(b" ")[1:] if t
+        )
+        w, h = int(toks[b"W"]), int(toks[b"H"])
+        fsize = w * h * 3 // 2
+        frames = []
+        pos = nl + 1
+        while pos < len(raw):
+            assert raw[pos : pos + 6] == b"FRAME\n"
+            frames.append(raw[pos + 6 : pos + 6 + fsize])
+            pos += 6 + fsize
+        vecs = []
+        for body in frames[::every_n]:
+            y = np.frombuffer(body[: w * h], dtype=np.uint8).reshape(h, w)
+            pool = []
+            for gi in range(grid):
+                for gj in range(grid):
+                    rs = [r for r in range(h) if (r * grid) // h == gi]
+                    cs = [c for c in range(w) if (c * grid) // w == gj]
+                    pool.append(y[np.ix_(rs, cs)].mean() / 255.0)
+            cnt, _ = np.histogram(y, bins=bins, range=(0, 256))
+            vecs.append(np.concatenate([pool, cnt / (w * h)]))
+        mean = np.mean(
+            [v.astype(np.float32).astype(np.float64) for v in vecs], axis=0
+        )
+        feats.append((mean / np.linalg.norm(mean)).astype(np.float32))
+    m = np.asarray(feats, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / (norms[:, None] * norms[None, :])
+    micro = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+    want = []
+    for i in range(48):
+        order = sorted(
+            (j for j in range(48) if j != i), key=lambda j: (-micro[i, j], j)
+        )[:3]
+        for rnk, j in enumerate(order, 1):
+            want.append((i, j, rnk, int(micro[i, j])))
+    assert [
+        (r["vid_id"], r["neighbor_id"], r["rn"], r["sim_micro"]) for r in got
+    ] == want
