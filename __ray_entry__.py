@@ -1363,6 +1363,76 @@ def _q_audio_embed_knn(sf_dir: str):
     return result
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """The composed training-data flagship as ONE streamed run
+    (pipelines/curation.curate_corpus_ds): quality gate → exact content
+    dedup → ngram-Jaccard near-dup components → keep-min-per-cluster →
+    leakage-safe cluster split → per-split sequence packing. Returns
+    (doc_id, grp, n_tokens, bin_id) sorted by doc_id."""
+    from lsearch_ray.pipelines.curation import curate_corpus_ds
+
+    return curate_corpus_ds(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def _curation_pipeline_sql() -> str:
+    """Exact composed twin of _q_curation_pipeline, stitched from the
+    per-stage twins: the quality_filter threshold gate over
+    _quality_sql's rounded signals; exact content dedup via the 63-bit
+    FNV of the FULL text (byte-exact — the sf corpora are pure ASCII so
+    per-character ord == per-byte); brute-force exact Jaccard edges over
+    the deduped set (the engine's MinHash banding has <1e-7 miss
+    probability at threshold 0.8 — the ngram_jaccard_dedup argument);
+    recursive-closure components, keep-min survivors; the cluster_split
+    hash of the component label; and the pack_by_lang window-cumsum
+    pattern partitioned by split with capacity 2048."""
+    return f"""
+WITH q AS ({_quality_sql()}),
+gated AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.n_tokens BETWEEN 10 AND 100000 AND q.alpha_ratio >= 0.5
+    AND q.digit_ratio <= 0.3 AND q.stopword_ratio >= 0.01
+),
+th AS (SELECT doc_id, text, ({_fnv63_of('text')}) AS h FROM gated),
+keepmin AS (SELECT min(doc_id) AS doc_id FROM th GROUP BY h),
+kept AS (SELECT t.doc_id, t.text FROM th t JOIN keepmin k USING (doc_id)),
+{_ngram_edges_body('kept')},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a
+  ) SELECT src, dst FROM r
+),
+lbl AS (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+surv AS (
+  SELECT k.doc_id,
+         CAST(coalesce(l.comp, k.doc_id) AS BIGINT) AS component
+  FROM kept k LEFT JOIN lbl l ON l.src = k.doc_id
+  WHERE coalesce(l.comp, k.doc_id) = k.doc_id
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val'
+              ELSE 'test' END AS grp
+  FROM (SELECT doc_id,
+          ({_mixed_hash63_of('CAST(component AS VARCHAR)')}) % 100 AS hb
+        FROM surv)
+),
+dl AS (
+  SELECT s.doc_id, s.grp, coalesce(x.n, 0) AS n
+  FROM spl s LEFT JOIN (
+    SELECT doc_id, count(*) AS n FROM ({_TOKS}) GROUP BY doc_id
+  ) x ON s.doc_id = x.doc_id
+)
+SELECT doc_id, grp, CAST(n AS BIGINT) AS n_tokens,
+CAST(coalesce(sum(n) OVER (PARTITION BY grp ORDER BY doc_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+  AS BIGINT) AS bin_id
+FROM dl ORDER BY doc_id
+"""
+
+
 def _video_embed_knn_result():
     """Video multimodal flagship: deterministic Y4M fixture → real
     pure-numpy frame split (actor pool, every 2nd frame) → real
@@ -2910,6 +2980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_embed_knn": _q_image_embed_knn,
         "audio_embed_knn": _q_audio_embed_knn,
         "video_embed_knn": _q_video_embed_knn,
+        "curation_pipeline": _q_curation_pipeline,
         "pagerank_docs": _q_pagerank,
         "triangle_count": _q_triangles,
         "retention_cohorts": _q_retention,
@@ -3483,16 +3554,18 @@ ORDER BY d.{id_col}
 """
 
 
-# brute-force all-pairs exact n-gram Jaccard edges (threshold 0.8,
-# 3-gram token shingles, per-doc unique sets). Shingle semantics mirror
-# minhash._shingle_hashes: docs with 1-2 tokens contribute one shingle
-# over the whole run; 0-token docs emit no shingles and can never pair.
-_NGRAM_EDGES_CTE = """
-WITH l AS (
+def _ngram_edges_body(table: str) -> str:
+    """Brute-force all-pairs exact n-gram Jaccard edges (threshold 0.8,
+    3-gram token shingles, per-doc unique sets) over ``table`` — CTE
+    body only, composable after other CTEs. Shingle semantics mirror
+    minhash._shingle_hashes: docs with 1-2 tokens contribute one shingle
+    over the whole run; 0-token docs emit no shingles and can never
+    pair."""
+    return f"""l AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS toks
-  FROM documents
+  FROM {table}
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -3513,6 +3586,9 @@ edges AS (
   JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
   WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
 )"""
+
+
+_NGRAM_EDGES_CTE = "\nWITH " + _ngram_edges_body("documents")
 
 
 def _ngram_jaccard_sql() -> str:
@@ -4185,6 +4261,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
