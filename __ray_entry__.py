@@ -1175,6 +1175,41 @@ def _web_flagship_result(sf_dir: str):
     )
 
 
+def _check_golden(name: str, result, cols: list[str]):
+    """Shared golden gate for the queries SQL can't express (web
+    flagship, the three multimodal *_embed_knn): compare the live rows —
+    projected to ``cols`` and normalized to the golden's JSON value
+    types — against the committed contract tests/golden/<name>.json and
+    RAISE on drift, so the driver's rows-only check is gated on
+    committed bytes. Returns ``result`` unchanged."""
+    import json
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "golden",
+        f"{name}.json",
+    )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    want = [tuple(r[c] for c in cols) for r in golden["rows"]]
+    casts = [
+        float if want and isinstance(want[0][i], float) else int
+        for i in range(len(cols))
+    ]
+    got = [
+        tuple(cast(r[c]) for c, cast in zip(cols, casts))
+        for r in result.to_pylist()
+    ]
+    if got != want:
+        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
+        raise RuntimeError(
+            f"{name} drifted from committed golden "
+            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
+        )
+    return result
+
+
 def _q_web_flagship(sf_dir: str):
     """End-to-end north-star pipeline on the deterministic synthetic web
     corpus (input_hint schema): html → byte-identical extract → url dedup
@@ -1184,39 +1219,18 @@ def _q_web_flagship(sf_dir: str):
     the query compares its live (query_id, rank, doc_id, score) rows
     against the golden and RAISES on drift — the driver's rows-only
     check is thereby gated on committed bytes."""
-    import json
-
-    result = _web_flagship_result(sf_dir)
-    golden_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests",
-        "golden",
-        "web_flagship.json",
+    return _check_golden(
+        "web_flagship",
+        _web_flagship_result(sf_dir),
+        ["query_id", "rank", "doc_id", "score"],
     )
-    with open(golden_path) as f:
-        golden = json.load(f)
-    got = [
-        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]), float(r["score"]))
-        for r in result.to_pylist()
-    ]
-    want = [
-        (r["query_id"], r["rank"], r["doc_id"], r["score"])
-        for r in golden["rows"]
-    ]
-    if got != want:
-        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
-        raise RuntimeError(
-            f"web_flagship drifted from committed golden "
-            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
-        )
-    return result
 
 
 def _image_embed_knn_result():
     """Raw multimodal flagship: deterministic PPM fixture → real pure-numpy
     decode (actor pool) → real classic-CV feature (grid mean-pool + color
     histogram, L2-normalized) → exact knn_join. Used by
-    tools/make_image_golden.py to regenerate the committed contract."""
+    tools/make_multimodal_golden.py to regenerate the committed contract."""
     import ray.data as rd
 
     from lsearch_ray.functions.ann import knn_join
@@ -1259,39 +1273,18 @@ def _q_image_embed_knn(sf_dir: str):
     tests/golden/image_embed_knn.json): the query compares its live
     (img_id, neighbor_id, rn, sim_micro) rows against the golden and
     RAISES on drift."""
-    import json
-
-    result = _image_embed_knn_result()
-    golden_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests",
-        "golden",
-        "image_embed_knn.json",
+    return _check_golden(
+        "image_embed_knn",
+        _image_embed_knn_result(),
+        ["img_id", "neighbor_id", "rn", "sim_micro"],
     )
-    with open(golden_path) as f:
-        golden = json.load(f)
-    got = [
-        (int(r["img_id"]), int(r["neighbor_id"]), int(r["rn"]), int(r["sim_micro"]))
-        for r in result.to_pylist()
-    ]
-    want = [
-        (r["img_id"], r["neighbor_id"], r["rn"], r["sim_micro"])
-        for r in golden["rows"]
-    ]
-    if got != want:
-        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
-        raise RuntimeError(
-            f"image_embed_knn drifted from committed golden "
-            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
-        )
-    return result
 
 
 def _audio_embed_knn_result():
     """Audio multimodal flagship: deterministic WAV PCM16 fixture → real
     pure-numpy RIFF/WAVE decode (actor pool) → real DSP feature (energy
     envelope + zero-crossing + amplitude histogram, L2-normalized) →
-    exact knn_join. Used by tools/make_audio_golden.py to regenerate the
+    exact knn_join. Used by tools/make_multimodal_golden.py to regenerate the
     committed contract."""
     import ray.data as rd
 
@@ -1335,32 +1328,11 @@ def _q_audio_embed_knn(sf_dir: str):
     tests/golden/audio_embed_knn.json): the query compares its live
     (clip_id, neighbor_id, rn, sim_micro) rows against the golden and
     RAISES on drift."""
-    import json
-
-    result = _audio_embed_knn_result()
-    golden_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests",
-        "golden",
-        "audio_embed_knn.json",
+    return _check_golden(
+        "audio_embed_knn",
+        _audio_embed_knn_result(),
+        ["clip_id", "neighbor_id", "rn", "sim_micro"],
     )
-    with open(golden_path) as f:
-        golden = json.load(f)
-    got = [
-        (int(r["clip_id"]), int(r["neighbor_id"]), int(r["rn"]), int(r["sim_micro"]))
-        for r in result.to_pylist()
-    ]
-    want = [
-        (r["clip_id"], r["neighbor_id"], r["rn"], r["sim_micro"])
-        for r in golden["rows"]
-    ]
-    if got != want:
-        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
-        raise RuntimeError(
-            f"audio_embed_knn drifted from committed golden "
-            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
-        )
-    return result
 
 
 def _q_curation_pipeline(sf_dir: str):
@@ -1437,7 +1409,7 @@ def _video_embed_knn_result():
     """Video multimodal flagship: deterministic Y4M fixture → real
     pure-numpy frame split (actor pool, every 2nd frame) → real
     luma-plane frame feature → per-video mean pool (one hash shuffle) →
-    exact knn_join. Used by tools/make_video_golden.py to regenerate the
+    exact knn_join. Used by tools/make_multimodal_golden.py to regenerate the
     committed contract."""
     import ray.data as rd
 
@@ -1482,32 +1454,11 @@ def _q_video_embed_knn(sf_dir: str):
     image_embed_knn / audio_embed_knn — the machine-checked contract is
     the committed golden tests/golden/video_embed_knn.json): the query
     compares its live rows against the golden and RAISES on drift."""
-    import json
-
-    result = _video_embed_knn_result()
-    golden_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests",
-        "golden",
-        "video_embed_knn.json",
+    return _check_golden(
+        "video_embed_knn",
+        _video_embed_knn_result(),
+        ["vid_id", "neighbor_id", "rn", "sim_micro"],
     )
-    with open(golden_path) as f:
-        golden = json.load(f)
-    got = [
-        (int(r["vid_id"]), int(r["neighbor_id"]), int(r["rn"]), int(r["sim_micro"]))
-        for r in result.to_pylist()
-    ]
-    want = [
-        (r["vid_id"], r["neighbor_id"], r["rn"], r["sim_micro"])
-        for r in golden["rows"]
-    ]
-    if got != want:
-        diffs = [(g, w) for g, w in zip(got, want) if g != w][:5]
-        raise RuntimeError(
-            f"video_embed_knn drifted from committed golden "
-            f"({len(got)} vs {len(want)} rows; first diffs {diffs})"
-        )
-    return result
 
 
 _NGRAM_N = 3

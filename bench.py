@@ -587,9 +587,12 @@ def run_scaling() -> dict:
     for spec in pair_spec.split(","):
         lo_s, hi_s = spec.split(":")
         pairs[f"{lo_s}->{hi_s}"] = scale_pair(int(lo_s), int(hi_s))
-    headline = pairs.get("4->16") or next(iter(pairs.values()))
+    headline_key = "4->16" if "4->16" in pairs else next(iter(pairs))
+    headline = pairs[headline_key]
     return {
-        "metric": "index-build scaling efficiency (headline: 4->16 raw)",
+        "metric": (
+            f"index-build scaling efficiency (headline: {headline_key} raw)"
+        ),
         "unit": "ratio",
         "value": headline["efficiency"],
         "pairs": pairs,

@@ -165,6 +165,7 @@ def component_labels_ds(
     *,
     max_rounds: int = 50,
     num_partitions: int | None = None,
+    sort: bool = True,
 ):
     """Total component labeling: every id in ``ids_ds`` gets the min id of
     its connected component in the ``(a, b)`` pair graph; ids touching no
@@ -175,17 +176,22 @@ def component_labels_ds(
     labels — both sides stay Datasets; partitions sized to row volume
     (Ray's hash-join aggregator rejects fully-empty partitions).
 
-    Returns ``(id_col, component: int64)`` sorted by ``id_col``."""
+    Returns ``(id_col, component: int64)`` sorted by ``id_col``.
+    Pass ``sort=False`` when the caller immediately re-shuffles the
+    result (e.g. feeds it into a hash join) — the terminal range sort is
+    a full exchange that such compositions would pay for and then
+    destroy."""
     import pyarrow.compute as pc
 
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
-        return ids_ds.map_batches(
+        out = ids_ds.map_batches(
             lambda b: pa.table(
                 {id_col: b[id_col], "component": b[id_col]}
             ),
             batch_format="pyarrow",
-        ).sort(id_col)
+        )
+        return out.sort(id_col) if sort else out
     labels = connected_components_ds(
         pairs_ds, max_rounds=max_rounds, num_partitions=num_partitions
     )
@@ -200,7 +206,7 @@ def component_labels_ds(
         on=(id_col,),
         right_on=("node",),
     )
-    return joined.map_batches(
+    out = joined.map_batches(
         lambda b: pa.table(
             {
                 id_col: b[id_col],
@@ -210,7 +216,8 @@ def component_labels_ds(
             }
         ),
         batch_format="pyarrow",
-    ).sort(id_col)
+    )
+    return out.sort(id_col) if sort else out
 
 
 def drop_ids_from_pairs_ds(

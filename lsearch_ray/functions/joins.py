@@ -113,7 +113,22 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = 16,
 ):
-    """Partitioned hash join of two Datasets (both sides shuffled)."""
+    """Partitioned hash join of two Datasets (both sides shuffled).
+
+    Materialized inputs are rebuilt from their non-empty blocks first
+    (:func:`drop_empty_blocks` — metadata-only, zero-copy): the
+    schema-less empty blocks that aggregate→map stages emit would
+    otherwise crash the join aggregator's finalize (``ArrowInvalid: No
+    match for key field``). Centralized here so iterative callers
+    (components, pagerank) don't each have to remember the guard; lazy
+    inputs pass through untouched — forcing a materialize barrier on a
+    streaming side would be the wrong trade."""
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(left_ds, MaterializedDataset):
+        left_ds = drop_empty_blocks(left_ds)
+    if isinstance(right_ds, MaterializedDataset):
+        right_ds = drop_empty_blocks(right_ds)
     keys = (on,) if isinstance(on, str) else tuple(on)
     rkeys = (
         None

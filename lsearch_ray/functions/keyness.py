@@ -153,9 +153,14 @@ def keyness_terms_ds(
         # treatment as the assoc rebuild below; vocab-sized, so cheap
         t1m = np.where(a > 0, t1, 0)
         t2m = np.where(b > 0, t2, 0)
+        # the FINAL value can also exceed int64 when the two products
+        # don't cancel (a ~2e11 × t1 ~4e7 µnats ≈ 8e18 > 2^63−1):
+        # saturate at the int64 bounds rather than raise — clamped terms
+        # tie at the extreme and keep their top-of-ranking position
+        lo, hi = -(1 << 63), (1 << 63) - 1
         g2 = pa.array(
             [
-                2 * (int(ai) * int(t1i) + int(bi) * int(t2i))
+                min(hi, max(lo, 2 * (int(ai) * int(t1i) + int(bi) * int(t2i))))
                 for ai, t1i, bi, t2i in zip(a, t1m, b, t2m)
             ],
             pa.int64(),

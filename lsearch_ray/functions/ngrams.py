@@ -326,6 +326,8 @@ def pmi_scored_pairs_ds(
     joins on the term key (``joins.hash_join``) — both sides stay
     Datasets, nothing vocabulary-sized touches the driver. The two paths
     are value-identical (parity-tested with a forced tiny cap)."""
+    import ray.data
+
     from lsearch_ray.functions.joins import (
         broadcast_join,
         hash_join,
@@ -339,9 +341,21 @@ def pmi_scored_pairs_ds(
         if uni_ds is None:
             uni_ds = unigram_counts_ds(ds, text_col).materialize()
         vocab_n = uni_ds.count()
-        t_total = int(uni_ds.sum("sum(n)"))
+        # Dataset.sum returns None on an empty dataset — guard before int().
+        t_total = int(uni_ds.sum("sum(n)") or 0)
         if vocab_n <= max_broadcast_rows:
             uni_rows = uni_ds.take_all()
+
+    _EMPTY_PMI = pa.table(
+        {
+            "w1": pa.array([], pa.large_string()),
+            "w2": pa.array([], pa.large_string()),
+            "n": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64()),
+        }
+    )
+    if t_total == 0:
+        return ray.data.from_arrow(_EMPTY_PMI)
 
     big_ds = (
         ds.map_batches(
@@ -351,7 +365,10 @@ def pmi_scored_pairs_ds(
         .sum("n")
         .materialize()
     )
-    b_total = int(big_ds.sum("sum(n)"))
+    b_total = int(big_ds.sum("sum(n)") or 0)
+    if b_total == 0:
+        # Every surviving doc was a single token — no adjacent pairs.
+        return ray.data.from_arrow(_EMPTY_PMI)
 
     import math
 
@@ -757,6 +774,7 @@ def term_clusters_ds(
         labels = component_labels_ds(
             nodes, edges, "tid", max_rounds=max_rounds,
             num_partitions=num_partitions,
+            sort=False,  # terminal .sort("term") below orders the output
         )
 
         def back(t: pa.Table) -> pa.Table:
@@ -816,6 +834,7 @@ def term_clusters_ds(
         "tid",
         max_rounds=max_rounds,
         num_partitions=num_partitions,
+        sort=False,  # the hash join below re-shuffles by tid hash
     )
     nparts = safe_partitions(64, vocab_n)
     lab_terms = hash_join(

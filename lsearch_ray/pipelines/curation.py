@@ -20,8 +20,11 @@ Per-stage scale shapes (each documented at its definition):
   (packing.pack_bins_by_group_ds)
 
 The composition is where accidental materializations between families
-would hide; bench.py's ``e2e_curation`` entry times this function over
-the 2M-doc synthetic corpus at 8 and 32 cpus.
+would hide; bench.py's ``e2e_curation`` entry times it (median-of-3)
+over a slice of the synthetic bench corpus (LSR_E2E_DOCS docs, default
+100k) at the session's cpu count. The 8-vs-32-cpu measurement on the
+full 2M-doc corpus was a separate manual protocol run recorded in
+BASELINE.md ("Round 5: end-to-end curation pipeline at 8 vs 32 cpus").
 """
 
 from __future__ import annotations
@@ -65,6 +68,9 @@ def curate_corpus_ds(
     labels = component_labels_ds(
         exact.select_columns([id_col]), pairs, id_col,
         num_partitions=num_partitions,
+        # the hash join below re-shuffles by id hash — skip the label
+        # table's terminal range sort (a wasted full exchange at 2M rows)
+        sort=False,
     )
     labeled = hash_join(
         exact,

@@ -714,7 +714,9 @@ def unigram_nll(
         joined = broadcast_join(trip, costs, on="term")
     else:
         tot_ds = tot_ds.materialize()
-        total = int(tot_ds.sum("sum(tf)"))
+        # Dataset.sum returns None on an empty dataset — guard before int()
+        # (an empty corpus yields no term rows, so cost_table never runs).
+        total = int(tot_ds.sum("sum(tf)") or 0)
         costs_ds = tot_ds.map_batches(
             lambda b: cost_table(
                 b["term"].combine_chunks(),

@@ -486,3 +486,36 @@ def test_vocab_hash_join_fallback_parity():
         .to_dict()
     )
     assert tc_b == tc_h
+
+
+def test_pmi_empty_and_pairless_corpus():
+    """Regression: an empty corpus (or one with zero adjacent pairs —
+    every doc a single token) must return an EMPTY (w1, w2, n,
+    pmi_micro) result, not crash on int(None) from Dataset.sum or
+    math.log(0)."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import pmi_scored_pairs_ds
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    out = pmi_scored_pairs_ds(empty)
+    assert out.schema().names == ["w1", "w2", "n", "pmi_micro"]
+    assert out.count() == 0
+
+    single = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha", "beta"]),
+            }
+        )
+    )
+    out = pmi_scored_pairs_ds(single).to_pandas()
+    assert len(out) == 0

@@ -59,7 +59,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         # 99111.0 — the r04 cdc/props failures). Flag cross-kind only.
         ka = getattr(a, "kind", None)
         kb = getattr(b, "kind", None)
-        if ka == kb and ka in ("i", "u", "f", "M", "m"):
+        # signed/unsigned ints are ONE kind for the driver (both widen
+        # to uint64 before hashing) — 'i' vs 'u' must not flag
+        if ka in ("i", "u"):
+            ka = "i"
+        if kb in ("i", "u"):
+            kb = "i"
+        if ka == kb and ka in ("i", "f", "M", "m"):
             continue
         problems.append(f"dtype col {c}: ray={a} sql={b}")
     if len(ray_df) != len(sql_df):
