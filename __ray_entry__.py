@@ -1646,6 +1646,20 @@ def _q_doc_entropy(sf_dir: str):
     return doc_entropy_ds(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
+def _q_quality_pctl_gate(sf_dir: str):
+    """Dynamic percentile quality gate: keep the top half of the corpus
+    by the integer entropy signal, with the cutoff LEARNED as the exact
+    median of ent_microdl (rank floor(0.5·(n−1)) ascending, every doc AT
+    the threshold kept) — the Gopher-style corpus-relative gate
+    (functions.textstats.quality_percentile_gate_ds: one scoring pass,
+    streamed histogram-refinement quantile, one filter pass)."""
+    from lsearch_ray.functions import quality_percentile_gate_ds
+
+    return quality_percentile_gate_ds(
+        _docs(sf_dir, ["doc_id", "text"]), frac=0.5
+    )
+
+
 _EXTRACT_PAT = "s[a-z]+"
 
 
@@ -2926,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_counts": _q_skipgram_counts,
         "cust_order_dist": _q_cust_order_dist,
         "doc_entropy": _q_doc_entropy,
+        "quality_pctl_gate": _q_quality_pctl_gate,
         "name_matches": _q_name_matches,
         "overlap_chunks": _q_overlap_chunks,
         "image_embed_knn": _q_image_embed_knn,
@@ -4613,6 +4628,32 @@ ORDER BY doc_id
             "FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id "
             "LEFT JOIN contrib ON d.doc_id = contrib.doc_id "
             "ORDER BY d.doc_id"
+        ),
+        "quality_pctl_gate": (
+            # threshold = the exact order statistic at 0-based rank
+            # floor((1-frac)*(n-1)) of ent_microdl ascending (the
+            # engine's exact_quantiles rank formula, frac=0.5); keep
+            # every doc AT or above it — ties all survive, so no
+            # tie-break rule is needed on either engine
+            f"WITH toks AS ({_TOKS}), "
+            "tf AS (SELECT doc_id, term, count(*) AS c FROM toks "
+            "  GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "contrib AS (SELECT doc_id, "
+            "  sum(c * CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT)) "
+            "  AS s FROM tf GROUP BY 1), "
+            "ent AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl, "
+            "CAST(coalesce(dl.dl * CAST(floor(ln(dl.dl) * 1000000.0 "
+            "  + 0.5) AS BIGINT) - contrib.s, 0) AS BIGINT) AS ent_microdl "
+            "FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id "
+            "LEFT JOIN contrib ON d.doc_id = contrib.doc_id), "
+            "r AS (SELECT ent_microdl AS v, "
+            "  row_number() OVER (ORDER BY ent_microdl) AS rn, "
+            "  count(*) OVER () AS n FROM ent), "
+            "thr AS (SELECT v FROM r "
+            "  WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)) "
+            "SELECT e.doc_id, e.dl, e.ent_microdl FROM ent e, thr "
+            "WHERE e.ent_microdl >= thr.v ORDER BY e.doc_id"
         ),
         "name_matches": (
             # the deletion-banded + alignment-verified pairs must equal

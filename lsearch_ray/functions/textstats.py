@@ -353,6 +353,51 @@ def doc_entropy_ds(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def quality_percentile_gate_ds(
+    ds,
+    *,
+    frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dynamic-threshold quality gate: keep the docs whose
+    token-distribution entropy signal (:func:`doc_entropy`'s integer
+    ``ent_microdl`` — low for boilerplate / repetitive / short docs) is
+    at or above the corpus's (1−frac) quantile — "keep the top ``frac``
+    share of the corpus by signal", with the cutoff LEARNED from the
+    corpus rather than hand-tuned (the Gopher-style percentile gate the
+    fixed-threshold :func:`quality_filter_ds` can't express).
+
+    Threshold = the exact order statistic at rank floor((1−frac)·(n−1))
+    of ent_microdl ascending (functions.quantiles.exact_quantiles —
+    streamed histogram-refinement passes, nothing corpus-sized on the
+    driver); every doc AT the threshold is kept, so the survivor set is
+    deterministic under any partitioning (no tie-breaking needed).
+    Returns (id_col, dl, ent_microdl) for survivors, sorted by id_col.
+
+    Scale shape: one map-side scoring pass (materialized — consumed by
+    both the quantile passes and the final filter), O(log range)
+    streamed histogram passes for the threshold, one filter pass.
+    ent_microdl stays exact in the quantile's float64 bucketing below
+    2^53 (breaking that needs ≳10^9 tokens in a SINGLE doc)."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    from lsearch_ray.functions.quantiles import exact_quantiles
+
+    scored = doc_entropy_ds(
+        ds, text_col=text_col, id_col=id_col
+    ).materialize()
+    qt = exact_quantiles(scored, "ent_microdl", [1.0 - frac])
+    thr_f = qt["value"][0].as_py()
+    if thr_f != thr_f:  # NaN — empty corpus: typed empty passes through
+        return scored
+    thr = pa.scalar(int(thr_f), pa.int64())
+    return scored.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["ent_microdl"], thr)),
+        batch_format="pyarrow",
+    ).sort(id_col)
+
+
 def json_int_field(
     col: pa.ChunkedArray | pa.Array, field: str
 ) -> pa.Array:

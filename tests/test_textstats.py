@@ -911,3 +911,47 @@ def test_video_embed_knn_matches_bytelevel_reference():
     assert [
         (r["vid_id"], r["neighbor_id"], r["rn"], r["sim_micro"]) for r in got
     ] == want
+
+
+def test_quality_percentile_gate_matches_rank_rule():
+    """The dynamic gate must keep exactly the docs whose ent_microdl is
+    >= the value at 0-based rank floor((1-frac)*(n-1)) ascending —
+    including every tied doc at the threshold — and frac=1.0 must keep
+    the whole corpus."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.textstats import (
+        doc_entropy,
+        quality_percentile_gate_ds,
+    )
+
+    texts = [
+        "a a a a",                # zero entropy (single repeated token)
+        "b b b b",                # zero entropy tie
+        "a b c d e f",            # max diversity
+        "a a b b c c d d",
+        "x y x y x y",
+        "one two three four five six seven eight",
+        "z z z y",
+        "",                       # token-less -> ent 0 tie
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(3)
+
+    ref = doc_entropy(tab).to_pandas().sort_values("doc_id")
+    for frac in (0.5, 0.25, 1.0):
+        got = quality_percentile_gate_ds(ds, frac=frac).to_pandas()
+        vals = np.sort(ref["ent_microdl"].to_numpy())
+        thr = vals[int(np.floor((1.0 - frac) * (len(vals) - 1)))]
+        want = ref[ref["ent_microdl"] >= thr]
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), frac
+        assert got["ent_microdl"].tolist() == want["ent_microdl"].tolist()
+    assert quality_percentile_gate_ds(ds, frac=1.0).count() == len(texts)
+
+    with pytest.raises(ValueError):
+        quality_percentile_gate_ds(ds, frac=0.0)
