@@ -1660,6 +1660,19 @@ def _q_quality_pctl_gate(sf_dir: str):
     )
 
 
+def _q_lang_pctl_gate(sf_dir: str):
+    """Per-language dynamic quality gate: each language keeps its own
+    top half by the integer entropy signal, the cutoff learned PER GROUP
+    (functions.textstats.grouped_quality_percentile_gate_ds — one
+    group-keyed quantile shuffle, |groups|-row threshold table joined
+    back by broadcast / hash join past the budget)."""
+    from lsearch_ray.functions import grouped_quality_percentile_gate_ds
+
+    return grouped_quality_percentile_gate_ds(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), "lang", frac=0.5
+    )
+
+
 _EXTRACT_PAT = "s[a-z]+"
 
 
@@ -2941,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_dist": _q_cust_order_dist,
         "doc_entropy": _q_doc_entropy,
         "quality_pctl_gate": _q_quality_pctl_gate,
+        "lang_pctl_gate": _q_lang_pctl_gate,
         "name_matches": _q_name_matches,
         "overlap_chunks": _q_overlap_chunks,
         "image_embed_knn": _q_image_embed_knn,
@@ -4653,6 +4667,33 @@ ORDER BY doc_id
             "thr AS (SELECT v FROM r "
             "  WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)) "
             "SELECT e.doc_id, e.dl, e.ent_microdl FROM ent e, thr "
+            "WHERE e.ent_microdl >= thr.v ORDER BY e.doc_id"
+        ),
+        "lang_pctl_gate": (
+            # per-group replay of quality_pctl_gate: the window rank and
+            # count run PARTITION BY lang, so each language learns its
+            # own cutoff at rank floor(0.5*(n_g-1)); threshold ties all
+            # survive on both engines
+            f"WITH toks AS ({_TOKS}), "
+            "tf AS (SELECT doc_id, term, count(*) AS c FROM toks "
+            "  GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "contrib AS (SELECT doc_id, "
+            "  sum(c * CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT)) "
+            "  AS s FROM tf GROUP BY 1), "
+            "ent AS (SELECT d.doc_id, d.lang, coalesce(dl.dl, 0) AS dl, "
+            "CAST(coalesce(dl.dl * CAST(floor(ln(dl.dl) * 1000000.0 "
+            "  + 0.5) AS BIGINT) - contrib.s, 0) AS BIGINT) AS ent_microdl "
+            "FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id "
+            "LEFT JOIN contrib ON d.doc_id = contrib.doc_id), "
+            "r AS (SELECT lang, ent_microdl AS v, "
+            "  row_number() OVER (PARTITION BY lang ORDER BY ent_microdl) "
+            "    AS rn, "
+            "  count(*) OVER (PARTITION BY lang) AS n FROM ent), "
+            "thr AS (SELECT lang, v FROM r "
+            "  WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)) "
+            "SELECT e.doc_id, e.lang, e.dl, e.ent_microdl "
+            "FROM ent e JOIN thr USING (lang) "
             "WHERE e.ent_microdl >= thr.v ORDER BY e.doc_id"
         ),
         "name_matches": (

@@ -101,6 +101,7 @@ from lsearch_ray.functions.textstats import (  # noqa: F401
     doc_entropy_ds,
     extract_matches_ds,
     fingerprint,
+    grouped_quality_percentile_gate_ds,
     quality_percentile_gate_ds,
     quality_stats,
     redact_ds,

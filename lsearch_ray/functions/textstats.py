@@ -398,6 +398,95 @@ def quality_percentile_gate_ds(
     ).sort(id_col)
 
 
+def grouped_quality_percentile_gate_ds(
+    ds,
+    group_col: str,
+    *,
+    frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_rows: int = 2_000_000,
+    num_partitions: int = 64,
+):
+    """Per-slice dynamic quality gate: within EACH group (language,
+    source, domain …) keep the docs whose entropy signal is at or above
+    that group's own (1−frac) quantile — per-slice quality floors differ
+    (a thin language must not be gated by the dominant one's
+    distribution), so the cutoff is learned per group. Same rank rule as
+    :func:`quality_percentile_gate_ds` (value at floor((1−frac)·(n_g−1))
+    ascending; threshold ties all survive).
+
+    Returns (id_col, group_col, dl, ent_microdl) survivors sorted by
+    id_col.
+
+    Scale shape: one map-side scoring pass (group column carried
+    through); per-group thresholds via grouped_quantiles_ds (ONE
+    group-keyed shuffle of (group, value) — assumes a single group's
+    rows fit one reduce task); the |groups|-row threshold table joins
+    back by broadcast up to ``max_broadcast_rows`` groups (per-language
+    shapes) and by partitioned hash join past it (per-domain shapes),
+    the house totalization pattern."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    from lsearch_ray.functions.joins import (
+        broadcast_join,
+        hash_join,
+        safe_partitions,
+    )
+    from lsearch_ray.functions.quantiles import grouped_quantiles_ds
+
+    def score(b: pa.Table) -> pa.Table:
+        return doc_entropy(b, text_col, id_col).append_column(
+            group_col, b[group_col]
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    thr_ds = grouped_quantiles_ds(
+        scored, group_col, "ent_microdl", [1.0 - frac],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def to_thr(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "__thr": pc.cast(
+                    t["value"], pa.int64()
+                ),  # exact: int64 values below 2^53 round-trip float64
+            }
+        )
+
+    n_groups = thr_ds.count()
+    if n_groups == 0:
+        return scored  # empty corpus: typed empty passes through
+    if n_groups <= max_broadcast_rows:
+        import ray
+
+        lut = pa.concat_tables(
+            ray.get(
+                thr_ds.map_batches(
+                    to_thr, batch_format="pyarrow"
+                ).to_arrow_refs()
+            ),
+            promote_options="permissive",
+        )
+        joined = broadcast_join(scored, lut, on=group_col)
+    else:
+        joined = hash_join(
+            scored,
+            thr_ds.map_batches(to_thr, batch_format="pyarrow"),
+            on=group_col,
+            num_partitions=safe_partitions(num_partitions, n_groups),
+        )
+    out = joined.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["ent_microdl"], b["__thr"])
+        ).drop_columns(["__thr"]),
+        batch_format="pyarrow",
+    )
+    return out.sort(id_col)
+
+
 def json_int_field(
     col: pa.ChunkedArray | pa.Array, field: str
 ) -> pa.Array:

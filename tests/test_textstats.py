@@ -955,3 +955,47 @@ def test_quality_percentile_gate_matches_rank_rule():
 
     with pytest.raises(ValueError):
         quality_percentile_gate_ds(ds, frac=0.0)
+
+
+def test_grouped_quality_percentile_gate_per_group_rule():
+    """Each group must apply ITS OWN rank-floor threshold (ties at the
+    group threshold survive), and the broadcast and hash-join threshold
+    routes must be value-identical (forced tiny cap)."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.textstats import (
+        doc_entropy,
+        grouped_quality_percentile_gate_ds,
+    )
+
+    texts = [
+        "a a a a", "b c d e f g", "a b a b", "q r s t u v w x",
+        "z z z z z", "m n m n o", "h i j k l", "p p q q r r",
+    ]
+    langs = ["en", "en", "en", "en", "de", "de", "de", "de"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(3)
+
+    ref = doc_entropy(tab).to_pandas()
+    ref["lang"] = langs
+    keep = []
+    for g, grp in ref.groupby("lang"):
+        vals = np.sort(grp["ent_microdl"].to_numpy())
+        thr = vals[int(np.floor(0.5 * (len(vals) - 1)))]
+        keep.extend(grp[grp["ent_microdl"] >= thr]["doc_id"].tolist())
+    want = sorted(keep)
+
+    got_b = grouped_quality_percentile_gate_ds(ds, "lang", frac=0.5).to_pandas()
+    assert got_b["doc_id"].tolist() == want
+    assert list(got_b.columns) == ["doc_id", "dl", "ent_microdl", "lang"]
+
+    got_h = grouped_quality_percentile_gate_ds(
+        ds, "lang", frac=0.5, max_broadcast_rows=0
+    ).to_pandas()
+    assert got_b[sorted(got_b.columns)].equals(got_h[sorted(got_h.columns)])
