@@ -1673,6 +1673,25 @@ def _q_lang_pctl_gate(sf_dir: str):
     )
 
 
+_OOV_K = 10
+
+
+def _q_oov_rate(sf_dir: str):
+    """Out-of-vocabulary token mass per language with the vocabulary
+    fixed to the corpus top-10 terms by frequency (ties term-asc) — the
+    tokenizer-budget / slice-coverage diagnostic
+    (functions.ngrams.oov_rate_by_slice_ds: combiner unigram counts,
+    block-pruned top-k, bounded vocab broadcast, one membership pass
+    into a |slices|-row groupby)."""
+    from lsearch_ray.functions.ngrams import oov_rate_by_slice_ds
+
+    return oov_rate_by_slice_ds(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        k=_OOV_K,
+        slice_col="lang",
+    )
+
+
 _EXTRACT_PAT = "s[a-z]+"
 
 
@@ -2955,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _q_doc_entropy,
         "quality_pctl_gate": _q_quality_pctl_gate,
         "lang_pctl_gate": _q_lang_pctl_gate,
+        "oov_rate": _q_oov_rate,
         "name_matches": _q_name_matches,
         "overlap_chunks": _q_overlap_chunks,
         "image_embed_knn": _q_image_embed_knn,
@@ -4695,6 +4715,32 @@ ORDER BY doc_id
             "SELECT e.doc_id, e.lang, e.dl, e.ent_microdl "
             "FROM ent e JOIN thr USING (lang) "
             "WHERE e.ent_microdl >= thr.v ORDER BY e.doc_id"
+        ),
+        "oov_rate": (
+            # vocabulary = top-K terms by (count desc, term asc); OOV
+            # share per lang in floor fixed-point over BIGINTs — exact.
+            # Langs whose docs tokenize to nothing still appear (LEFT
+            # JOIN from the lang universe, zero-filled), mirroring the
+            # engine's zero-row emission for token-less slices
+            "WITH toks AS (SELECT d.lang, lower(u.t) AS term "
+            "  FROM documents d, "
+            "  UNNEST(string_split_regex(lower(d.text), '[^a-z0-9]+')) "
+            "    AS u(t) WHERE u.t <> ''), "
+            "counts AS (SELECT term, count(*) AS n FROM toks GROUP BY 1), "
+            "top AS (SELECT term FROM (SELECT term, "
+            "  row_number() OVER (ORDER BY n DESC, term) AS rn FROM counts) "
+            f"  WHERE rn <= {_OOV_K}), "
+            "per AS (SELECT t.lang, count(*) AS total_tokens, "
+            "  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS oov "
+            "  FROM toks t LEFT JOIN top v ON t.term = v.term GROUP BY 1) "
+            "SELECT l.lang, CAST(coalesce(p.total_tokens, 0) AS BIGINT) "
+            "  AS total_tokens, "
+            "CAST(coalesce(p.oov, 0) AS BIGINT) AS oov_tokens, "
+            "CAST(CASE WHEN coalesce(p.total_tokens, 0) > 0 "
+            "  THEN p.oov * 1000000 // p.total_tokens ELSE 0 END AS BIGINT) "
+            "  AS oov_micro "
+            "FROM (SELECT DISTINCT lang FROM documents) l "
+            "LEFT JOIN per p ON l.lang = p.lang ORDER BY l.lang"
         ),
         "name_matches": (
             # the deletion-banded + alignment-verified pairs must equal

@@ -67,6 +67,7 @@ from lsearch_ray.functions.ngrams import (  # noqa: F401
     doc_repetition_stats,
     ngram_counts_ds,
     ngram_novelty_ds,
+    oov_rate_by_slice_ds,
     pmi_bigrams_ds,
     skipgram_counts_ds,
     term_clusters_ds,

@@ -1152,3 +1152,130 @@ def ngram_novelty_ds(
         )
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def oov_rate_by_slice_ds(
+    ds,
+    *,
+    k: int = 100,
+    slice_col: str = "lang",
+    text_col: str = "text",
+):
+    """Out-of-vocabulary token mass per slice: with the vocabulary fixed
+    to the corpus's top-``k`` terms by frequency (ties broken by term
+    ascending — deterministic), what integer-exact share of each slice's
+    tokens falls OUTSIDE it? The tokenizer-budget / slice-coverage
+    diagnostic: a vocabulary sized on the dominant slice starves thin
+    ones, and this surfaces exactly which.
+
+    Returns (slice_col, total_tokens, oov_tokens, oov_micro) sorted by
+    slice, where ``oov_micro = oov_tokens * 1e6 // total_tokens`` (floor
+    fixed-point over non-negative integers — exact in any engine; 0 for
+    a token-less slice).
+
+    Scale shape: the shared combiner unigram count (one groupby-sum over
+    distinct terms), per-block top-k pruning before a k-row global sort,
+    the k-term vocabulary broadcast (bounded by k, never by the corpus),
+    then ONE map-side membership pass emitting per-(batch, slice)
+    partial sums into a |slices|-row groupby — nothing vocabulary- or
+    corpus-sized touches the driver."""
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    top = (
+        unigram_counts_ds(ds, text_col)
+        .map_batches(
+            lambda t: _block_topk(
+                t, k, [("sum(n)", "descending"), ("term", "ascending")]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["sum(n)", "term"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    vocab = pa.array(
+        sorted(r["term"] for r in top), type=pa.large_string()
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, flat = flat_tokens_arrow(b[text_col])
+        sl = b[slice_col]
+        if isinstance(sl, pa.ChunkedArray):
+            sl = sl.combine_chunks()
+        if len(flat) == 0:
+            # emit a zero row per distinct slice in the batch so
+            # token-less slices still appear in the output
+            uniq = pc.unique(sl)
+            z = np.zeros(len(uniq), dtype=np.int64)
+            return pa.table(
+                {slice_col: uniq, "tot": pa.array(z), "oov": pa.array(z)}
+            )
+        oov = pc.invert(pc.is_in(flat, value_set=vocab))
+        t = pa.table(
+            {
+                slice_col: sl.take(pa.array(parents)),
+                "o": oov.cast(pa.int64()),
+            }
+        )
+        agg = t.group_by([slice_col]).aggregate(
+            [("o", "sum"), ("o", "count")]
+        )
+        zero = (
+            pa.table({slice_col: sl, "o": pa.nulls(len(sl), pa.int64())})
+            .group_by([slice_col])
+            .aggregate([("o", "count")])  # counts valid only -> 0
+        )
+        missing = zero.filter(
+            pc.invert(pc.is_in(zero[slice_col], value_set=agg[slice_col]))
+        )
+        out = pa.table(
+            {
+                slice_col: agg[slice_col],
+                "tot": agg["o_count"].cast(pa.int64()),
+                "oov": agg["o_sum"].cast(pa.int64()),
+            }
+        )
+        if missing.num_rows:
+            z = np.zeros(missing.num_rows, dtype=np.int64)
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            slice_col: missing[slice_col],
+                            "tot": pa.array(z),
+                            "oov": pa.array(z),
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(slice_col)
+        .aggregate(
+            Sum("tot", alias_name="total_tokens"),
+            Sum("oov", alias_name="oov_tokens"),
+        )
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        tot = t["total_tokens"].to_numpy(zero_copy_only=False).astype(object)
+        ov = t["oov_tokens"].to_numpy(zero_copy_only=False).astype(object)
+        micro = [
+            int(o) * 10**6 // int(n) if int(n) > 0 else 0
+            for o, n in zip(ov, tot)
+        ]
+        return pa.table(
+            {
+                slice_col: t[slice_col],
+                "total_tokens": t["total_tokens"].cast(pa.int64()),
+                "oov_tokens": t["oov_tokens"].cast(pa.int64()),
+                "oov_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort(slice_col)

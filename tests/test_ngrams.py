@@ -519,3 +519,49 @@ def test_pmi_empty_and_pairless_corpus():
     )
     out = pmi_scored_pairs_ds(single).to_pandas()
     assert len(out) == 0
+
+
+def test_oov_rate_by_slice_matches_reference():
+    """OOV mass per slice vs a pure-Python replay: top-k ties broken by
+    term ascending, token-less slices present with zeros, floor
+    fixed-point exact."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import oov_rate_by_slice_ds
+
+    texts = [
+        "cat dog cat bird", "dog dog fish", "cat newt", "",
+        "zebra yak xerus walrus", "cat dog",
+    ]
+    langs = ["en", "en", "de", "fr", "de", "en"]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    got = (
+        oov_rate_by_slice_ds(
+            rd.from_arrow(tab).repartition(3), k=3, slice_col="lang"
+        )
+        .to_pandas()
+        .set_index("lang")
+    )
+
+    toks = [(lang, w) for lang, t in zip(langs, texts) for w in t.split()]
+    counts = Counter(w for _, w in toks)
+    vocab = set(
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    )
+    for lang in ["en", "de", "fr"]:
+        mine = [w for lg, w in toks if lg == lang]
+        oov = sum(1 for w in mine if w not in vocab)
+        row = got.loc[lang]
+        assert int(row["total_tokens"]) == len(mine), lang
+        assert int(row["oov_tokens"]) == oov, lang
+        want_micro = oov * 10**6 // len(mine) if mine else 0
+        assert int(row["oov_micro"]) == want_micro, lang
+    assert got.index.tolist() == ["de", "en", "fr"]
