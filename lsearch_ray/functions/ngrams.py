@@ -1222,14 +1222,6 @@ def oov_rate_by_slice_ds(
         agg = t.group_by([slice_col]).aggregate(
             [("o", "sum"), ("o", "count")]
         )
-        zero = (
-            pa.table({slice_col: sl, "o": pa.nulls(len(sl), pa.int64())})
-            .group_by([slice_col])
-            .aggregate([("o", "count")])  # counts valid only -> 0
-        )
-        missing = zero.filter(
-            pc.invert(pc.is_in(zero[slice_col], value_set=agg[slice_col]))
-        )
         out = pa.table(
             {
                 slice_col: agg[slice_col],
@@ -1237,14 +1229,20 @@ def oov_rate_by_slice_ds(
                 "oov": agg["o_sum"].cast(pa.int64()),
             }
         )
-        if missing.num_rows:
-            z = np.zeros(missing.num_rows, dtype=np.int64)
+        # zero rows for the batch's slices whose docs all tokenized to
+        # nothing, so they still appear in the final output
+        uniq = pc.unique(sl)
+        missing = uniq.filter(
+            pc.invert(pc.is_in(uniq, value_set=agg[slice_col]))
+        )
+        if len(missing):
+            z = np.zeros(len(missing), dtype=np.int64)
             out = pa.concat_tables(
                 [
                     out,
                     pa.table(
                         {
-                            slice_col: missing[slice_col],
+                            slice_col: missing,
                             "tot": pa.array(z),
                             "oov": pa.array(z),
                         }

@@ -416,7 +416,7 @@ def grouped_quality_percentile_gate_ds(
     :func:`quality_percentile_gate_ds` (value at floor((1−frac)·(n_g−1))
     ascending; threshold ties all survive).
 
-    Returns (id_col, group_col, dl, ent_microdl) survivors sorted by
+    Returns (id_col, dl, ent_microdl, group_col) survivors sorted by
     id_col.
 
     Scale shape: one map-side scoring pass (group column carried
