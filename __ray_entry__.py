@@ -1970,6 +1970,30 @@ def _q_chunk_dedup(sf_dir: str):
     ).sort(["doc_id", "chunk_idx"])
 
 
+_DUPSPAN_N = 5
+
+
+def _q_dup_shingle_stats(sf_dir: str):
+    """Per-doc duplicated-shingle mass (Lee et al. 2022 curation signal):
+    what share of a doc's distinct 5-shingles appears in another doc."""
+    from lsearch_ray.functions import dup_shingle_stats_ds
+
+    return dup_shingle_stats_ds(
+        _docs(sf_dir, ["doc_id", "text"]), n=_DUPSPAN_N
+    )
+
+
+def _q_dup_span_removal(sf_dir: str):
+    """Exact duplicated-span removal: every token covered by a
+    cross-doc-duplicated 5-shingle occurrence is dropped and the doc is
+    rebuilt from the surviving normalized tokens."""
+    from lsearch_ray.functions import dup_span_removal_ds
+
+    return dup_span_removal_ds(
+        _docs(sf_dir, ["doc_id", "text"]), n=_DUPSPAN_N
+    )
+
+
 _QUOTA_CAPS = {"en": 100, "de": 40, "fr": 40}
 
 
@@ -2937,6 +2961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "dup_shingle_stats": _q_dup_shingle_stats,
+        "dup_span_removal": _q_dup_span_removal,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_ann": _q_lsh_ann,
         "bm25_phrase_topk": _q_bm25_phrase,
@@ -3589,6 +3615,87 @@ edges AS (
 
 
 _NGRAM_EDGES_CTE = "\nWITH " + _ngram_edges_body("documents")
+
+
+_SH5_SQL = (
+    "toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2] || chr(1) "
+    "|| toks[i+3] || chr(1) || toks[i+4]"
+)
+_DUPSPAN_TOKS_SQL = """
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)"""
+
+
+def _dup_shingle_stats_sql() -> str:
+    """Brute-force twin of dup_shingle_stats_ds: distinct per-doc
+    5-shingles, a shingle is shared iff it appears in >= 2 docs;
+    dup_micro is floor fixed-point (exact in DOUBLE: dup*1e6 < 2^53)."""
+    return f"""{_DUPSPAN_TOKS_SQL},
+sh AS (
+  SELECT DISTINCT doc_id, {_SH5_SQL} AS s
+  FROM l, UNNEST(range(1, greatest(len(toks) - 4, 0) + 1)) AS u(i)
+  WHERE len(toks) >= 5
+),
+cnt AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+per AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_shingles
+  FROM sh JOIN cnt USING (s) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(per.dup_shingles, 0) AS BIGINT) AS dup_shingles,
+       CAST(CASE WHEN coalesce(per.n_shingles, 0) > 0
+            THEN floor(per.dup_shingles * 1000000.0 / per.n_shingles)
+            ELSE 0 END AS BIGINT) AS dup_micro
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _dup_span_removal_sql() -> str:
+    """Brute-force twin of dup_span_removal_ds: token positions covered
+    by any occurrence of a shared 5-shingle are dropped; the doc is the
+    surviving tokens space-joined in position order."""
+    return f"""{_DUPSPAN_TOKS_SQL},
+g AS (
+  SELECT doc_id, i, {_SH5_SQL} AS s
+  FROM l, UNNEST(range(1, greatest(len(toks) - 4, 0) + 1)) AS u(i)
+  WHERE len(toks) >= 5
+),
+dup AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM g)
+  GROUP BY s HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, u2.p
+  FROM g JOIN dup USING (s), UNNEST(range(g.i, g.i + 5)) AS u2(p)
+),
+tok AS (
+  SELECT doc_id, toks[i] AS t, i
+  FROM l, UNNEST(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, string_agg(tok.t, ' ' ORDER BY tok.i) AS text,
+         count(*) AS kept_n
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.p
+  WHERE cov.p IS NULL
+  GROUP BY tok.doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(kept.text, '') AS text,
+       CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tot.n_tokens, 0) - coalesce(kept.kept_n, 0)
+            AS BIGINT) AS removed_tokens
+FROM documents d LEFT JOIN kept USING (doc_id) LEFT JOIN tot USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 def _ngram_jaccard_sql() -> str:
@@ -4259,6 +4366,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_ann": _lsh_ann_sql(),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
+        "dup_shingle_stats": _dup_shingle_stats_sql(),
+        "dup_span_removal": _dup_span_removal_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
         "curation_pipeline": _curation_pipeline_sql(),

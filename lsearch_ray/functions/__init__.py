@@ -87,6 +87,10 @@ from lsearch_ray.functions.chunks import (  # noqa: F401
     doc_chunks_overlap,
     overlap_chunks_ds,
 )
+from lsearch_ray.functions.dupspans import (  # noqa: F401
+    dup_shingle_stats_ds,
+    dup_span_removal_ds,
+)
 from lsearch_ray.functions.kmeans import kmeans_assign  # noqa: F401
 from lsearch_ray.functions.mixture import quota_sample  # noqa: F401
 from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
