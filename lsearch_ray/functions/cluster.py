@@ -81,7 +81,7 @@ def bucket_pairs_ds(
     mergesort by (bucket..., id) and one vectorized
     :func:`_emit_pairs_sorted` pass over the bucket runs. Size
     ``num_partitions`` ≈ cluster cores × 4 at scale."""
-    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
     def add_part(b: pa.Table) -> pa.Table:
         cols = {c: b[c] for c in (*bucket_cols, id_col)}
@@ -90,15 +90,17 @@ def bucket_pairs_ds(
         )
         return pa.table(cols)
 
-    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_partition(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([*bucket_cols, id_col], kind="mergesort")
         n = len(g)
         if n < 2:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype=np.int64),
-                    "b": pd.Series([], dtype=np.int64),
-                }
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        "a": pd.Series([], dtype=np.int64),
+                        "b": pd.Series([], dtype=np.int64),
+                    }
+                )
             )
         ids = g[id_col].to_numpy().astype(np.int64)
         change = np.zeros(n - 1, dtype=bool)
@@ -109,7 +111,7 @@ def bucket_pairs_ds(
             ([0], np.flatnonzero(change) + 1, [n])
         ).astype(np.int64)
         a, b = _emit_pairs_sorted(ids, run_starts, cap)
-        return pd.DataFrame({"a": a, "b": b})
+        return arrow_out(pd.DataFrame({"a": a, "b": b}))
 
     return (
         bucket_rows_ds.map_batches(add_part, batch_format="pyarrow")

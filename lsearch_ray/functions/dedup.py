@@ -22,6 +22,23 @@ import pyarrow.compute as pc
 from lsearch_ray.corpus import fnv1a64
 
 
+def arrow_out(df: pd.DataFrame) -> pa.Table:
+    """pandas stage output → metadata-free Arrow block.
+
+    Returning a raw DataFrame stores a pandas block that Ray converts
+    with ``pa.Table.from_pandas`` at the next shuffle boundary — whose
+    ``b'pandas'`` SCHEMA-level metadata makes ``hash(pa.Schema)`` raise
+    ``unhashable type: 'dict'``, so every downstream sort/concat reduce
+    logs ``Failed to hash the schemas (for deduplication)`` and loses
+    the fast schema-dedup path. Converting here with the metadata
+    stripped is the same conversion Ray would do, minus the poison.
+    Every ``map_groups(..., batch_format="pandas")`` stage returns
+    through this."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 def _col_hash64(col) -> np.ndarray:
     """uint64 hash of an arbitrary Arrow column (strings hashed directly,
     numerics mixed by multiplication)."""
@@ -96,10 +113,12 @@ def exact_dedup(
             "__part", pa.array(partition_ids(b, key_cols, num_partitions))
         )
 
-    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_partition(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(order_cols, ascending=asc, kind="mergesort")
-        return g.drop_duplicates(subset=key_cols, keep="first").drop(
-            columns="__part"
+        return arrow_out(
+            g.drop_duplicates(subset=key_cols, keep="first").drop(
+                columns="__part"
+            )
         )
 
     return (

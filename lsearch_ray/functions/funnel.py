@@ -16,7 +16,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from lsearch_ray.functions.dedup import partition_ids, value_counts_table
+from lsearch_ray.functions.dedup import (
+    arrow_out,
+    partition_ids,
+    value_counts_table,
+)
 
 _TS_INF = np.int64(np.iinfo(np.int64).max)
 
@@ -279,7 +283,7 @@ def audience_overlap_ds(
             "__part", pa.array(partition_ids(t, [user_col], num_partitions))
         )
 
-    def overlap_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def overlap_partition(g: pd.DataFrame) -> pa.Table:
         g = g.drop(columns="__part").drop_duplicates([type_col, user_col])
         m = g.merge(g, on=user_col, suffixes=("_a", "_b"))
         m = m[m[f"{type_col}_a"] < m[f"{type_col}_b"]]
@@ -291,7 +295,7 @@ def audience_overlap_ds(
         )
         out.columns = ["type_a", "type_b", "c"]
         out["c"] = out["c"].astype("int64")
-        return out
+        return arrow_out(out)
 
     inter = (
         ds.map_batches(pairs, batch_format="pyarrow")

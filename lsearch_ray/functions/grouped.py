@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from lsearch_ray.functions.dedup import partition_ids
+from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
 
 def run_bounds(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -97,7 +97,7 @@ def grouped_topk_ds(
             "__part", pa.array(partition_ids(t, [group_col], num_partitions))
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
+    def final(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(
             [group_col, order_col, id_col],
             ascending=[True, False, True],
@@ -107,20 +107,22 @@ def grouped_topk_ds(
         if n == 0:
             out = g.iloc[0:0][[group_col, id_col, order_col]].copy()
             out["rn"] = np.empty(0, dtype=np.int64)
-            return out
+            return arrow_out(out)
         grp = g[group_col].to_numpy()
         new_run = np.concatenate(([True], grp[1:] != grp[:-1]))
         starts = np.flatnonzero(new_run)
         run_of = np.cumsum(new_run) - 1
         rnk = np.arange(n, dtype=np.int64) - starts[run_of] + 1
         keep = rnk <= k
-        return pd.DataFrame(
-            {
-                group_col: grp[keep],
-                id_col: g[id_col].to_numpy()[keep],
-                order_col: g[order_col].to_numpy()[keep],
-                "rn": rnk[keep],
-            }
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    group_col: grp[keep],
+                    id_col: g[id_col].to_numpy()[keep],
+                    order_col: g[order_col].to_numpy()[keep],
+                    "rn": rnk[keep],
+                }
+            )
         )
 
     return (

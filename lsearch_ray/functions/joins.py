@@ -364,7 +364,7 @@ def sessionize(
     ≈ cluster cores × 4 at scale so a partition fits a worker's heap.
     """
 
-    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
     gap_ns = int(round(gap_seconds * 1e9))
 
@@ -375,19 +375,21 @@ def sessionize(
         cols["__part"] = pa.array(partition_ids(b, [key_col], num_partitions))
         return pa.table(cols)
 
-    def sess_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def sess_partition(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([key_col, ts_col, *order_cols], kind="mergesort")
         # pandas 2 may keep us resolution — normalize to ns explicitly
         ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype("int64")
         key = g[key_col].to_numpy()
         n = len(g)
         if n == 0:
-            return pd.DataFrame(
-                {
-                    key_col: np.empty(0, dtype=key.dtype),
-                    "n_events": np.empty(0, dtype=np.int64),
-                    "n_sessions": np.empty(0, dtype=np.int64),
-                }
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        key_col: np.empty(0, dtype=key.dtype),
+                        "n_events": np.empty(0, dtype=np.int64),
+                        "n_sessions": np.empty(0, dtype=np.int64),
+                    }
+                )
             )
         boundary = key[1:] != key[:-1]
         new_session = np.ones(n, dtype=np.int64)
@@ -396,14 +398,16 @@ def sessionize(
                 np.int64
             )
         starts = np.flatnonzero(np.r_[True, boundary])
-        return pd.DataFrame(
-            {
-                key_col: key[starts],
-                "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
-                "n_sessions": np.add.reduceat(new_session, starts).astype(
-                    np.int64
-                ),
-            }
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    key_col: key[starts],
+                    "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
+                    "n_sessions": np.add.reduceat(new_session, starts).astype(
+                        np.int64
+                    ),
+                }
+            )
         )
 
     out = (
@@ -532,7 +536,7 @@ def session_size_hist_ds(
     splitting nulls into per-row sessions)."""
     from ray.data.aggregate import Sum
 
-    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
     gap_ns = int(round(gap_seconds * 1e9))
 
@@ -544,17 +548,19 @@ def session_size_hist_ds(
         cols["__part"] = pa.array(partition_ids(b, [key_col], num_partitions))
         return pa.table(cols)
 
-    def sizes_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def sizes_partition(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([key_col, ts_col, *order_cols], kind="mergesort")
         ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype("int64")
         key = g[key_col].to_numpy()
         n = len(g)
         if n == 0:
-            return pd.DataFrame(
-                {
-                    "session_len": np.empty(0, dtype=np.int64),
-                    "c": np.empty(0, dtype=np.int64),
-                }
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        "session_len": np.empty(0, dtype=np.int64),
+                        "c": np.empty(0, dtype=np.int64),
+                    }
+                )
             )
         new_session = np.ones(n, dtype=bool)
         if n > 1:
@@ -562,7 +568,9 @@ def session_size_hist_ds(
         starts = np.flatnonzero(new_session)
         lens = np.diff(np.append(starts, n)).astype(np.int64)
         uniq, counts = np.unique(lens, return_counts=True)
-        return pd.DataFrame({"session_len": uniq, "c": counts.astype(np.int64)})
+        return arrow_out(
+            pd.DataFrame({"session_len": uniq, "c": counts.astype(np.int64)})
+        )
 
     return (
         events_ds.map_batches(add_part, batch_format="pyarrow")

@@ -473,7 +473,7 @@ def mean_pool_embeddings(
     per-group Python); all-zero means stay zero."""
     import pandas as pd
 
-    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
     def tag(b: pa.Table) -> pa.Table:
         t = b.select([id_col, emb_col])
@@ -481,7 +481,7 @@ def mean_pool_embeddings(
             "__part", pa.array(partition_ids(t, [id_col], num_partitions))
         )
 
-    def pool(g: pd.DataFrame) -> pd.DataFrame:
+    def pool(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
         m = np.stack(
@@ -497,11 +497,13 @@ def mean_pool_embeddings(
         norms = np.linalg.norm(means, axis=1)
         norms[norms == 0] = 1.0
         means /= norms[:, None]
-        return pd.DataFrame(
-            {
-                id_col: ids[starts],
-                emb_col: [r.astype(np.float32).tolist() for r in means],
-            }
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: ids[starts],
+                    emb_col: [r.astype(np.float32).tolist() for r in means],
+                }
+            )
         )
 
     return (

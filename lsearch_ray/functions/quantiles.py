@@ -359,7 +359,7 @@ def grouped_quantiles_ds(
     """
     import pandas as pd
 
-    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
     qs = [float(q) for q in qs]
 
@@ -374,18 +374,20 @@ def grouped_quantiles_ds(
             "__part", pa.array(partition_ids(t, [group_col], num_partitions))
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
+    def final(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([group_col, value_col], kind="mergesort")
         grp = g[group_col].to_numpy()
         vals = g[value_col].to_numpy().astype(np.float64)
         n = len(grp)
         if n == 0:
-            return pd.DataFrame(
-                {
-                    group_col: g[group_col].iloc[0:0],
-                    "q": np.empty(0, dtype=np.float64),
-                    "value": np.empty(0, dtype=np.float64),
-                }
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        group_col: g[group_col].iloc[0:0],
+                        "q": np.empty(0, dtype=np.float64),
+                        "value": np.empty(0, dtype=np.float64),
+                    }
+                )
             )
         new_run = np.concatenate(([True], grp[1:] != grp[:-1]))
         starts = np.flatnonzero(new_run)
@@ -398,12 +400,14 @@ def grouped_quantiles_ds(
             out_g.append(grp[starts])
             out_q.append(np.full(len(starts), q, dtype=np.float64))
             out_v.append(vals[idx])
-        return pd.DataFrame(
-            {
-                group_col: np.concatenate(out_g),
-                "q": np.concatenate(out_q),
-                "value": np.concatenate(out_v),
-            }
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    group_col: np.concatenate(out_g),
+                    "q": np.concatenate(out_q),
+                    "value": np.concatenate(out_v),
+                }
+            )
         )
 
     return (

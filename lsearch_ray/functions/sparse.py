@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from lsearch_ray.functions.dedup import partition_ids
+from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
 
 def _emit_index_pairs(
@@ -84,7 +84,7 @@ def sparse_cosine_pairs(
             "__part", pa.array(partition_ids(t, ["term"], num_partitions))
         )
 
-    def pairs_and_norms(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_and_norms(g: pd.DataFrame) -> pa.Table:
         doc = g["doc_id"].to_numpy().astype(np.int64)
         tf = g["tf"].to_numpy().astype(np.int64)
         codes, _ = pd.factorize(g["term"].to_numpy(), sort=False)
@@ -103,7 +103,7 @@ def sparse_cosine_pairs(
         )
         ia, ib = _emit_index_pairs(run_starts, keep)
         # docs ascend within a run and are distinct per term → a < b
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {
                 "kind": np.concatenate(
                     [
@@ -115,7 +115,7 @@ def sparse_cosine_pairs(
                 "b": np.concatenate([doc[ib], np.zeros(len(ud), dtype=np.int64)]),
                 "v": np.concatenate([tf[ia] * tf[ib], n2p]),
             }
-        )
+        ))
 
     emitted = (
         triples.map_batches(add_part, batch_format="pyarrow")
@@ -169,7 +169,7 @@ def sparse_cosine_pairs(
             "__p2", pa.array(partition_ids(t, ["a", "b"], num_partitions))
         )
 
-    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def sum_pairs(g: pd.DataFrame) -> pa.Table:
         a = g["a"].to_numpy().astype(np.int64)
         b = g["b"].to_numpy().astype(np.int64)
         v = g["v"].to_numpy().astype(np.int64)
@@ -177,12 +177,12 @@ def sparse_cosine_pairs(
         a, b, v = a[order], b[order], v[order]
         change = np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1
         starts = np.concatenate(([0], change))
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {
                 "a": a[starts],
                 "b": b[starts],
                 "dot": np.add.reduceat(v, starts),
-            }
+            })
         )
 
     dots = (

@@ -545,7 +545,7 @@ def tfidf_top_terms(
     """
     import pandas as pd
 
-    from lsearch_ray.functions.dedup import partition_ids
+    from lsearch_ray.functions.dedup import arrow_out, partition_ids
 
     from ray.data.aggregate import Count
 
@@ -615,7 +615,7 @@ def tfidf_top_terms(
             }
         )
 
-    def topk_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def topk_partition(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(
             [id_col, "tfidf", "term"],
             ascending=[True, False, True],
@@ -624,26 +624,30 @@ def tfidf_top_terms(
         ids = g[id_col].to_numpy()
         n = len(ids)
         if n == 0:
-            return pd.DataFrame(
-                {
-                    id_col: np.empty(0, dtype=np.int64),
-                    "term": np.empty(0, dtype=object),
-                    "rnk": np.empty(0, dtype=np.int64),
-                    "tfidf": np.empty(0, dtype=np.float64),
-                }
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        id_col: np.empty(0, dtype=np.int64),
+                        "term": np.empty(0, dtype=object),
+                        "rnk": np.empty(0, dtype=np.int64),
+                        "tfidf": np.empty(0, dtype=np.float64),
+                    }
+                )
             )
         # rank within doc runs: position minus each run's start offset
         starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
         run_of = np.cumsum(np.concatenate(([False], ids[1:] != ids[:-1])))
         rnk = np.arange(n, dtype=np.int64) - starts[run_of] + 1
         keep = rnk <= k
-        return pd.DataFrame(
-            {
-                id_col: ids[keep],
-                "term": g["term"].to_numpy()[keep],
-                "rnk": rnk[keep],
-                "tfidf": g["tfidf"].to_numpy()[keep],
-            }
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: ids[keep],
+                    "term": g["term"].to_numpy()[keep],
+                    "rnk": rnk[keep],
+                    "tfidf": g["tfidf"].to_numpy()[keep],
+                }
+            )
         )
 
     return (
