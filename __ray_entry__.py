@@ -1994,6 +1994,36 @@ def _q_dup_span_removal(sf_dir: str):
     )
 
 
+_WINNOW_K = 4
+_WINNOW_W = 4
+_WINNOW_MAXDF = 64
+_WINNOW_MINSH = 2
+
+
+def _q_winnow_fps(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): distinct
+    window-selected k-gram hashes with 1-based start positions."""
+    from lsearch_ray.functions import winnow_fingerprints_ds
+
+    return winnow_fingerprints_ds(
+        _docs(sf_dir, ["doc_id", "text"]), k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+def _q_winnow_pairs(sf_dir: str):
+    """Doc pairs sharing >= min_shared winnowing fingerprints, with
+    boilerplate fingerprints pruned at max_df."""
+    from lsearch_ray.functions import winnow_dup_pairs_ds
+
+    return winnow_dup_pairs_ds(
+        _docs(sf_dir, ["doc_id", "text"]),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MINSH,
+        max_df=_WINNOW_MAXDF,
+    )
+
+
 _QUOTA_CAPS = {"en": 100, "de": 40, "fr": 40}
 
 
@@ -2963,6 +2993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "dup_shingle_stats": _q_dup_shingle_stats,
         "dup_span_removal": _q_dup_span_removal,
+        "winnow_fingerprints": _q_winnow_fps,
+        "winnow_dup_pairs": _q_winnow_pairs,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_ann": _q_lsh_ann,
         "bm25_phrase_topk": _q_bm25_phrase,
@@ -3628,6 +3660,77 @@ WITH l AS (
                      x -> x <> '') AS toks
   FROM documents
 )"""
+
+
+_WINNOW_C = 1 << 21  # composite window-min position budget (i < 2^21)
+
+
+def _winnow_sel_cte() -> str:
+    """Exact replay of functions.winnow._winnow_batch as a ``sel`` CTE:
+    63-bit FNV token hashes (``_fnv63_of``), the minhash rolling
+    xor-mul k-gram combine (``_mul_shingle64``) masked to 63 bits, then
+    per-window rightmost-minimum selection via a composite HUGEINT
+    window min — key = kh·C + (C−1−i) minimizes (kh, −i)
+    lexicographically, so decoding the min recovers the rightmost
+    minimal k-gram's position and hash; kh < 2^63 and C = 2^21 keep the
+    composite under 2^84 (HUGEINT-exact). Partial tail windows
+    (count < w) are dropped, matching the engine's full-window rule."""
+    e = "hs[i]"
+    for t in range(1, _WINNOW_K):
+        e = f"xor({_mul_shingle64(e)}, hs[i+{t}])"
+    kgram = f"(({e}) % {_U63})"
+    c = _WINNOW_C
+    w = _WINNOW_W
+    return f"""
+WITH otoks AS ({_ORDERED_TOKS}),
+dt AS (SELECT DISTINCT term FROM otoks),
+th AS (SELECT term, {_fnv63_of('term')} AS h FROM dt),
+hl AS (SELECT t.doc_id, list(th.h ORDER BY t.pos) AS hs
+       FROM otoks t JOIN th USING (term) GROUP BY t.doc_id),
+kg AS (
+  SELECT doc_id, i, {kgram} AS kh
+  FROM hl, UNNEST(range(1, len(hs) - {_WINNOW_K} + 2)) AS u(i)
+  WHERE len(hs) >= {_WINNOW_K}
+),
+wm AS (
+  SELECT doc_id,
+         min(kh * {c} + ({c} - 1 - i)) OVER
+           (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mk,
+         count(*) OVER
+           (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt
+  FROM kg
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST({c} - 1 - (mk % {c}) AS BIGINT) AS pos,
+         CAST(mk // {c} AS BIGINT) AS fp
+  FROM wm WHERE cnt = {w}
+)"""
+
+
+def _winnow_fps_sql() -> str:
+    return (
+        _winnow_sel_cte()
+        + "\nSELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos"
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    return (
+        _winnow_sel_cte()
+        + f""",
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+dfc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)
+         WHERE c BETWEEN 2 AND {_WINNOW_MAXDF}),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared FROM p
+WHERE n_shared >= {_WINNOW_MINSH} ORDER BY a, b"""
+    )
 
 
 def _dup_shingle_stats_sql() -> str:
@@ -4368,6 +4471,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
         "dup_shingle_stats": _dup_shingle_stats_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        "winnow_fingerprints": _winnow_fps_sql(),
+        "winnow_dup_pairs": _winnow_pairs_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
         "curation_pipeline": _curation_pipeline_sql(),

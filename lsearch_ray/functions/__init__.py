@@ -92,6 +92,10 @@ from lsearch_ray.functions.dupspans import (  # noqa: F401
     dup_span_removal_ds,
 )
 from lsearch_ray.functions.kmeans import kmeans_assign  # noqa: F401
+from lsearch_ray.functions.winnow import (  # noqa: F401
+    winnow_dup_pairs_ds,
+    winnow_fingerprints_ds,
+)
 from lsearch_ray.functions.mixture import quota_sample  # noqa: F401
 from lsearch_ray.functions.simhash import simhash_dedup  # noqa: F401
 from lsearch_ray.functions.sampling import hash_sample, kmv_distinct  # noqa: F401
