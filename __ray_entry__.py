@@ -2024,6 +2024,19 @@ def _q_winnow_pairs(sf_dir: str):
     )
 
 
+_SNIPPET_W = 10
+
+
+def _q_snippets(sf_dir: str):
+    """Best highlight window per matching doc: the window-token span
+    with the most distinct BM25_QUERY terms, leftmost on ties."""
+    from lsearch_ray.functions import snippets_ds
+
+    return snippets_ds(
+        _docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, window=_SNIPPET_W
+    )
+
+
 _QUOTA_CAPS = {"en": 100, "de": 40, "fr": 40}
 
 
@@ -2995,6 +3008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal": _q_dup_span_removal,
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
+        "snippets": _q_snippets,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_ann": _q_lsh_ann,
         "bm25_phrase_topk": _q_bm25_phrase,
@@ -3708,6 +3722,51 @@ sel AS (
          CAST(mk // {c} AS BIGINT) AS fp
   FROM wm WHERE cnt = {w}
 )"""
+
+
+def _snippets_sql() -> str:
+    """Brute-force twin of snippets_ds: contiguous token positions via
+    row_number (the _ORDERED_TOKS pos has gaps where empty splits were
+    filtered), per-start distinct-query-term counts over the window
+    join, best = (n_terms DESC, i ASC) row_number 1."""
+    qt = ", ".join(
+        f"('{t}')" for t in sorted(set(BM25_QUERY.lower().split()))
+    )
+    w = _SNIPPET_W
+    return f"""
+WITH tokr AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM ({_ORDERED_TOKS})
+),
+ln AS (SELECT doc_id, count(*) AS L FROM tokr GROUP BY 1),
+qt(term) AS (VALUES {qt}),
+starts AS (
+  SELECT doc_id, u.i
+  FROM ln, UNNEST(range(1, greatest(L - {w}, 0) + 2)) AS u(i)
+),
+sc AS (
+  SELECT st.doc_id, st.i, count(DISTINCT t.term) AS n_terms
+  FROM starts st
+  JOIN tokr t ON t.doc_id = st.doc_id
+             AND t.p BETWEEN st.i AND st.i + {w} - 1
+  JOIN qt ON t.term = qt.term
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, i, n_terms,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_terms DESC, i ASC) AS rn
+  FROM sc
+)
+SELECT b.doc_id, b.i AS start, CAST(b.n_terms AS BIGINT) AS n_terms,
+       string_agg(t.term, ' ' ORDER BY t.p) AS snippet
+FROM best b
+JOIN tokr t ON t.doc_id = b.doc_id AND t.p BETWEEN b.i AND b.i + {w} - 1
+WHERE b.rn = 1
+GROUP BY b.doc_id, b.i, b.n_terms
+ORDER BY b.doc_id
+"""
 
 
 def _winnow_fps_sql() -> str:
@@ -4473,6 +4532,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _dup_span_removal_sql(),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
+        "snippets": _snippets_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
         "curation_pipeline": _curation_pipeline_sql(),

@@ -92,6 +92,7 @@ from lsearch_ray.functions.dupspans import (  # noqa: F401
     dup_span_removal_ds,
 )
 from lsearch_ray.functions.kmeans import kmeans_assign  # noqa: F401
+from lsearch_ray.functions.snippets import snippets_ds  # noqa: F401
 from lsearch_ray.functions.winnow import (  # noqa: F401
     winnow_dup_pairs_ds,
     winnow_fingerprints_ds,
