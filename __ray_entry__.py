@@ -2037,6 +2037,28 @@ def _q_snippets(sf_dir: str):
     )
 
 
+def _q_bm25_snippets(sf_dir: str):
+    """The composed search-results page: BM25 top-10 for BM25_QUERY,
+    each hit carrying its best highlight window. The top-k side is 10
+    rows — broadcast-joined onto the streaming snippet pass (never a
+    shuffle join for a k-row side)."""
+    import pyarrow as pa
+
+    from lsearch_ray.functions import snippets_ds
+    from lsearch_ray.functions.joins import broadcast_join
+    from lsearch_ray.pipelines import bm25_topk_dataset
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    top = pa.Table.from_pandas(
+        bm25_topk_dataset(docs, BM25_QUERY, k=10).to_pandas(),
+        preserve_index=False,
+    )
+    sn = snippets_ds(docs, BM25_QUERY, window=_SNIPPET_W)
+    return broadcast_join(sn, top, on="doc_id").sort(
+        ["score", "doc_id"], descending=[True, False]
+    )
+
+
 _QUOTA_CAPS = {"en": 100, "de": 40, "fr": 40}
 
 
@@ -3009,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
+        "bm25_snippets": _q_bm25_snippets,
         "embedding_dedup": _q_embedding_dedup,
         "lsh_ann": _q_lsh_ann,
         "bm25_phrase_topk": _q_bm25_phrase,
@@ -3724,49 +3747,77 @@ sel AS (
 )"""
 
 
-def _snippets_sql() -> str:
-    """Brute-force twin of snippets_ds: contiguous token positions via
+def _snippet_ctes() -> str:
+    """Snippet selection as a reusable CTE chain ending in ``snip``
+    (doc_id, start, n_terms, snippet): contiguous token positions via
     row_number (the _ORDERED_TOKS pos has gaps where empty splits were
     filtered), per-start distinct-query-term counts over the window
-    join, best = (n_terms DESC, i ASC) row_number 1."""
+    join, best = (n_terms DESC, i ASC) row_number 1. CTE names are
+    s-prefixed so the chain composes with _BM25_BODY (which owns qt)."""
     qt = ", ".join(
         f"('{t}')" for t in sorted(set(BM25_QUERY.lower().split()))
     )
     w = _SNIPPET_W
     return f"""
-WITH tokr AS (
+tokr AS (
   SELECT doc_id, term,
          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
   FROM ({_ORDERED_TOKS})
 ),
-ln AS (SELECT doc_id, count(*) AS L FROM tokr GROUP BY 1),
-qt(term) AS (VALUES {qt}),
-starts AS (
+sln AS (SELECT doc_id, count(*) AS L FROM tokr GROUP BY 1),
+sqt(term) AS (VALUES {qt}),
+sstarts AS (
   SELECT doc_id, u.i
-  FROM ln, UNNEST(range(1, greatest(L - {w}, 0) + 2)) AS u(i)
+  FROM sln, UNNEST(range(1, greatest(L - {w}, 0) + 2)) AS u(i)
 ),
-sc AS (
+ssc AS (
   SELECT st.doc_id, st.i, count(DISTINCT t.term) AS n_terms
-  FROM starts st
+  FROM sstarts st
   JOIN tokr t ON t.doc_id = st.doc_id
              AND t.p BETWEEN st.i AND st.i + {w} - 1
-  JOIN qt ON t.term = qt.term
+  JOIN sqt ON t.term = sqt.term
   GROUP BY 1, 2
 ),
-best AS (
+sbest AS (
   SELECT doc_id, i, n_terms,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY n_terms DESC, i ASC) AS rn
-  FROM sc
-)
-SELECT b.doc_id, b.i AS start, CAST(b.n_terms AS BIGINT) AS n_terms,
-       string_agg(t.term, ' ' ORDER BY t.p) AS snippet
-FROM best b
-JOIN tokr t ON t.doc_id = b.doc_id AND t.p BETWEEN b.i AND b.i + {w} - 1
-WHERE b.rn = 1
-GROUP BY b.doc_id, b.i, b.n_terms
-ORDER BY b.doc_id
+  FROM ssc
+),
+snip AS (
+  SELECT b.doc_id, b.i AS start, CAST(b.n_terms AS BIGINT) AS n_terms,
+         string_agg(t.term, ' ' ORDER BY t.p) AS snippet
+  FROM sbest b
+  JOIN tokr t ON t.doc_id = b.doc_id AND t.p BETWEEN b.i AND b.i + {w} - 1
+  WHERE b.rn = 1
+  GROUP BY b.doc_id, b.i, b.n_terms
+)"""
+
+
+def _snippets_sql() -> str:
+    return (
+        "WITH "
+        + _snippet_ctes().lstrip()
+        + "\nSELECT doc_id, start, n_terms, snippet FROM snip"
+        "\nORDER BY doc_id"
+    )
+
+
+def _bm25_snippets_sql() -> str:
+    """The composed search page: BM25 top-10 (the bm25_or_topk twin's
+    scores CTE) inner-joined with each hit's snippet (every BM25 match
+    contains >= 1 query term, so the join drops nothing)."""
+    return (
+        _BM25_BODY
+        + ",\ntop AS (SELECT doc_id, round(score, 4) AS score FROM scores"
+        "\n        ORDER BY score DESC, doc_id LIMIT 10),"
+        + _snippet_ctes()
+        + """
+SELECT s.doc_id, s.start, s.n_terms, s.snippet, t.score
+FROM snip s JOIN top t USING (doc_id)
+ORDER BY t.score DESC, s.doc_id
 """
+    )
 
 
 def _winnow_fps_sql() -> str:
@@ -4533,6 +4584,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
         "snippets": _snippets_sql(),
+        "bm25_snippets": _bm25_snippets_sql(),
         "minhash_dedup": _minhash_dedup_sql(),
         "simhash_dedup": _simhash_dedup_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
