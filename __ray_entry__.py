@@ -1994,6 +1994,37 @@ def _q_dup_span_removal(sf_dir: str):
     )
 
 
+_LINE_WORDS = 5
+
+
+def _lined_docs(sf_dir: str):
+    """The line-family input: documents re-segmented into 5-word
+    ``\\n``-lines (the synthetic corpus carries no newlines, so the
+    CCNet-style line operators need a deterministic segmentation both
+    the engine and the SQL twin can derive from the same table)."""
+    from lsearch_ray.functions import reflow_lines_ds
+
+    return reflow_lines_ds(
+        _docs(sf_dir, ["doc_id", "text"]), words_per_line=_LINE_WORDS
+    )
+
+
+def _q_boilerplate_lines(sf_dir: str):
+    """CCNet-style boilerplate-line detector: every line appearing in
+    >= 2 distinct documents with its distinct-doc frequency."""
+    from lsearch_ray.functions import boilerplate_lines_ds
+
+    return boilerplate_lines_ds(_lined_docs(sf_dir), min_docs=2)
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style per-line boilerplate removal: docs rebuilt with every
+    >= 2-doc line dropped, plus per-doc line/removal counts."""
+    from lsearch_ray.functions import line_dedup_ds
+
+    return line_dedup_ds(_lined_docs(sf_dir), min_docs=2)
+
+
 _WINNOW_K = 4
 _WINNOW_W = 4
 _WINNOW_MAXDF = 64
@@ -3028,6 +3059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "dup_shingle_stats": _q_dup_shingle_stats,
         "dup_span_removal": _q_dup_span_removal,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "line_dedup": _q_line_dedup,
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
@@ -3820,6 +3853,50 @@ ORDER BY t.score DESC, s.doc_id
     )
 
 
+_LINED_SQL = f"""WITH lined AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(1, len(string_split(coalesce(text, ''), ' ')) + 1,
+                   {_LINE_WORDS}),
+             i -> array_to_string(
+                    string_split(coalesce(text, ''), ' ')
+                      [i:i + {_LINE_WORDS - 1}], ' ')),
+           chr(10)) AS text
+  FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS ord
+  FROM split
+),
+df AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line)"""
+
+
+def _boilerplate_lines_sql() -> str:
+    """Brute-force twin of boilerplate_lines_ds over the 5-word-lined
+    docs: distinct-doc frequency per line, threshold 2."""
+    return f"""{_LINED_SQL}
+SELECT line, CAST(df AS BIGINT) AS df
+FROM df WHERE df >= 2 ORDER BY df DESC, line
+"""
+
+
+def _line_dedup_sql() -> str:
+    """Brute-force twin of line_dedup_ds: a >= 2-doc line is dropped
+    from every doc (NULL inside the ordered string_agg skips it); a
+    fully-boilerplate doc coalesces to ''."""
+    return f"""{_LINED_SQL}
+SELECT l.doc_id,
+       COALESCE(string_agg(CASE WHEN d.df >= 2 THEN NULL ELSE l.line END,
+                           chr(10) ORDER BY l.ord), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE d.df >= 2) AS BIGINT) AS removed_lines
+FROM lines l JOIN df d USING (line)
+GROUP BY l.doc_id ORDER BY l.doc_id
+"""
+
+
 def _winnow_fps_sql() -> str:
     return (
         _winnow_sel_cte()
@@ -4581,6 +4658,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
         "dup_shingle_stats": _dup_shingle_stats_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        "boilerplate_lines": _boilerplate_lines_sql(),
+        "line_dedup": _line_dedup_sql(),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
         "snippets": _snippets_sql(),

@@ -91,6 +91,11 @@ from lsearch_ray.functions.dupspans import (  # noqa: F401
     dup_shingle_stats_ds,
     dup_span_removal_ds,
 )
+from lsearch_ray.functions.lines import (  # noqa: F401
+    boilerplate_lines_ds,
+    line_dedup_ds,
+    reflow_lines_ds,
+)
 from lsearch_ray.functions.kmeans import kmeans_assign  # noqa: F401
 from lsearch_ray.functions.snippets import snippets_ds  # noqa: F401
 from lsearch_ray.functions.winnow import (  # noqa: F401
