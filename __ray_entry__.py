@@ -2025,6 +2025,36 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup_ds(_lined_docs(sf_dir), min_docs=2)
 
 
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _textio_roundtrip(sf_dir: str, fmt: str):
+    """documents → sharded JSONL/CSV under /tmp → Dataset: the
+    interchange-ingest gate (both hops are streaming Ray pipelines;
+    the oracle is the untouched parquet table, so any roundtrip
+    infidelity breaks the value hash)."""
+    from lsearch_ray.sources import textio
+
+    out = os.path.join(
+        "/tmp/lsearch_textio",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"documents_{fmt}",
+    )
+    getattr(textio, f"to_{fmt}")(_docs(sf_dir), out)
+    reader = getattr(textio, f"read_{fmt}")
+    return reader(out).select_columns(_DOC_COLS).sort("doc_id")
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange ingest: parquet → sharded JSONL → Dataset."""
+    return _textio_roundtrip(sf_dir, "jsonl")
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV interchange ingest: parquet → sharded CSV → Dataset."""
+    return _textio_roundtrip(sf_dir, "csv")
+
+
 _WINNOW_K = 4
 _WINNOW_W = 4
 _WINNOW_MAXDF = 64
@@ -3061,6 +3091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal": _q_dup_span_removal,
         "boilerplate_lines": _q_boilerplate_lines,
         "line_dedup": _q_line_dedup,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
@@ -4660,6 +4692,14 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _dup_span_removal_sql(),
         "boilerplate_lines": _boilerplate_lines_sql(),
         "line_dedup": _line_dedup_sql(),
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
         "snippets": _snippets_sql(),
