@@ -2055,6 +2055,19 @@ def _q_csv_roundtrip(sf_dir: str):
     return _textio_roundtrip(sf_dir, "csv")
 
 
+def _q_slice_drift(sf_dir: str):
+    """Per-language unigram total-variation drift vs the rest of the
+    corpus — the slice-level distribution-shift monitor (exact-integer
+    micro contract; functions.drift.slice_tv_drift_ds: one term-keyed
+    combiner shuffle, partition-local numerator partials, bounded
+    driver combine)."""
+    from lsearch_ray.functions.drift import slice_tv_drift_ds
+
+    return slice_tv_drift_ds(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), slice_col="lang"
+    )
+
+
 _WINNOW_K = 4
 _WINNOW_W = 4
 _WINNOW_MAXDF = 64
@@ -3093,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "slice_drift": _q_slice_drift,
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
@@ -3929,6 +3943,44 @@ GROUP BY l.doc_id ORDER BY l.doc_id
 """
 
 
+def _slice_drift_sql() -> str:
+    """Brute-force twin of slice_tv_drift_ds: per-slice TV numerator
+    Σ|a·B − b·A| in HUGEINT (observed pairs via the three-way join;
+    slice-absent terms contribute (T − covered)·A without being
+    enumerated), floor-scaled to micro units."""
+    return """WITH toks AS (
+  SELECT coalesce(lang, '') AS slice,
+         unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT slice, term, CAST(count(*) AS HUGEINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+tot AS (SELECT term, sum(c) AS tc FROM cnt GROUP BY 1),
+sl AS (SELECT slice, sum(c) AS A FROM cnt GROUP BY 1),
+g AS (SELECT sum(A) AS T FROM sl),
+obs AS (
+  SELECT c.slice,
+         sum(abs(c.c * (g.T - s.A) - (t.tc - c.c) * s.A)) AS n1,
+         sum(t.tc) AS covered
+  FROM cnt c JOIN tot t USING (term) JOIN sl s USING (slice) CROSS JOIN g
+  GROUP BY c.slice
+)
+SELECT s.slice,
+       CAST(s.A AS BIGINT) AS slice_tokens,
+       CAST(g.T - s.A AS BIGINT) AS rest_tokens,
+       CAST(CASE WHEN s.A > 0 AND g.T - s.A > 0
+            THEN (obs.n1 + (g.T - obs.covered) * s.A) * 1000000
+                 // (2 * s.A * (g.T - s.A))
+            ELSE 0 END AS BIGINT) AS tv_micro
+FROM sl s JOIN obs USING (slice) CROSS JOIN g
+ORDER BY s.slice
+"""
+
+
 def _winnow_fps_sql() -> str:
     return (
         _winnow_sel_cte()
@@ -4700,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents ORDER BY doc_id"
         ),
+        "slice_drift": _slice_drift_sql(),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
         "snippets": _snippets_sql(),
