@@ -2055,6 +2055,24 @@ def _q_csv_roundtrip(sf_dir: str):
     return _textio_roundtrip(sf_dir, "csv")
 
 
+PREFIX_QUERY = "s"
+PREFIX_MAX_EXP = 4  # binds at every sf (the corpus has 6 's'-terms)
+
+
+def _q_bm25_prefix(sf_dir: str):
+    """Wildcard ``s*`` BM25 top-10 with a BINDING Lucene-style rewrite
+    cap: the prefix expands to the top-4 matching terms by (df desc,
+    term asc), then scores as OR-BM25 over the expansion set."""
+    from lsearch_ray.pipelines import bm25_prefix_topk_dataset
+
+    return bm25_prefix_topk_dataset(
+        _docs(sf_dir, ["doc_id", "text"]),
+        PREFIX_QUERY,
+        k=10,
+        max_expansions=PREFIX_MAX_EXP,
+    )
+
+
 def _q_slice_drift(sf_dir: str):
     """Per-language unigram total-variation drift vs the rest of the
     corpus — the slice-level distribution-shift monitor (exact-integer
@@ -3107,6 +3125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "slice_drift": _q_slice_drift,
+        "bm25_prefix_topk": _q_bm25_prefix,
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
@@ -3243,6 +3262,36 @@ scores AS (
 
 
 _BM25_BODY = _bm25_body(BM25_QUERY)
+
+def _bm25_prefix_sql() -> str:
+    """Oracle for bm25_prefix_topk: the ``s*`` expansion is the top-4
+    matching terms by (df desc, term asc) — the same binding rewrite
+    cap as the engine — then plain OR-BM25 over the expansion set."""
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+          sum(dl) / (SELECT count(*) FROM documents) AS avgdl FROM dl),
+df AS (
+  SELECT term, df FROM (
+    SELECT tf.term, count(*) AS df FROM tf
+    WHERE tf.term LIKE '{PREFIX_QUERY}%' GROUP BY tf.term
+    ORDER BY df DESC, term LIMIT {PREFIX_MAX_EXP}
+  )
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+             * tf.tf*({K1}+1.0)/(tf.tf + {K1}*(1.0-{B}+{B}*dl.dl/s.avgdl))) AS score
+  FROM tf JOIN df ON tf.term = df.term
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 
 PHRASE_QUERY = "table hash"
 
@@ -4753,6 +4802,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "slice_drift": _slice_drift_sql(),
+        "bm25_prefix_topk": _bm25_prefix_sql(),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
         "snippets": _snippets_sql(),

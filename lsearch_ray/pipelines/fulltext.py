@@ -234,6 +234,110 @@ def _bm25_score_matched(
     )
 
 
+def bm25_prefix_topk_dataset(
+    docs_ds,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """Prefix (wildcard ``pre*``) BM25 top-k: the query names a term
+    PREFIX; it expands against the corpus term dictionary to the top
+    ``max_expansions`` matching terms by (df desc, term asc) — Lucene's
+    multi-term rewrite cap, so a one-letter prefix over a web-scale
+    vocabulary can never explode the query — then scores as OR-BM25
+    over the expansion set (per-term idf, not constant-score).
+
+    Plan: ONE tokenize pass (triples) filtered map-side by
+    ``starts_with`` with the per-batch avgdl sidecar (the
+    bm25_topk_dataset trick, so the corpus is never tokenized twice);
+    expansion = term-df aggregate over MATCHED rows only + lossless
+    per-block top-cap prune (a term lives in one block after the
+    groupby) + tiny global sort/limit; scoring reuses
+    :func:`_bm25_score_matched` on the matched rows re-filtered to the
+    expansion set.
+    """
+    toks = tokenize(prefix)
+    pre = toks[0] if toks else ""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+    if not pre:
+        return empty
+    triples = tf_triples(docs_ds, text_col, id_col)
+
+    def match_and_count(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.starts_with(b["term"], pattern=pre))
+        t = t.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        )
+        total = pc.sum(b["tf"]).as_py() or 0
+        sidecar = pa.table(
+            {
+                "term": pa.array([""], type=b["term"].type),
+                id_col: pa.array([None], type=b[id_col].type),
+                "tf": pa.array([total], type=b["tf"].type),
+                "dl": pa.array([0], type=b["dl"].type),
+                "_side": pa.array([1], type=pa.int8()),
+            }
+        ).select(t.schema.names)
+        return pa.concat_tables([t, sidecar])
+
+    matched = triples.map_batches(
+        match_and_count, batch_format="pyarrow"
+    ).materialize()
+
+    def split(b: pa.Table, sidecars: bool) -> pa.Table:
+        is_side = pc.equal(b["_side"], pa.scalar(1, pa.int8()))
+        keep = b.filter(is_side if sidecars else pc.invert(is_side))
+        return keep.drop_columns(["_side"])
+
+    n_docs = docs_ds.count()
+    total_tokens = sum(
+        r["tf"]
+        for r in matched.map_batches(
+            lambda b: split(b, True), batch_format="pyarrow"
+        ).take_all()
+    )
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    matched = matched.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    ).materialize()
+
+    from ray.data.aggregate import Count
+
+    agg = matched.groupby("term").aggregate(Count(alias_name="df"))
+
+    def prune(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        return b.take(idx.slice(0, max_expansions))
+
+    top = (
+        agg.map_batches(prune, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(max_expansions)
+        .take_all()
+    )
+    terms = sorted(r["term"] for r in top)
+    if not terms:
+        return empty
+    term_set = pa.array(terms)
+    matched = matched.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=term_set)),
+        batch_format="pyarrow",
+    )
+    return _bm25_score_matched(
+        matched, terms, n_docs, avgdl, k, "or", id_col, round_to
+    )
+
+
 def bm25_prf_topk_dataset(
     docs_ds,
     query: str,

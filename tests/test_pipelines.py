@@ -45,6 +45,34 @@ def test_bm25_dataset_matches_golden(docs, golden, mode):
             assert gs == pytest.approx(ws, abs=5e-5)
 
 
+def test_bm25_prefix_matches_expanded_or_query(docs, golden):
+    """Prefix BM25 == OR-BM25 over the top-cap expansion terms, with the
+    expansion ordered (df desc, term asc) like Lucene's rewrite; a
+    binding cap (4 < the 6 's'-terms) must drop the low-df tail."""
+    from lsearch_ray.pipelines import bm25_prefix_topk_dataset
+
+    for pre, cap in [("s", 4), ("s", 50), ("win", 10)]:
+        ranked = sorted(
+            ((len(p), t) for t, p in golden.postings.items()
+             if t.startswith(pre)),
+            key=lambda x: (-x[0], x[1]),
+        )[:cap]
+        terms = [t for _, t in ranked]
+        assert terms, (pre, cap)
+        got = bm25_prefix_topk_dataset(docs, pre, k=10, max_expansions=cap)
+        want = golden.bm25(" ".join(terms), k=10, mode="or")
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], (pre, cap)
+        for gs, (_, ws) in zip(got["score"].to_pylist(), want):
+            assert gs == pytest.approx(ws, abs=5e-5)
+
+
+def test_bm25_prefix_no_match_and_empty_prefix(docs):
+    from lsearch_ray.pipelines import bm25_prefix_topk_dataset
+
+    assert bm25_prefix_topk_dataset(docs, "zzz", k=5).num_rows == 0
+    assert bm25_prefix_topk_dataset(docs, "  ", k=5).num_rows == 0
+
+
 def test_tfidf_top_terms_matches_python_reference():
     import math
     import re
