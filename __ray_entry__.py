@@ -2086,6 +2086,17 @@ def _q_slice_drift(sf_dir: str):
     )
 
 
+def _q_source_drift(sf_dir: str):
+    """Per-source unigram TV drift vs the rest of the corpus — the
+    same monitor keyed by source (crawl/feed provenance) instead of
+    language."""
+    from lsearch_ray.functions.drift import slice_tv_drift_ds
+
+    return slice_tv_drift_ds(
+        _docs(sf_dir, ["doc_id", "text", "source"]), slice_col="source"
+    )
+
+
 _WINNOW_K = 4
 _WINNOW_W = 4
 _WINNOW_MAXDF = 64
@@ -3126,7 +3137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "slice_drift": _q_slice_drift,
         "bm25_prefix_topk": _q_bm25_prefix,
-        "winnow_fingerprints": _q_winnow_fps,
+        "source_drift": _q_source_drift,
+    "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
         "bm25_snippets": _q_bm25_snippets,
@@ -3992,13 +4004,13 @@ GROUP BY l.doc_id ORDER BY l.doc_id
 """
 
 
-def _slice_drift_sql() -> str:
+def _slice_drift_sql(slice_col: str = "lang") -> str:
     """Brute-force twin of slice_tv_drift_ds: per-slice TV numerator
     Σ|a·B − b·A| in HUGEINT (observed pairs via the three-way join;
     slice-absent terms contribute (T − covered)·A without being
     enumerated), floor-scaled to micro units."""
-    return """WITH toks AS (
-  SELECT coalesce(lang, '') AS slice,
+    return f"""WITH toks AS (
+  SELECT coalesce({slice_col}, '') AS slice,
          unnest(list_filter(
            string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
            x -> x <> '')) AS term
@@ -4803,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "slice_drift": _slice_drift_sql(),
         "bm25_prefix_topk": _bm25_prefix_sql(),
+        "source_drift": _slice_drift_sql("source"),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
         "snippets": _snippets_sql(),
