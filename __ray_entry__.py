@@ -2097,6 +2097,24 @@ def _q_source_drift(sf_dir: str):
     )
 
 
+def _q_quality_classifier(sf_dir: str):
+    """fastText-style linear quality classifier: deterministic
+    distributed logistic regression (hashed features, full-batch GD)
+    trained on lang=='en' as the proxy label, scoring every document.
+    Iterative training — no SQL twin; gated by the bitwise-determinism
+    and numpy-reference pytests (tests/test_classifier.py)."""
+    from lsearch_ray.functions.classifier import (
+        score_logreg_ds,
+        train_logreg_ds,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    w = train_logreg_ds(
+        docs, label_col="lang", label_value="en", dim=64, epochs=6, lr=1.0
+    )
+    return score_logreg_ds(_docs(sf_dir, ["doc_id", "text"]), w, dim=64)
+
+
 _WINNOW_K = 4
 _WINNOW_W = 4
 _WINNOW_MAXDF = 64
@@ -3138,6 +3156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slice_drift": _q_slice_drift,
         "bm25_prefix_topk": _q_bm25_prefix,
         "source_drift": _q_source_drift,
+        "quality_classifier": _q_quality_classifier,
     "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
