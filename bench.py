@@ -40,6 +40,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("LSR_BENCH_DOCS", "200000"))
 CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
+CHUNK_DOCS = 25000  # docs per corpus parquet file (ensure_corpus)
 INDEX_DIR = "/tmp/lsr_bench_index"
 # 64 shards measured best for stage B on this box (2M docs: encode
 # 5.9→3.3 s at 8 cpus and 6.5→2.5 s at 32 vs 32 shards, same sessions —
@@ -76,7 +77,7 @@ def ensure_corpus() -> None:
 
         shutil.rmtree(CORPUS_DIR, ignore_errors=True)
         os.makedirs(CORPUS_DIR, exist_ok=True)
-        chunk = 25000
+        chunk = CHUNK_DOCS
         n_chunks = (BENCH_DOCS + chunk - 1) // chunk
 
         @ray.remote
@@ -100,6 +101,25 @@ def ensure_corpus() -> None:
     ).count()
 
 
+def _corpus_slice(n_docs: int):
+    """The first ``n_docs`` of the bench corpus as a DETERMINISTIC
+    file-aligned slice. A streaming ``.limit(n)`` over the multi-file
+    read takes whichever read blocks complete first — measured here
+    returning a DIFFERENT doc subset run to run (e2e survivor counts
+    wobbled 73.0k–96.5k on identical code) — so bench inputs are pinned
+    by FILES. ``n_docs`` is rounded down to the 25k-doc chunk boundary
+    (the env default and BENCH_DOCS are both aligned)."""
+    import ray.data as rd
+
+    k = max(1, n_docs // CHUNK_DOCS)
+    files = sorted(
+        os.path.join(CORPUS_DIR, f)
+        for f in os.listdir(CORPUS_DIR)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )[:k]
+    return rd.read_parquet(files, columns=["doc_id", "text"])
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
@@ -121,9 +141,7 @@ def bench_index_build(agg: str = "median") -> dict:
     # throughput scaling
     warm_idx = INDEX_DIR + "_warm"
     shutil.rmtree(warm_idx, ignore_errors=True)
-    warm_docs = rd.read_parquet(CORPUS_DIR, columns=["doc_id", "text"]).limit(
-        100_000
-    )
+    warm_docs = _corpus_slice(min(100_000, BENCH_DOCS))
     build_index(warm_docs, warm_idx, num_shards=NUM_SHARDS, resume=False)
     shutil.rmtree(warm_idx, ignore_errors=True)
 
@@ -316,6 +334,7 @@ def bench_e2e_curation() -> dict:
     from lsearch_ray.pipelines.curation import curate_corpus_ds
 
     n_docs = min(BENCH_DOCS, int(os.environ.get("LSR_E2E_DOCS", "100000")))
+    n_docs = max(CHUNK_DOCS, (n_docs // CHUNK_DOCS) * CHUNK_DOCS)
     reps, survivors = [], 0
     for _ in range(3):
         t0 = time.monotonic()
@@ -325,9 +344,7 @@ def bench_e2e_curation() -> dict:
         # default thresholds would drop ~89% at the gate and turn the
         # composition bench into a gate bench
         out = curate_corpus_ds(
-            rd.read_parquet(CORPUS_DIR, columns=["doc_id", "text"]).limit(
-                n_docs
-            ),
+            _corpus_slice(n_docs),
             num_partitions=max(8, NCPU),
             quality_kwargs={"max_digit": 1.0, "min_stop": 0.0},
         )
