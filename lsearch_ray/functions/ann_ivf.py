@@ -42,9 +42,25 @@ def train_centroids(
     sample_limit: int = 20_000,
     n_iter: int = 10,
     seed: int = 1234,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Seeded spherical k-means on a bounded sample. Returns (k, d)."""
-    sample = emb_ds.limit(sample_limit).take_all()
+    """Seeded spherical k-means on a bounded sample. Returns (k, d).
+
+    The sample is a DETERMINISTIC hash-rate filter on ``id_col`` (the
+    sampling.py convention), never a streaming ``limit()``: limit over
+    a parallel read keeps whichever blocks complete first, so the
+    trained centroids (and every downstream assignment) would differ
+    run to run once the corpus exceeds ``sample_limit``. Falls back to
+    the full dataset when ``id_col`` is absent (bounded callers)."""
+    n = emb_ds.count()
+    if n > sample_limit and id_col in emb_ds.schema().names:
+        from lsearch_ray.functions.sampling import hash_sample
+
+        # ceil so the expected sample stays <= ~sample_limit but never 0
+        denom = max(2, (n + sample_limit - 1) // sample_limit)
+        sample = hash_sample(emb_ds, id_col, num=1, denom=denom).take_all()
+    else:
+        sample = emb_ds.take_all()
     m = np.asarray([r[emb_col] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
