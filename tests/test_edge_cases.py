@@ -110,3 +110,27 @@ def test_ivf_recall():
         ds, q, k=5, centroids=cents, nprobe=8, round_to=None
     )["vec_id"].to_pylist()
     assert wide == exact  # probing all clusters == exact
+
+
+def test_centroid_training_sample_is_deterministic():
+    """Corpus above sample_limit: the training sample is a hash-rate
+    filter (never a streaming limit, whose row subset races block
+    completion) — trained centroids must be bit-identical across runs."""
+    from lsearch_ray.functions.ann_ivf import train_centroids
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 8).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    runs = [
+        train_centroids(
+            rd.from_arrow(t), n_clusters=6, seed=3, sample_limit=80
+        )
+        for _ in range(2)
+    ]
+    assert (runs[0] == runs[1]).all()
+    assert runs[0].shape == (6, 8)
