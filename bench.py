@@ -359,6 +359,36 @@ def bench_e2e_curation() -> dict:
     }
 
 
+def bench_line_dedup() -> dict:
+    """CCNet-style per-line boilerplate removal over a pinned bench
+    slice (reflow to 5-word lines → df count shuffle → blob join →
+    vectorized rebuild). Side field like e2e_curation — NOT summed into
+    ``value``. Median-of-3; removed_lines doubles as the determinism
+    canary (file-pinned input → must be identical run to run)."""
+    from lsearch_ray.functions import line_dedup_ds, reflow_lines_ds
+
+    n_docs = min(BENCH_DOCS, 100_000)
+    reps, removed = [], 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        out = line_dedup_ds(
+            reflow_lines_ds(_corpus_slice(n_docs), words_per_line=5),
+            min_docs=2,
+            num_partitions=max(8, NCPU),
+            # the sum consumer is order-independent — skip the terminal
+            # range sort (the oracle contract, ~half the wall at sf0.1)
+            sort=False,
+        )
+        removed = int(out.sum("removed_lines") or 0)
+        reps.append(time.monotonic() - t0)
+    sec = _median(reps)
+    return {
+        "sec": sec,
+        "docs_per_sec": n_docs / sec,
+        "removed_lines": removed,
+    }
+
+
 def _host_calibration() -> dict:
     """Quick in-invocation spin probe (single-thread + all-cores): the
     host's compute capacity DURING this bench run. Identical code
@@ -420,6 +450,10 @@ def run_default(index_only: bool = False) -> dict:
         result["e2e_curation_docs"] = e2e["docs"]
         result["e2e_curation_docs_per_sec"] = round(e2e["docs_per_sec"], 1)
         result["e2e_curation_survivors"] = e2e["survivors"]
+        ld = bench_line_dedup()
+        result["line_dedup_sec"] = round(ld["sec"], 3)
+        result["line_dedup_docs_per_sec"] = round(ld["docs_per_sec"], 1)
+        result["line_dedup_removed_lines"] = ld["removed_lines"]
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3)
     if not index_only:

@@ -203,12 +203,18 @@ def line_dedup_ds(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
+    sort: bool = True,
 ):
     """(doc_id, text, n_lines, removed_lines) sorted by doc_id: every
     line whose distinct-doc frequency reaches ``min_docs`` is removed
     from EVERY document containing it and the doc is rebuilt from the
     surviving lines ``\\n``-joined in order (empty string when nothing
-    survives; untouched docs pass through verbatim)."""
+    survives; untouched docs pass through verbatim).
+
+    ``sort=False`` skips the terminal range sort (the oracle contract,
+    not compute): callers that re-shuffle, aggregate or write
+    partitioned output next should skip it — at sf0.1 the sort is ~half
+    the operator's wall (the component_labels_ds convention)."""
     from lsearch_ray.functions.joins import hash_join, safe_partitions
 
     def shared_pairs(g: pa.Table) -> pa.Table:
@@ -337,4 +343,5 @@ def line_dedup_ds(
             }
         )
 
-    return joined.map_batches(remove, batch_format="pyarrow").sort("doc_id")
+    out = joined.map_batches(remove, batch_format="pyarrow")
+    return out.sort("doc_id") if sort else out
