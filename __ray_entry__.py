@@ -2073,6 +2073,17 @@ def _q_bm25_prefix(sf_dir: str):
     )
 
 
+def _q_search_facets(sf_dir: str):
+    """Search-facet sidebar counts: matching-doc count per language for
+    the BM25 query's term set (any-term match; one map-side pass, a
+    |facets|-row groupby, no doc-shaped shuffle)."""
+    from lsearch_ray.pipelines import facet_counts_ds
+
+    return facet_counts_ds(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), BM25_QUERY, facet_col="lang"
+    )
+
+
 def _q_slice_drift(sf_dir: str):
     """Per-language unigram total-variation drift vs the rest of the
     corpus — the slice-level distribution-shift monitor (exact-integer
@@ -3157,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": _q_bm25_prefix,
         "source_drift": _q_source_drift,
         "quality_classifier": _q_quality_classifier,
+        "search_facets": _q_search_facets,
     "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "snippets": _q_snippets,
@@ -3293,6 +3305,23 @@ scores AS (
 
 
 _BM25_BODY = _bm25_body(BM25_QUERY)
+
+def _search_facets_sql() -> str:
+    """Oracle for search_facets: per-language count of docs whose token
+    list intersects the query's term set (any-term match)."""
+    terms = ", ".join(
+        f"'{t}'" for t in sorted(set(BM25_QUERY.lower().split()))
+    )
+    return f"""
+SELECT coalesce(lang, '') AS facet, count(*) AS n_docs
+FROM documents
+WHERE list_has_any(
+        list_filter(string_split_regex(lower(coalesce(text, '')),
+                                       '[^a-z0-9]+'), x -> x <> ''),
+        [{terms}])
+GROUP BY 1 ORDER BY 1
+"""
+
 
 def _bm25_prefix_sql() -> str:
     """Oracle for bm25_prefix_topk: the ``s*`` expansion is the top-4
@@ -4835,6 +4864,7 @@ def oracle_sql() -> dict[str, str]:
         "slice_drift": _slice_drift_sql(),
         "bm25_prefix_topk": _bm25_prefix_sql(),
         "source_drift": _slice_drift_sql("source"),
+        "search_facets": _search_facets_sql(),
         "winnow_fingerprints": _winnow_fps_sql(),
         "winnow_dup_pairs": _winnow_pairs_sql(),
         "snippets": _snippets_sql(),

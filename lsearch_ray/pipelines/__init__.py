@@ -2,6 +2,7 @@
 
 from lsearch_ray.pipelines.fulltext import (  # noqa: F401
     bm25_prefix_topk_dataset,
+    facet_counts_ds,
     bm25_topk_dataset,
     doc_stats,
     term_df,

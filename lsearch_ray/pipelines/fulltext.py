@@ -338,6 +338,78 @@ def bm25_prefix_topk_dataset(
     )
 
 
+def facet_counts_ds(
+    docs_ds,
+    query: str,
+    facet_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Search-facet aggregation: (facet, n_docs) per ``facet_col``
+    value over the documents matching ANY query term (the search
+    page's sidebar counts — language / source buckets next to the
+    ranked hits).
+
+    Pure map-side + one |facets|-row groupby: each batch tokenizes its
+    docs once, flags rows with a term-set ``is_in`` hit, and emits
+    per-facet partial counts — the corpus never shuffles and nothing
+    doc-shaped leaves the batch. Null facet values count as ``''``.
+    """
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    terms = sorted(set(tokenize(query)))
+    empty = pa.table(
+        {
+            "facet": pa.array([], type=pa.large_string()),
+            "n_docs": pa.array([], type=pa.int64()),
+        }
+    )
+    if not terms:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    term_set = pa.array(terms)
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, flat = flat_tokens_arrow(b[text_col])
+        if len(flat) == 0:
+            return empty
+        hit_tok = pc.is_in(flat, value_set=term_set).to_numpy(
+            zero_copy_only=False
+        )
+        matched = np.zeros(b.num_rows, dtype=bool)
+        matched[parents[hit_tok]] = True
+        if not matched.any():
+            return empty
+        fc = pc.fill_null(pc.cast(b[facet_col], pa.large_string()), "")
+        enc = fc.filter(pa.array(matched)).dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        counts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"facet": enc.dictionary, "n_docs": pa.array(counts)}
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("facet")
+        .sum("n_docs")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "facet": b["facet"],
+                    "n_docs": b["sum(n_docs)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("facet")
+    )
+
+
 def bm25_prf_topk_dataset(
     docs_ds,
     query: str,

@@ -66,6 +66,41 @@ def test_bm25_prefix_matches_expanded_or_query(docs, golden):
             assert gs == pytest.approx(ws, abs=5e-5)
 
 
+def test_facet_counts_matches_brute_force(docs, golden):
+    from lsearch_ray.pipelines import facet_counts_ds
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(PATH, columns=["doc_id", "text", "lang"])
+    langs = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    full = rd.from_arrow(t)
+    for q in ["scan merge", "window", "absent zzz", ""]:
+        terms = set(q.split())
+        want: dict[str, int] = {}
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if terms & set(txt.split()):
+                want[langs[d]] = want.get(langs[d], 0) + 1
+        got = facet_counts_ds(full, q, facet_col="lang").take_all()
+        assert {r["facet"]: r["n_docs"] for r in got} == want, q
+        assert [r["facet"] for r in got] == sorted(want)
+
+
+def test_facet_counts_null_facet_buckets_as_empty():
+    from lsearch_ray.pipelines import facet_counts_ds
+
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["hit one", "hit two", "miss"],
+            "lang": pa.array(["en", None, "en"], type=pa.string()),
+        }
+    )
+    got = facet_counts_ds(rd.from_arrow(t), "hit", facet_col="lang").take_all()
+    assert {r["facet"]: r["n_docs"] for r in got} == {"": 1, "en": 1}
+
+
 def test_bm25_prefix_no_match_and_empty_prefix(docs):
     from lsearch_ray.pipelines import bm25_prefix_topk_dataset
 
