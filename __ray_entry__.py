@@ -3115,6 +3115,29 @@ def _q_bpe_tokenize(sf_dir: str):
     return bpe_apply_ds(docs, merges).sort("doc_id")
 
 
+_LEXICON = {
+    # fixed taxonomy lexicon over the testdata documents vocabulary
+    # (~31 head terms) — balanced so several topics actually win tags;
+    # topics alphabetical, terms deduped/sorted inside lexicon_tag_ds
+    "exec": ["batch", "filter", "scan", "stream", "window"],
+    "relational": ["agg", "group", "join", "merge", "order", "sort"],
+    "storage": ["column", "hash", "key", "row", "table", "vector"],
+}
+
+
+def _q_lexicon_tags(sf_dir: str):
+    """Taxonomy tagging: per-doc occurrence counts against a fixed
+    topic→terms lexicon plus the alphabetical-argmax tag
+    (functions.lexicon.lexicon_tag_ds — lexicon broadcast in the map
+    closure, one vectorized is_in + bincount per topic, pure map-side,
+    no shuffle)."""
+    from lsearch_ray.functions.lexicon import lexicon_tag_ds
+
+    return lexicon_tag_ds(
+        _docs(sf_dir, ["doc_id", "text"]), _LEXICON
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -3268,6 +3291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality": _q_source_quality,
         "source_dup_rate": _q_source_dup_rate,
         "hourly_anomalies": _q_hourly_anomalies,
+        "lexicon_tags": _q_lexicon_tags,
     }
 
 
@@ -4574,6 +4598,40 @@ h{k + 1} AS (SELECT n.node, CAST(CASE WHEN (SELECT t FROM ht{k}) = 0 THEN 0
         f"FROM a{iters} a JOIN h{iters} h ON a.node = h.node ORDER BY doc_id"
     )
     return "\n".join(parts)
+
+
+def _lexicon_tags_sql() -> str:
+    """Twin of _q_lexicon_tags, generated from the SAME _LEXICON:
+    occurrence counts via the tf CTE (multiset counts, like the
+    engine's is_in over token occurrences), docs with no matching or
+    no tokens zero-filled through the documents LEFT JOIN; the tag
+    CASE checks topics in alphabetical order, replaying numpy argmax's
+    first-maximum tiebreak."""
+    topics = sorted(_LEXICON)
+    cnt_exprs = []
+    for t in topics:
+        terms = ", ".join(f"'{w}'" for w in sorted(set(_LEXICON[t])))
+        cnt_exprs.append(
+            f"sum(CASE WHEN term IN ({terms}) THEN tf ELSE 0 END) AS {t}_n"
+        )
+    sel = ", ".join(
+        f"CAST(coalesce(c.{t}_n, 0) AS BIGINT) AS {t}_n" for t in topics
+    )
+    g = "greatest(" + ", ".join(f"coalesce(c.{t}_n, 0)" for t in topics) + ")"
+    case = (
+        f"CASE WHEN {g} = 0 THEN 'none' "
+        + " ".join(
+            f"WHEN coalesce(c.{t}_n, 0) = {g} THEN '{t}'" for t in topics
+        )
+        + " END AS tag"
+    )
+    return (
+        f"WITH tf AS ({_TF}), c AS (SELECT doc_id, "
+        + ", ".join(cnt_exprs)
+        + " FROM tf GROUP BY doc_id) "
+        + f"SELECT d.doc_id, {sel}, {case} "
+        + "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5990,4 +6048,5 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "FROM ud JOIN co USING (user_id) "
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "lexicon_tags": _lexicon_tags_sql(),
     }
