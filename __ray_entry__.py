@@ -3125,6 +3125,19 @@ _LEXICON = {
 }
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity terciles: head/middle/tail
+    bucket per doc by exact per-group order-statistic thresholds over
+    the integer unigram-LM perplexity proxy
+    (pipelines.fulltext.perplexity_buckets_ds — one tokenize pass, one
+    id join, one group-keyed threshold shuffle; no global sort)."""
+    from lsearch_ray.pipelines.fulltext import perplexity_buckets_ds
+
+    return perplexity_buckets_ds(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), n_buckets=3
+    ).sort("doc_id")
+
+
 def _q_lexicon_tags(sf_dir: str):
     """Taxonomy tagging: per-doc occurrence counts against a fixed
     topic→terms lexicon plus the alphabetical-argmax tag
@@ -3292,6 +3305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_rate": _q_source_dup_rate,
         "hourly_anomalies": _q_hourly_anomalies,
         "lexicon_tags": _q_lexicon_tags,
+        "perplexity_buckets": _q_perplexity_buckets,
     }
 
 
@@ -6049,4 +6063,38 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "lexicon_tags": _lexicon_tags_sql(),
+        "perplexity_buckets": (
+            # unigram_nll's integer micro-nat contract extended to the
+            # CCNet bucket kernel: ppl_milli by BIGINT floor division,
+            # per-lang thresholds = values at 0-indexed ranks
+            # (b·(n−1))//3 (integer rank arithmetic — value at a rank
+            # is tie-order-independent), ties at a threshold fall to
+            # the LOWER bucket on both engines
+            f"WITH tf AS ({_TF}), "
+            "tot AS (SELECT term, sum(tf) AS tfg FROM tf GROUP BY term), "
+            "t AS (SELECT sum(tfg) AS s FROM tot), "
+            "cost AS (SELECT term, CAST(floor(-ln(tfg * 1.0 / t.s) "
+            "         * 1000000.0 + 0.5) AS BIGINT) AS c FROM tot, t), "
+            "nll AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+            "        CAST(sum(tf.tf * cost.c) AS BIGINT) AS nll_micro "
+            "        FROM tf JOIN cost USING (term) GROUP BY tf.doc_id), "
+            "p AS (SELECT nll.doc_id, d.lang, n_tokens, "
+            "      CAST((nll_micro * 1000) // n_tokens AS BIGINT) AS ppl_milli "
+            "      FROM nll JOIN documents d USING (doc_id)), "
+            "r AS (SELECT lang, ppl_milli, "
+            "      row_number() OVER (PARTITION BY lang "
+            "        ORDER BY ppl_milli, doc_id) AS rn, "
+            "      count(*) OVER (PARTITION BY lang) AS n FROM p), "
+            "th AS (SELECT lang, "
+            "       max(CASE WHEN rn - 1 = (1 * (n - 1)) // 3 "
+            "           THEN ppl_milli END) AS t1, "
+            "       max(CASE WHEN rn - 1 = (2 * (n - 1)) // 3 "
+            "           THEN ppl_milli END) AS t2 "
+            "       FROM r GROUP BY lang) "
+            "SELECT p.doc_id, p.lang, p.n_tokens, p.ppl_milli, "
+            "       CAST(CASE WHEN p.ppl_milli <= th.t1 THEN 0 "
+            "                 WHEN p.ppl_milli <= th.t2 THEN 1 "
+            "                 ELSE 2 END AS BIGINT) AS bucket "
+            "FROM p JOIN th USING (lang) ORDER BY p.doc_id"
+        ),
     }

@@ -104,6 +104,25 @@ def broadcast_semi_join(big_ds, keys: pa.Array, on: str, *, anti: bool = False):
     return big_ds.map_batches(filt, batch_format="pyarrow")
 
 
+def cpu_capped_partitions(requested: int) -> int:
+    """Hash-join partition count bounded by the LIVE CPU count.
+
+    Ray's hash-shuffle join aggregators reserve resources per
+    partition; a partition count far above session parallelism
+    deadlocks small sessions (the components._cc_partitions finding,
+    shared here for every Dataset.join call site). On a real cluster
+    ``requested`` wins — the cap only binds when CPUs are scarce.
+    """
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 2))
+        if ray.is_initialized()
+        else 2
+    )
+    return max(1, min(int(requested), cpus))
+
+
 def hash_join(
     left_ds,
     right_ds,

@@ -417,6 +417,91 @@ def grouped_quantiles_ds(
     )
 
 
+def grouped_rank_values_ds(
+    ds,
+    group_col: str,
+    value_col: str,
+    fracs: list[tuple[int, int]],
+    *,
+    num_partitions: int = 64,
+):
+    """Exact per-group order statistics at INTEGER rank fractions: for
+    each group g (n_g rows) and each ``(num, den)`` in ``fracs``, the
+    value at 0-indexed rank ``(num * (n_g - 1)) // den`` of the group's
+    ascending values.
+
+    The integer-rank variant of :func:`grouped_quantiles_ds`: rank
+    arithmetic is exact (``floor(q * (n-1))`` in float64 can round
+    ``(1/3)·3k`` down to ``k-1``), and the value column keeps its dtype
+    (int64 in, int64 out — no float round-trip). Returns a Dataset of
+    ``(group_col, num, den, value)``.
+
+    Scale plan: identical to grouped_quantiles_ds — ONE hash-partition
+    shuffle on the group column carrying (group, value); a mergesort +
+    run-boundary gather answers every (group, frac) vectorized across
+    all groups in the partition.
+    """
+    import pandas as pd
+
+    from lsearch_ray.functions.dedup import arrow_out, partition_ids
+
+    fracs = [(int(a), int(b)) for a, b in fracs]
+    for _, den in fracs:
+        if den <= 0:
+            raise ValueError("rank fraction denominators must be positive")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col])
+        vals = t[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        t = t.filter(vals.is_valid())
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, [group_col], num_partitions))
+        )
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([group_col, value_col], kind="mergesort")
+        grp = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        n = len(grp)
+        if n == 0:
+            return arrow_out(
+                pd.DataFrame(
+                    {
+                        group_col: g[group_col].iloc[0:0],
+                        "num": np.empty(0, dtype=np.int64),
+                        "den": np.empty(0, dtype=np.int64),
+                        "value": g[value_col].iloc[0:0],
+                    }
+                )
+            )
+        new_run = np.concatenate(([True], grp[1:] != grp[:-1]))
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, n))
+        out = []
+        for num, den in fracs:
+            ranks = (num * (counts - 1)) // den
+            idx = starts + ranks
+            out.append(
+                pd.DataFrame(
+                    {
+                        group_col: grp[starts],
+                        "num": np.full(len(starts), num, dtype=np.int64),
+                        "den": np.full(len(starts), den, dtype=np.int64),
+                        "value": vals[idx],
+                    }
+                )
+            )
+        return arrow_out(pd.concat(out, ignore_index=True))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def value_percentiles_ds(
     ds,
     value_col: str,

@@ -943,3 +943,101 @@ def unigram_nll(
         ),
         batch_format="pyarrow",
     )
+
+
+def perplexity_buckets_ds(
+    docs_ds,
+    *,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    per-doc perplexity proxy under the corpus unigram LM, bucketed PER
+    GROUP (language) into ``n_buckets`` — bucket 0 = head (most
+    fluent), ``n_buckets−1`` = tail.
+
+    Kernel (integer end to end, mirrored by the SQL twin):
+
+    - ``ppl_milli = (nll_micro · 1000) // n_tokens`` (the per-token NLL
+      of :func:`unigram_nll` in milli-micro-nats; floor division);
+    - threshold ``t_b`` = the group's ppl_milli at 0-indexed ascending
+      rank ``(b · (n_g − 1)) // n_buckets`` for b in 1..n_buckets−1;
+    - ``bucket`` = count of thresholds STRICTLY below the doc's
+      ppl_milli (a doc at a threshold falls to the lower bucket).
+
+    Docs that tokenize to nothing have no perplexity and are excluded
+    (the unigram_nll convention). Returns a Dataset of
+    ``(id_col, group_col, n_tokens, ppl_milli, bucket)``.
+
+    Scale plan: unigram_nll (one tokenize pass, vocab-bounded cost
+    join) → one hash join on the doc id to attach the group → one
+    group-keyed shuffle producing the |groups|·(n_buckets−1)-row
+    threshold table (a bounded aggregate, broadcast into the final map
+    pass). No global sort, nothing doc-shaped on the driver — the
+    all-docs rank that NTILE would need is replaced by the two order
+    statistics per group.
+    """
+    from lsearch_ray.functions.joins import cpu_capped_partitions, hash_join
+    from lsearch_ray.functions.quantiles import grouped_rank_values_ds
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be at least 2")
+
+    nll = unigram_nll(
+        docs_ds,
+        text_col=text_col,
+        id_col=id_col,
+        num_partitions=num_partitions,
+    )
+    grp = docs_ds.select_columns([id_col, group_col])
+    joined = hash_join(
+        nll, grp, on=id_col,
+        num_partitions=cpu_capped_partitions(num_partitions),
+    )
+
+    def add_ppl(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["nll_micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppl = (v * 1000) // n  # n ≥ 1: nll rows exist only for token-ful docs
+        return pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "ppl_milli": pa.array(ppl, type=pa.int64()),
+            }
+        )
+
+    ppl = joined.map_batches(add_ppl, batch_format="pyarrow").materialize()
+
+    fracs = [(b, n_buckets) for b in range(1, n_buckets)]
+    th_rows = grouped_rank_values_ds(
+        ppl, group_col, "ppl_milli", fracs, num_partitions=num_partitions
+    ).take_all()  # bounded: |groups| × (n_buckets − 1) rows
+    by_group: dict = {}
+    for r in th_rows:
+        by_group.setdefault(r[group_col], []).append(
+            (int(r["num"]), int(r["value"]))
+        )
+    thresholds = {
+        g: np.array([v for _, v in sorted(pairs)], dtype=np.int64)
+        for g, pairs in by_group.items()
+    }
+
+    def assign(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = b["ppl_milli"].to_numpy(zero_copy_only=False)
+        bucket = np.zeros(len(vals), dtype=np.int64)
+        for g, t in thresholds.items():
+            m = pc.equal(b[group_col], g).to_numpy(zero_copy_only=False)
+            if m.any():
+                # count of thresholds < v  (ties fall to the lower bucket)
+                bucket[m] = np.searchsorted(t, vals[m], side="left")
+        return b.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    return ppl.map_batches(assign, batch_format="pyarrow")
