@@ -3125,6 +3125,26 @@ _LEXICON = {
 }
 
 
+_CMS_K, _CMS_D, _CMS_W, _CMS_SEED = 20, 4, 256, 777
+
+
+def _q_cms_term_counts(sf_dir: str):
+    """Count-Min Sketch term frequencies: the mergeable depth×width
+    integer summary vs the exact counts for the corpus top-20 terms
+    (functions.sketches.cms_term_counts_ds — per-batch bincount
+    partials, one ≤depth·width-row merge, bounded sketch broadcast;
+    cms_est ≥ exact_n one-sided by construction)."""
+    from lsearch_ray.functions.sketches import cms_term_counts_ds
+
+    return cms_term_counts_ds(
+        _docs(sf_dir, ["doc_id", "text"]),
+        k=_CMS_K,
+        depth=_CMS_D,
+        width=_CMS_W,
+        seed=_CMS_SEED,
+    )
+
+
 def _q_perplexity_buckets(sf_dir: str):
     """CCNet-style per-language perplexity terciles: head/middle/tail
     bucket per doc by exact per-group order-statistic thresholds over
@@ -3306,6 +3326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies": _q_hourly_anomalies,
         "lexicon_tags": _q_lexicon_tags,
         "perplexity_buckets": _q_perplexity_buckets,
+        "cms_term_counts": _q_cms_term_counts,
     }
 
 
@@ -4612,6 +4633,38 @@ h{k + 1} AS (SELECT n.node, CAST(CASE WHEN (SELECT t FROM ht{k}) = 0 THEN 0
         f"FROM a{iters} a JOIN h{iters} h ON a.node = h.node ORDER BY doc_id"
     )
     return "\n".join(parts)
+
+
+def _cms_sql() -> str:
+    """Twin of _q_cms_term_counts: replays the sketch EXACTLY — 63-bit
+    FNV token hash (_fnv63_of), row hash ((a_j·(x mod p) + b_j) mod p)
+    mod width with the SAME RandomState(seed) a/b stream embedded as
+    HUGEINT literals (products < 2^122 fit HUGEINT), bucket counts over
+    token occurrences, estimate = min over rows."""
+    from lsearch_ray.functions.sketches import cms_hash_params
+
+    a, b = cms_hash_params(_CMS_D, _CMS_SEED)
+    a_lst = "[" + ", ".join(f"CAST({int(v)} AS HUGEINT)" for v in a) + "]"
+    b_lst = "[" + ", ".join(f"CAST({int(v)} AS HUGEINT)" for v in b) + "]"
+    return (
+        f"WITH toks AS ({_TOKS}), "
+        "tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term), "
+        f"x AS (SELECT term, cnt, ({_fnv63_of('term')}) % {_MERS61} AS xm "
+        "      FROM tc), "
+        "hb AS (SELECT term, cnt, u.j, "
+        f"       CAST((({a_lst}[u.j + 1] * xm + {b_lst}[u.j + 1]) "
+        f"         % {_MERS61}) % {_CMS_W} AS BIGINT) AS bkt "
+        f"      FROM x, UNNEST(range({_CMS_D})) AS u(j)), "
+        "bc AS (SELECT j, bkt, sum(cnt) AS c FROM hb GROUP BY j, bkt), "
+        "est AS (SELECT hb.term, min(bc.c) AS est FROM hb "
+        "        JOIN bc ON bc.j = hb.j AND bc.bkt = hb.bkt "
+        "        GROUP BY hb.term), "
+        "top AS (SELECT term, cnt FROM tc "
+        f"       ORDER BY cnt DESC, term LIMIT {_CMS_K}) "
+        "SELECT top.term, CAST(top.cnt AS BIGINT) AS exact_n, "
+        "       CAST(est.est AS BIGINT) AS cms_est "
+        "FROM top JOIN est USING (term) ORDER BY exact_n DESC, term"
+    )
 
 
 def _lexicon_tags_sql() -> str:
@@ -6097,4 +6150,5 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "                 ELSE 2 END AS BIGINT) AS bucket "
             "FROM p JOIN th USING (lang) ORDER BY p.doc_id"
         ),
+        "cms_term_counts": _cms_sql(),
     }

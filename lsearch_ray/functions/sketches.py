@@ -157,3 +157,145 @@ def heavy_hitters(
     # cut candidate could carry — an unsound certificate.)
     provable = (U == 0) or (len(exact) == k and kth > U)
     return table, {"provably_exact": provable, "bound": U}
+
+
+# --------------------------------------------------------- Count-Min ----
+
+
+def cms_hash_params(depth: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The CMS row hash coefficients, exposed so the SQL twin embeds the
+    SAME (a, b) stream as literals: h_j(x) = ((a_j·x + b_j) mod (2^61−1))
+    mod width, the minhash universal-hash convention
+    (minhash.MinHashSignatures, minhash.py:130-151)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=depth, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=depth, dtype=np.uint64)
+    return a, b
+
+
+def cms_term_counts_ds(
+    docs_ds,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 777,
+    text_col: str = "text",
+):
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, reported as ``(term, exact_n, cms_est)`` for the corpus
+    top-``k`` terms by exact count (ties term-asc).
+
+    The sketch is the genuinely MERGEABLE frequency summary: each batch
+    contributes a depth×width integer partial that sums associatively,
+    so at 100 TB the whole corpus reduces to ``depth·width`` int64s no
+    matter the vocabulary size (the exact groupby this query also runs
+    for its oracle column is the thing a CMS replaces at scale).
+    ``cms_est ≥ exact_n`` always (one-sided error); the overestimate is
+    bounded by 2·T/width with probability 1−2^−depth.
+
+    Kernel (replayed exactly by the SQL twin): token hash = 63-bit
+    FNV-1a, row hash = ((a_j·(x mod p) + b_j) mod p) mod width with
+    p = 2^61−1 and the minhash mulmod; counts are token OCCURRENCES.
+
+    Scale shape: one map pass emits per-batch (row, bucket, count)
+    partials (≤ depth·width rows per batch via bincount), one tiny
+    groupby merges them; the bounded sketch broadcasts into the top-k
+    estimate lookup. The exact top-k rides the combiner-style
+    value-counts partial + term groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    from lsearch_ray.analyzer import flat_tokens_arrow
+    from lsearch_ray.corpus import fnv1a64
+    from lsearch_ray.functions.minhash import _MERSENNE, _mulmod_mersenne61
+
+    a, b = cms_hash_params(depth, seed)
+    w64 = np.uint64(width)
+
+    def _buckets(x: np.ndarray) -> np.ndarray:
+        """depth×n bucket ids for 63-bit hashes x."""
+        xm = x % _MERSENNE
+        out = np.empty((depth, len(x)), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(depth):
+                v = (_mulmod_mersenne61(a[j], xm) + b[j]) % _MERSENNE
+                out[j] = (v % w64).astype(np.int64)
+        return out
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        _, flat = flat_tokens_arrow(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "j": pa.array([], type=pa.int64()),
+                    "bkt": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        bk = _buckets(fnv1a64(flat).astype(np.uint64))
+        js, bs, cs = [], [], []
+        for j in range(depth):
+            cnt = np.bincount(bk[j], minlength=width)
+            nz = np.flatnonzero(cnt)
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            bs.append(nz.astype(np.int64))
+            cs.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js)),
+                "bkt": pa.array(np.concatenate(bs)),
+                "c": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    rows = (
+        docs_ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby(["j", "bkt"])
+        .aggregate(Sum("c", alias_name="n"))
+        .take_all()  # bounded: ≤ depth·width rows
+    )
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        sketch[int(r["j"]), int(r["bkt"])] = int(r["n"])
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        _, flat = flat_tokens_arrow(batch[text_col])
+        uniq, cnt = _value_counts(flat)
+        return pa.table(
+            {
+                "term": pc.cast(uniq, pa.large_string()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    top = (
+        docs_ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="exact_n"))
+        .sort(["exact_n", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    if len(top):
+        terms = pa.array(top["term"].tolist(), type=pa.large_string())
+        bk = _buckets(fnv1a64(terms).astype(np.uint64))
+        est = sketch[np.arange(depth)[:, None], bk].min(axis=0)
+    else:
+        est = np.empty(0, dtype=np.int64)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(top["term"].tolist(), type=pa.string()),
+                "exact_n": pa.array(
+                    top["exact_n"].to_numpy(dtype=np.int64)
+                    if len(top)
+                    else [],
+                    type=pa.int64(),
+                ),
+                "cms_est": pa.array(est, type=pa.int64()),
+            }
+        )
+    )
