@@ -3125,6 +3125,24 @@ _LEXICON = {
 }
 
 
+_CONT_THR, _CONT_MAXDF = 500_000, 64
+
+
+def _q_containment_pairs(sf_dir: str):
+    """Overlap-coefficient (containment) near-dup pairs: |A∩B| over
+    min(|A|,|B|) of the distinct 5-shingle sets, ≥ 0.5 — the
+    subset-duplication measure Jaccard dilutes
+    (functions.containment.containment_pairs_ds — shingle-df-capped
+    candidate shuffle, exact distributed set-intersection verify)."""
+    from lsearch_ray.functions.containment import containment_pairs_ds
+
+    return containment_pairs_ds(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold_micro=_CONT_THR,
+        max_df=_CONT_MAXDF,
+    )
+
+
 _CMS_K, _CMS_D, _CMS_W, _CMS_SEED = 20, 4, 256, 777
 
 
@@ -3327,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon_tags": _q_lexicon_tags,
         "perplexity_buckets": _q_perplexity_buckets,
         "cms_term_counts": _q_cms_term_counts,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -4633,6 +4652,38 @@ h{k + 1} AS (SELECT n.node, CAST(CASE WHEN (SELECT t FROM ht{k}) = 0 THEN 0
         f"FROM a{iters} a JOIN h{iters} h ON a.node = h.node ORDER BY doc_id"
     )
     return "\n".join(parts)
+
+
+def _containment_sql() -> str:
+    """Twin of _q_containment_pairs: string 5-gram shingles (the
+    dupspans convention — engine hash injectivity assumed), candidates
+    restricted to pairs sharing a df-[2,max_df] shingle, intersection
+    counted on the FULL distinct sets, integer floor-division
+    cont_micro."""
+    return (
+        _DUPSPAN_TOKS_SQL
+        + f""",
+sh AS (SELECT DISTINCT doc_id, {_SH5_SQL} AS s
+       FROM l, UNNEST(range(1, greatest(len(toks) - 4, 0) + 1)) AS u(i)
+       WHERE len(toks) >= 5),
+dfc AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)
+         WHERE c BETWEEN 2 AND {_CONT_MAXDF}),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+i AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+      JOIN cand ON cand.a = sa.doc_id AND cand.b = sb.doc_id
+      GROUP BY 1, 2),
+p AS (SELECT i.a, i.b, CAST(i.n_inter AS BIGINT) AS n_inter,
+      CAST((i.n_inter * 1000000) // least(za.n, zb.n) AS BIGINT)
+        AS cont_micro
+      FROM i JOIN sz za ON za.doc_id = i.a
+             JOIN sz zb ON zb.doc_id = i.b)
+SELECT a, b, n_inter, cont_micro FROM p
+WHERE cont_micro >= {_CONT_THR} ORDER BY a, b"""
+    )
 
 
 def _cms_sql() -> str:
@@ -6151,4 +6202,5 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
             "FROM p JOIN th USING (lang) ORDER BY p.doc_id"
         ),
         "cms_term_counts": _cms_sql(),
+        "containment_pairs": _containment_sql(),
     }
