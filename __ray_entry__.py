@@ -3125,6 +3125,26 @@ _LEXICON = {
 }
 
 
+_SEMDEDUP_TAU = 400_000
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-clustered embeddings,
+    within-cluster cosine ≥ 0.4 edges on the shared 6-dp grid,
+    keep-min-per-component survivors
+    (functions.semdedup.semdedup_survivors_ds — broadcast-centroid
+    assignment, one cluster-keyed edge shuffle, distributed
+    components)."""
+    from lsearch_ray.functions.semdedup import semdedup_survivors_ds
+
+    return semdedup_survivors_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        tau_micro=_SEMDEDUP_TAU,
+    )
+
+
 _CONT_THR, _CONT_MAXDF = 500_000, 64
 
 
@@ -3346,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "cms_term_counts": _q_cms_term_counts,
         "containment_pairs": _q_containment_pairs,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -3480,14 +3501,9 @@ def _redact_sql() -> str:
     )
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
-    """Lloyd k-means unrolled as CTEs — the exact twin of
-    functions/kmeans.kmeans_assign: init from the k lowest vec_ids in id
-    order, squared-euclidean distances rounded half-up to 6 dp before
-    the argmin (ties → lowest cluster), per-dim AVG centroids rounded to
-    the same grid each iteration, a final assignment against the last
-    centroids. The shared fixed-point grid is what makes float
-    summation-order differences between DuckDB and numpy invisible."""
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """The Lloyd-k-means CTE chain shared by _kmeans_sql and the
+    semdedup twin; the final assignment lives in CTE ``a{iters}``."""
     rnd = "floor({} * 1000000 + 0.5) / 1000000"
     parts = [
         "WITH e AS (SELECT vec_id, d, v FROM ("
@@ -3515,8 +3531,19 @@ def _kmeans_sql(k: int, iters: int) -> str:
                 f"c{i + 1} AS (SELECT a.cl, e.d, {cent} AS v "
                 f"        FROM a{i} a JOIN e USING (vec_id) GROUP BY a.cl, e.d)"
             )
+    return ", ".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Lloyd k-means unrolled as CTEs — the exact twin of
+    functions/kmeans.kmeans_assign: init from the k lowest vec_ids in id
+    order, squared-euclidean distances rounded half-up to 6 dp before
+    the argmin (ties → lowest cluster), per-dim AVG centroids rounded to
+    the same grid each iteration, a final assignment against the last
+    centroids. The shared fixed-point grid is what makes float
+    summation-order differences between DuckDB and numpy invisible."""
     return (
-        ", ".join(parts)
+        _kmeans_ctes(k, iters)
         + f" SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters} "
         "ORDER BY vec_id"
     )
@@ -4652,6 +4679,27 @@ h{k + 1} AS (SELECT n.node, CAST(CASE WHEN (SELECT t FROM ht{k}) = 0 THEN 0
         f"FROM a{iters} a JOIN h{iters} h ON a.node = h.node ORDER BY doc_id"
     )
     return "\n".join(parts)
+
+
+def _semdedup_sql() -> str:
+    """Twin of _q_semdedup: the unrolled Lloyd CTEs (shared with
+    _kmeans_sql), within-cluster pairs scored with DuckDB's
+    list_cosine_similarity rounded to the SAME 6-dp grid as the
+    engine's normalized matmul, then the recursive keep-min-survivor
+    closure (_cc_survivors_sql)."""
+    edges = (
+        _kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)
+        + ", m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "          FROM embeddings), "
+        f"asg AS (SELECT vec_id, cl FROM a{_KMEANS_ITERS}), "
+        "edges AS (SELECT x.vec_id AS a, y.vec_id AS b "
+        "  FROM asg x JOIN asg y ON x.cl = y.cl AND x.vec_id < y.vec_id "
+        "  JOIN m mx ON mx.vec_id = x.vec_id "
+        "  JOIN m my ON my.vec_id = y.vec_id "
+        "  WHERE CAST(floor(list_cosine_similarity(mx.v, my.v) "
+        f"    * 1000000 + 0.5) AS BIGINT) >= {_SEMDEDUP_TAU})"
+    )
+    return _cc_survivors_sql(edges, "embeddings", "vec_id")
 
 
 def _containment_sql() -> str:
@@ -6203,4 +6251,5 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         ),
         "cms_term_counts": _cms_sql(),
         "containment_pairs": _containment_sql(),
+        "semdedup": _semdedup_sql(),
     }
