@@ -3209,6 +3209,22 @@ def _q_lexicon_tags(sf_dir: str):
     ).sort("doc_id")
 
 
+_VOCAB_GROWTH_BUCKETS = 8
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth: distinct-term count of each corpus
+    prefix over an 8-step doc_id ladder — the crawl-saturation /
+    tokenizer-budget diagnostic (functions.ngrams.vocab_growth_ds — one
+    term-keyed groupby-min shuffle, bucket bincount partials, driver
+    holds only the 8-row bucket table)."""
+    from lsearch_ray.functions.ngrams import vocab_growth_ds
+
+    return vocab_growth_ds(
+        _docs(sf_dir, ["doc_id", "text"]), n_buckets=_VOCAB_GROWTH_BUCKETS
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tf_triples": _q_tf_triples,
@@ -3367,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": _q_cms_term_counts,
         "containment_pairs": _q_containment_pairs,
         "semdedup": _q_semdedup,
+        "vocab_growth": _q_vocab_growth,
     }
 
 
@@ -6252,4 +6269,18 @@ GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 10
         "cms_term_counts": _cms_sql(),
         "containment_pairs": _containment_sql(),
         "semdedup": _semdedup_sql(),
+        "vocab_growth": f"""
+WITH toks AS ({_TOKS}),
+bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+firsts AS (SELECT term, min(doc_id) AS md FROM toks GROUP BY term),
+buckets AS (
+  SELECT CAST(g.i AS BIGINT) AS bucket,
+         lo + ((hi - lo + 1) * g.i + {_VOCAB_GROWTH_BUCKETS} - 1)
+              // {_VOCAB_GROWTH_BUCKETS} AS doc_id_lt
+  FROM generate_series(1, {_VOCAB_GROWTH_BUCKETS}) AS g(i), bounds
+)
+SELECT b.bucket, b.doc_id_lt, count(f.term) AS vocab_size
+FROM buckets b LEFT JOIN firsts f ON f.md < b.doc_id_lt
+GROUP BY 1, 2 ORDER BY 1
+""",
     }

@@ -1277,3 +1277,93 @@ def oov_rate_by_slice_ds(
         )
 
     return agg.map_batches(final, batch_format="pyarrow").sort(slice_col)
+
+
+def vocab_growth_ds(ds, *, n_buckets: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Heaps'-law vocabulary growth curve: distinct-term count of the
+    corpus prefix ``doc_id < thr_i`` for an equal-width ladder of
+    ``n_buckets`` thresholds over the id range — the tokenizer-budget /
+    crawl-saturation diagnostic ("how fast is new vocabulary still
+    arriving?").
+
+    Plan shape: per-batch (term → min doc_id) partials (one arrow
+    group_by per batch), ONE term-keyed groupby-min shuffle, then each
+    term folds into the bincount bucket of its FIRST appearance
+    (searchsorted against the broadcast ladder) so the driver only ever
+    holds ``n_buckets`` partial rows — the vocabulary itself never
+    leaves the cluster. Cumulative sum over the tiny bucket table gives
+    the curve. Generalizes the reference's corpus-scan counting
+    (`search.rs:274-276`) into a prefix-distinct analytic.
+
+    Returns (bucket:int64 1-based, doc_id_lt:int64, vocab_size:int64),
+    sorted by bucket.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    bounds = ds.aggregate(
+        Min(id_col, alias_name="lo"), Max(id_col, alias_name="hi")
+    )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    thrs = np.array(
+        [lo + (span * i + n_buckets - 1) // n_buckets
+         for i in range(1, n_buckets + 1)],
+        dtype=np.int64,
+    )
+
+    def first_seen_partial(batch: pa.Table) -> pa.Table:
+        parents, flat = flat_tokens_arrow(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.large_string()),
+                    "md": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"term": flat, "md": pa.array(ids[parents])})
+        g = t.group_by(["term"]).aggregate([("md", "min")])
+        return pa.table({"term": g["term"], "md": g["md_min"]})
+
+    firsts = (
+        ds.map_batches(first_seen_partial, batch_format="pyarrow")
+        .groupby("term")
+        .min("md")
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        md = t["min(md)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # first bucket whose threshold exceeds md (md <= hi < thrs[-1],
+        # so every term lands inside the ladder)
+        b = np.searchsorted(thrs, md, side="right")
+        cnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(1, n_buckets + 1, dtype=np.int64)
+                ),
+                "n_new": pa.array(cnt),
+            }
+        )
+
+    rows = (
+        firsts.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+        .take_all()
+    )  # <= n_buckets rows: the only driver-side state
+    new_by_bucket = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        new_by_bucket[int(r["bucket"]) - 1] = int(r["n_new"])
+    out = pa.table(
+        {
+            "bucket": pa.array(np.arange(1, n_buckets + 1, dtype=np.int64)),
+            "doc_id_lt": pa.array(thrs),
+            "vocab_size": pa.array(np.cumsum(new_by_bucket).astype(np.int64)),
+        }
+    )
+    return rd.from_arrow(out)

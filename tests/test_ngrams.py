@@ -565,3 +565,44 @@ def test_oov_rate_by_slice_matches_reference():
         want_micro = oov * 10**6 // len(mine) if mine else 0
         assert int(row["oov_micro"]) == want_micro, lang
     assert got.index.tolist() == ["de", "en", "fr"]
+
+
+def test_vocab_growth_matches_python_reference():
+    """Curve equals the per-prefix distinct-token count of a sequential
+    replay, including empty buckets and a sparse / offset doc_id range."""
+    from lsearch_ray.functions.ngrams import vocab_growth_ds
+
+    texts = [
+        "alpha beta gamma",
+        "beta delta",
+        "",  # contributes nothing
+        "alpha epsilon zeta",
+        "zeta eta",
+        "theta",
+        "beta beta beta",  # no new vocab
+        "iota kappa",
+    ]
+    ids = [3, 5, 6, 11, 12, 20, 21, 30]  # sparse, non-zero-based
+    n_buckets = 4
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    out = (
+        vocab_growth_ds(rd.from_arrow(tbl), n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+    lo, hi = min(ids), max(ids)
+    span = hi - lo + 1
+    thrs = [lo + (span * i + n_buckets - 1) // n_buckets for i in range(1, n_buckets + 1)]
+    for i, thr in enumerate(thrs):
+        vocab = set()
+        for did, s in zip(ids, texts):
+            if did < thr:
+                vocab.update(re.findall(r"[a-z0-9]+", s.lower()))
+        row = out.iloc[i]
+        assert int(row["bucket"]) == i + 1
+        assert int(row["doc_id_lt"]) == thr
+        assert int(row["vocab_size"]) == len(vocab)
+    # curve is monotone and ends at the full vocabulary
+    assert list(out["vocab_size"]) == sorted(out["vocab_size"])
