@@ -3209,6 +3209,24 @@ def _q_lexicon_tags(sf_dir: str):
     ).sort("doc_id")
 
 
+_SPELL_TERMS = ["ag", "merge", "qury", "sow"]
+_SPELL_K = 5
+
+
+def _q_spell_suggest(sf_dir: str):
+    """Did-you-mean: top-5 vocabulary terms within Levenshtein ≤ 1 of
+    each (misspelled) query term, ranked by (df desc, term asc)
+    (functions.editdist.spell_suggestions_ds — the df combiner shuffle
+    is the only exchange; candidates verified map-side with the
+    vectorized edit1 alignment kernel against the broadcast query
+    terms, ranked by the grouped top-k prune)."""
+    from lsearch_ray.functions.editdist import spell_suggestions_ds
+
+    return spell_suggestions_ds(
+        _docs(sf_dir, ["doc_id", "text"]), _SPELL_TERMS, k=_SPELL_K
+    )
+
+
 _VOCAB_GROWTH_BUCKETS = 8
 
 
@@ -3384,6 +3402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "semdedup": _q_semdedup,
         "vocab_growth": _q_vocab_growth,
+        "spell_suggest": _q_spell_suggest,
     }
 
 
@@ -6282,5 +6301,18 @@ buckets AS (
 SELECT b.bucket, b.doc_id_lt, count(f.term) AS vocab_size
 FROM buckets b LEFT JOIN firsts f ON f.md < b.doc_id_lt
 GROUP BY 1, 2 ORDER BY 1
+""",
+        "spell_suggest": f"""
+WITH toks AS ({_TOKS}),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+q AS (SELECT unnest([{", ".join(f"'{t}'" for t in sorted(_SPELL_TERMS))}]) AS qterm),
+cand AS (SELECT q.qterm, df.term, df.df
+         FROM q JOIN df ON levenshtein(q.qterm, df.term) <= 1),
+ranked AS (SELECT qterm, term, df,
+                  row_number() OVER (PARTITION BY qterm
+                                     ORDER BY df DESC, term) AS rn
+           FROM cand)
+SELECT qterm, term, df, rn FROM ranked WHERE rn <= {_SPELL_K}
+ORDER BY qterm, rn
 """,
     }

@@ -204,3 +204,83 @@ def edit1_matches_ds(
         return b.select(["a", "b", "nm_a", "nm_b"]).filter(pa.array(keep))
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def spell_suggestions_ds(
+    docs_ds,
+    query_terms: list[str],
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Did-you-mean spell correction: for each query term, the top-k
+    corpus vocabulary terms within Levenshtein distance ≤ 1, ranked by
+    (document frequency desc, term asc) — the query-assist companion to
+    the reference's substring matching (`search.rs:233-248` Has), which
+    offers no fuzzy recovery for misspelled targets.
+
+    Plan shape: the df aggregate (``pipelines.fulltext.term_df``, one
+    combiner-first term shuffle) is the ONLY data-sized exchange. The
+    query side is tiny and travels in the map closure: each vocabulary
+    batch is length-prefiltered per query term (|len−len(q)| ≤ 1) and
+    exact-verified with the vectorized :func:`edit1_mask` alignment
+    kernel — no per-pair Python, no vocabulary collect. Survivors are
+    ranked by the grouped top-k (per-block lossless prune + one
+    group-keyed shuffle of ≤ k·|Q| rows per block).
+
+    Returns (qterm, term, df, rn) with rn ∈ [1, k].
+    """
+    from lsearch_ray.functions.grouped import grouped_topk_ds
+    from lsearch_ray.pipelines.fulltext import term_df
+
+    qterms = sorted(set(q for q in query_terms if q))
+    qlens = np.array([len(q.encode()) for q in qterms], dtype=np.int64)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        terms = b["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        tl = pc.binary_length(terms).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q: list[str] = []
+        out_t: list[pa.Array] = []
+        out_d: list[np.ndarray] = []
+        for q, ql in zip(qterms, qlens):
+            near = np.abs(tl - ql) <= 1
+            if not near.any():
+                continue
+            cand = terms.filter(pa.array(near))
+            names = cand.to_pylist()
+            ok = edit1_mask([q] * len(names), names)
+            if not ok.any():
+                continue
+            out_q.extend([q] * int(ok.sum()))
+            out_t.append(cand.filter(pa.array(ok)))
+            out_d.append(df[near][ok])
+        if not out_q:
+            return pa.table(
+                {
+                    "qterm": pa.array([], type=pa.large_string()),
+                    "term": pa.array([], type=pa.large_string()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "qterm": pa.array(out_q, type=pa.large_string()),
+                "term": pa.concat_arrays(
+                    [a.cast(pa.large_string()) for a in out_t]
+                ),
+                "df": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    cand = term_df(docs_ds, text_col, id_col).map_batches(
+        candidates, batch_format="pyarrow"
+    )
+    return grouped_topk_ds(
+        cand, "qterm", "df", id_col="term", k=k
+    )

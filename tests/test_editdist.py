@@ -82,3 +82,62 @@ def test_edit1_matches_null_names_never_match():
     )
     out = edit1_matches_ds(rd.from_arrow(t), "s", "id").take_all()
     assert out == []
+
+
+def test_spell_suggestions_matches_python_reference():
+    """Suggestions equal a brute-force Levenshtein<=1 scan of the exact
+    df table, ranked (df desc, term asc), top-k per query term."""
+    import re
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.editdist import spell_suggestions_ds
+
+    texts = [
+        "cat hat bat cat",
+        "hat rat",
+        "cart cat chat",
+        "dog dig dug dog dog",
+        "zebra",
+        "hat cat",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    qterms = ["cat", "dg", "zzz", "hhat"]
+    k = 3
+    out = (
+        spell_suggestions_ds(rd.from_arrow(tbl), qterms, k=k)
+        .to_pandas()
+        .sort_values(["qterm", "rn"])
+        .reset_index(drop=True)
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    df: dict[str, set[int]] = {}
+    for did, s in enumerate(texts):
+        for t in re.findall(r"[a-z0-9]+", s.lower()):
+            df.setdefault(t, set()).add(did)
+    expected = []
+    for q in sorted(set(qterms)):
+        cands = sorted(
+            ((t, len(d)) for t, d in df.items() if lev(q, t) <= 1),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        for rn, (t, n) in enumerate(cands, 1):
+            expected.append((q, t, n, rn))
+    got = [
+        (r.qterm, r.term, int(r.df), int(r.rn)) for r in out.itertuples()
+    ]
+    assert got == expected
+    assert all(q != "zzz" for q, *_ in got)  # no-match term yields nothing
