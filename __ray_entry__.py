@@ -3209,6 +3209,62 @@ def _q_lexicon_tags(sf_dir: str):
     ).sort("doc_id")
 
 
+def _derive_snapshot_b(batch: pa.Table) -> pa.Table:
+    """Deterministic recrawl snapshot B from snapshot A (the documents
+    table): doc_id % 11 == 0 dropped (removed), % 7 == 0 survivors get
+    ' updated' appended (changed), % 13 == 0 spawn a new doc at
+    doc_id + 10^9 with ' new' appended (added). Pure arithmetic on the
+    batch so engine and SQL twin derive the identical snapshot."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    keep = ids % 11 != 0
+    kept = pa.array(keep)
+    kept_ids = ids[keep]
+    kept_text = text.filter(kept)
+    updated = pc.binary_join_element_wise(
+        kept_text, pa.scalar("updated"), pa.scalar(" ")
+    )
+    kept_text = pc.if_else(pa.array(kept_ids % 7 == 0), updated, kept_text)
+    add = ids % 13 == 0
+    add_text = pc.binary_join_element_wise(
+        text.filter(pa.array(add)), pa.scalar("new"), pa.scalar(" ")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([kept_ids, ids[add] + 1_000_000_000])
+            ),
+            "text": pa.concat_arrays(
+                [kept_text.cast(pa.string()), add_text.cast(pa.string())]
+            ),
+        }
+    )
+
+
+def _q_crawl_diff(sf_dir: str):
+    """Recrawl snapshot diff: every url of snapshot A ∪ B classified
+    added / removed / changed / same by 63-bit content fingerprint
+    (functions.snapshot.snapshot_diff_ds — both sides fingerprinted
+    map-side so the single key-keyed groupby-max shuffle carries
+    (key, fp64) rows, never payloads; no join operator)."""
+    from lsearch_ray.functions import fingerprint
+    from lsearch_ray.functions.snapshot import snapshot_diff_ds
+
+    def fp(ds):
+        return ds.map_batches(
+            lambda t: fingerprint(t).select(["doc_id", "fp64"]),
+            batch_format="pyarrow",
+        )
+
+    a = _docs(sf_dir, ["doc_id", "text"])
+    b = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _derive_snapshot_b, batch_format="pyarrow"
+    )
+    return snapshot_diff_ds(fp(a), fp(b))
+
+
 _SPELL_TERMS = ["ag", "merge", "qury", "sow"]
 _SPELL_K = 5
 
@@ -3403,6 +3459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "vocab_growth": _q_vocab_growth,
         "spell_suggest": _q_spell_suggest,
+        "crawl_diff": _q_crawl_diff,
     }
 
 
@@ -3639,12 +3696,21 @@ def _mixed_hash63_of(expr: str) -> str:
     )
 
 
-def _fingerprint_sql() -> str:
-    """Exact SQL twin of functions.textstats.fingerprint: 63-bit FNV of
-    each token, rolling-combined in token order with the same mult-mod,
-    final 63-bit mask; token-less docs keep the masked offset basis."""
-    return f"""
-WITH toks AS ({_ORDERED_TOKS}),
+def _fp_rel(src: str) -> str:
+    """fp64-per-doc subquery over relation ``src`` (doc_id, text) — the
+    fingerprint twin parametrized over its source so derived snapshots
+    (crawl_diff) reuse the exact arithmetic."""
+    ordered = (
+        "SELECT doc_id, term, pos FROM ("
+        "  SELECT doc_id, unnest(toks) AS term,"
+        "         generate_subscripts(toks, 1) AS pos"
+        "  FROM (SELECT doc_id,"
+        "               string_split_regex(lower(text), '[^a-z0-9]+') AS toks"
+        f"        FROM {src})"
+        ") WHERE term <> ''"
+    )
+    return f"""(
+WITH toks AS ({ordered}),
 dt AS (SELECT DISTINCT term FROM toks),
 th AS (SELECT term, {_fnv63_of('term')} AS h FROM dt),
 ordered AS (
@@ -3660,8 +3726,14 @@ fp AS (
 SELECT d.doc_id,
        coalesce(fp.fp64,
                 CAST(14695981039346656037 % 9223372036854775808 AS BIGINT)) AS fp64
-FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
-"""
+FROM {src} d LEFT JOIN fp ON d.doc_id = fp.doc_id)"""
+
+
+def _fingerprint_sql() -> str:
+    """Exact SQL twin of functions.textstats.fingerprint: 63-bit FNV of
+    each token, rolling-combined in token order with the same mult-mod,
+    final 63-bit mask; token-less docs keep the masked offset basis."""
+    return f"SELECT * FROM {_fp_rel('documents')}"
 
 
 def _langid_sql() -> str:
@@ -6314,5 +6386,24 @@ ranked AS (SELECT qterm, term, df,
            FROM cand)
 SELECT qterm, term, df, rn FROM ranked WHERE rn <= {_SPELL_K}
 ORDER BY qterm, rn
+""",
+        "crawl_diff": f"""
+WITH b_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text || ' new' AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+fa AS (SELECT * FROM {_fp_rel('documents')}),
+fb AS (SELECT * FROM {_fp_rel('b_docs')})
+SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+       CASE WHEN fb.doc_id IS NULL THEN 'removed'
+            WHEN fa.doc_id IS NULL THEN 'added'
+            WHEN fa.fp64 = fb.fp64 THEN 'same'
+            ELSE 'changed' END AS status
+FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+ORDER BY 1
 """,
     }
