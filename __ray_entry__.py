@@ -3265,6 +3265,17 @@ def _q_crawl_diff(sf_dir: str):
     return snapshot_diff_ds(fp(a), fp(b))
 
 
+def _q_dedup_recall(sf_dir: str):
+    """Near-dup evaluation harness: recall/precision of the MinHash
+    banding candidate stage vs the COMPLETE exact-Jaccard ≥ 0.8 truth
+    (functions.minhash.dedup_recall_table — truth from the uncapped
+    shared-shingle shuffle, hit counting hash-partitioned on the pair
+    key; one metrics row reaches the driver)."""
+    from lsearch_ray.functions.minhash import dedup_recall_table
+
+    return dedup_recall_table(_docs(sf_dir, ["doc_id", "text"]))
+
+
 _SPELL_TERMS = ["ag", "merge", "qury", "sow"]
 _SPELL_K = 5
 
@@ -3460,6 +3471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "spell_suggest": _q_spell_suggest,
         "crawl_diff": _q_crawl_diff,
+        "dedup_recall": _q_dedup_recall,
     }
 
 
@@ -4456,6 +4468,23 @@ def _minhash_edges_cte() -> str:
       form of ``(sig_a == sig_b).mean() >= 0.8``);
     - token-less docs carry the masked MAXH signature like the engine.
     """
+    min_eq = next(k for k in range(129) if k / 128 >= 0.8)
+    return f"""
+WITH {_minhash_band_body()},
+edges AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+  HAVING sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_eq}
+)"""
+
+
+def _minhash_band_body() -> str:
+    """The signature/banding replay of :func:`_minhash_edges_cte` up to
+    the UNVERIFIED candidate pairs — CTE body only (``otoks`` …
+    ``cand``, plus ``sig`` for verifiers), shared by the dedup twin and
+    the dedup_recall harness twin."""
     import numpy as np
 
     rng = np.random.RandomState(12345)
@@ -4464,12 +4493,10 @@ def _minhash_edges_cte() -> str:
     perm_rows = ", ".join(
         f"({p}, {int(a[p])}, {int(b[p])})" for p in range(128)
     )
-    min_eq = next(k for k in range(129) if k / 128 >= 0.8)
     s1 = f"xor({_mul_shingle64('hs[i]')}, hs[i+1])"
     s2 = f"xor({_mul_shingle64(s1)}, hs[i+2])"
     short2 = f"xor({_mul_shingle64('hs[1]')}, hs[2])"
-    return f"""
-WITH otoks AS ({_ORDERED_TOKS}),
+    return f"""otoks AS ({_ORDERED_TOKS}),
 dt AS (SELECT DISTINCT term FROM otoks),
 th AS (SELECT term, ({_fnv63_of('term')}) AS h FROM dt),
 hl AS (SELECT t.doc_id, list(th.h ORDER BY t.pos) AS hs
@@ -4515,13 +4542,6 @@ cand AS (
   WHERE x.cnt <= 64
   UNION
   SELECT mn AS a, doc_id AS b FROM bkt WHERE cnt > 64 AND doc_id <> mn
-),
-edges AS (
-  SELECT c.a, c.b FROM cand c
-  JOIN sig sa ON sa.doc_id = c.a
-  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
-  GROUP BY c.a, c.b
-  HAVING sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) >= {min_eq}
 )"""
 
 
@@ -6405,5 +6425,21 @@ SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
 ORDER BY 1
+""",
+        "dedup_recall": f"""
+WITH {_minhash_band_body()},
+{_ngram_edges_body('documents')},
+hit AS (SELECT a, b FROM cand INTERSECT SELECT a, b FROM edges),
+m AS (SELECT (SELECT count(*) FROM edges) AS n_true,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM hit) AS n_hit)
+SELECT n_true, n_cand, n_hit,
+       CAST(CASE WHEN n_true = 0 THEN 1000000
+                 ELSE n_hit * 1000000 // n_true END AS BIGINT)
+         AS recall_micro,
+       CAST(CASE WHEN n_cand = 0 THEN 1000000
+                 ELSE n_hit * 1000000 // n_cand END AS BIGINT)
+         AS precision_micro
+FROM m
 """,
     }

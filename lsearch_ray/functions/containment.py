@@ -82,30 +82,30 @@ def _doc_shingle_lists(
     return out
 
 
-def containment_pairs_ds(
+def shared_shingle_candidates_ds(
     docs_ds,
+    lists_fn,
     *,
-    ngram: int = 5,
-    threshold_micro: int = 500_000,
-    max_df: int = 64,
     id_col: str = "doc_id",
-    text_col: str = "text",
     num_partitions: int = 32,
+    max_df: int | None = 64,
 ):
-    """Doc pairs with overlap coefficient ≥ ``threshold_micro`` / 10⁶:
-    ``(a, b, n_inter, cont_micro)``, a < b, sorted by (a, b)."""
+    """Distinct unordered doc pairs sharing ≥ 1 shingle whose global df
+    is in ``[2, max_df]`` (``max_df=None`` = uncapped — COMPLETE for any
+    positive-overlap measure, since a pair with |A∩B| ≥ 1 shares a
+    shingle). ``lists_fn(batch) -> list[np.ndarray]`` supplies each
+    row's sorted-distinct shingle hashes, so callers pick the shingle
+    convention (full-window 5-grams for containment, minhash 3-grams
+    with the short-doc fold for exact Jaccard). Two hash-partition
+    exchanges: one on the shingle (a partition holds every row of its
+    shingles, so run length IS global df), one on the pair key for the
+    multi-bucket dedup. Returns a materialized (a, b) Dataset."""
     import pandas as pd
-    import ray.data as rd
 
-    from lsearch_ray.functions.cluster import (
-        attach_pair_payloads,
-        blob_lists,
-        list_to_blob,
-    )
     from lsearch_ray.functions.sparse import _emit_index_pairs
 
     def sh_part(b: pa.Table) -> pa.Table:
-        lists = _doc_shingle_lists(b, ngram, id_col, text_col)
+        lists = lists_fn(b)
         lens = np.array([len(u) for u in lists], dtype=np.int64)
         flat = (
             np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
@@ -134,7 +134,9 @@ def containment_pairs_ds(
         run_starts = np.concatenate(([0], change, [len(sh)]))
         L = np.diff(run_starts)
         # a partition holds every row of its shingles → run len == global df
-        keep = (L >= 2) & (L <= max_df)
+        keep = L >= 2
+        if max_df is not None:
+            keep &= L <= max_df
         ia, ib = _emit_index_pairs(run_starts, keep)
         t = pa.table({"a": pa.array(doc[ia]), "b": pa.array(doc[ib])})
         return t.append_column(
@@ -151,13 +153,42 @@ def containment_pairs_ds(
         )
         return arrow_out(pd.DataFrame({"a": a[first], "b": b[first]}))
 
-    cand = (
+    return (
         docs_ds.map_batches(sh_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(pairs_partition, batch_format="pandas")
         .groupby("__p2")
         .map_groups(distinct_pairs, batch_format="pandas")
         .materialize()
+    )
+
+
+def containment_pairs_ds(
+    docs_ds,
+    *,
+    ngram: int = 5,
+    threshold_micro: int = 500_000,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+):
+    """Doc pairs with overlap coefficient ≥ ``threshold_micro`` / 10⁶:
+    ``(a, b, n_inter, cont_micro)``, a < b, sorted by (a, b)."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.cluster import (
+        attach_pair_payloads,
+        blob_lists,
+        list_to_blob,
+    )
+
+    cand = shared_shingle_candidates_ds(
+        docs_ds,
+        lambda b: _doc_shingle_lists(b, ngram, id_col, text_col),
+        id_col=id_col,
+        num_partitions=num_partitions,
+        max_df=max_df,
     )
     if cand.count() == 0:
         return rd.from_arrow(_EMPTY_PAIRS)

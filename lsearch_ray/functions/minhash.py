@@ -562,3 +562,193 @@ def fuzzy_decontaminate(
     flagged = joined.map_batches(verify, batch_format="pyarrow")
     # a corpus doc may match several bench docs — distinct ids out
     return exact_dedup(flagged, [id_col], [id_col], num_partitions=np_eff)
+
+
+def exact_jaccard_pairs_ds(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    num_partitions: int = 32,
+    max_df: int | None = None,
+):
+    """COMPLETE exact n-gram Jaccard ≥ threshold pairs — the ground
+    truth the banded stages approximate. Candidates come from the
+    shared-shingle shuffle (``containment.shared_shingle_candidates_ds``
+    — any pair with J > 0 shares a shingle, so ``max_df=None`` is
+    complete by construction, not probabilistically); verification is
+    the exact sorted-set intersection on blob-joined shingle sets.
+    Shingle identity matches MinHash's (3-gram rolling hash, short-doc
+    fold), so this is the exact counterpart of the banding candidates.
+
+    Scale note: per-shingle pair fan-out is df·(df−1)/2 — at corpus
+    scale a production caller sets ``max_df`` (an over-cap shingle is
+    boilerplate), explicitly narrowing the truth definition; the
+    uncapped default is the evaluation-harness / oracle-parity form.
+    """
+    import ray.data as rd
+
+    from lsearch_ray.functions.cluster import (
+        attach_pair_payloads,
+        blob_lists,
+        list_to_blob,
+    )
+    from lsearch_ray.functions.containment import (
+        shared_shingle_candidates_ds,
+    )
+
+    sets = ShingleSets(ngram, text_col, id_col)
+
+    def lists_fn(b: pa.Table):
+        t = sets(b)
+        offs, flat = blob_lists(list_to_blob(t["shingles"]))
+        return [
+            flat[offs[i] : offs[i + 1]] for i in range(t.num_rows)
+        ]
+
+    cand = shared_shingle_candidates_ds(
+        ds,
+        lists_fn,
+        id_col=id_col,
+        num_partitions=num_partitions,
+        max_df=max_df,
+    )
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return rd.from_arrow(empty)
+
+    shingle_blobs = ds.map_batches(
+        sets, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.table(
+            {id_col: b[id_col], "sh": list_to_blob(b["shingles"])}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = attach_pair_payloads(
+        cand, shingle_blobs, id_col, num_partitions=_pair_partitions(n_pairs)
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        offs_a, flat_a = blob_lists(b["sh_a"])
+        offs_b, flat_b = blob_lists(b["sh_b"])
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i in range(b.num_rows):
+            sa = flat_a[offs_a[i] : offs_a[i + 1]]
+            sb = flat_b[offs_b[i] : offs_b[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            keep[i] = union > 0 and (inter / union) >= threshold
+        return pa.table({"a": b["a"], "b": b["b"]}).filter(pa.array(keep))
+
+    return joined.map_batches(verify, batch_format="pyarrow").materialize()
+
+
+def dedup_recall_table(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 12345,
+    num_partitions: int = 16,
+):
+    """Dedup-candidate evaluation harness (the near-dup counterpart of
+    ``ann_lsh.ann_recall_table``): recall and precision of the MinHash
+    banding candidate stage against the COMPLETE exact-Jaccard truth
+    (:func:`exact_jaccard_pairs_ds`). One row:
+
+    (n_true, n_cand, n_hit, recall_micro, precision_micro)
+
+    with the micro ratios as exact integer floor division and the
+    empty-denominator convention 10⁶ (nothing to find / nothing
+    proposed = perfect). Hit counting is distributed: both pair sets
+    are tagged, hash-partitioned on the pair key, and intersected
+    per-partition — only the ≤-partition-count partial sums reach the
+    driver.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from lsearch_ray.functions.dedup import partition_ids
+
+    truth = exact_jaccard_pairs_ds(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        ngram=ngram,
+    )
+    _, cand = minhash_candidate_pairs(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+        ngram=ngram,
+        seed=seed,
+    )
+    cand = cand.materialize()
+    n_true, n_cand = truth.count(), cand.count()
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            out = pa.table(
+                {
+                    "a": t["a"].cast(pa.int64()),
+                    "b": t["b"].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(t.num_rows, side, dtype=np.int64)
+                    ),
+                }
+            )
+            return out.append_column(
+                "__part",
+                pa.array(partition_ids(out, ["a", "b"], num_partitions)),
+            )
+
+        return f
+
+    def hits_partial(g: pd.DataFrame) -> pa.Table:
+        both = (
+            g.groupby(["a", "b"])["side"].nunique() == 2
+        ).sum()
+        return pa.table({"n_hit": pa.array([int(both)], pa.int64())})
+
+    n_hit = 0
+    if n_true and n_cand:
+        partials = (
+            truth.map_batches(tag(0), batch_format="pyarrow")
+            .union(cand.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("__part")
+            .map_groups(hits_partial, batch_format="pandas")
+            .take_all()
+        )  # <= num_partitions rows
+        n_hit = sum(int(r["n_hit"]) for r in partials)
+
+    def micro(num: int, den: int) -> int:
+        return (num * 1_000_000) // den if den else 1_000_000
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_true": pa.array([n_true], pa.int64()),
+                "n_cand": pa.array([n_cand], pa.int64()),
+                "n_hit": pa.array([n_hit], pa.int64()),
+                "recall_micro": pa.array([micro(n_hit, n_true)], pa.int64()),
+                "precision_micro": pa.array(
+                    [micro(n_hit, n_cand)], pa.int64()
+                ),
+            }
+        )
+    )

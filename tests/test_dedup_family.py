@@ -479,3 +479,96 @@ def test_components_sixteen_partitions_sparse_graph():
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     )
     assert connected_components_ds(empty, num_partitions=16).count() == 0
+
+
+def test_exact_jaccard_pairs_complete_vs_bruteforce():
+    """The shared-shingle truth stage equals brute-force all-pairs exact
+    Jaccard (completeness: any J>0 pair shares a shingle)."""
+    import itertools
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.minhash import (
+        ShingleSets,
+        exact_jaccard_pairs_ds,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,
+        base,  # exact dup of 0
+        base + " lambda",  # very high overlap with 0/1
+        "alpha beta gamma unrelated words here now okay fine yes",  # moderate
+        "totally different content with no shared window at all",
+        "x",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    thr = 0.6
+    got = sorted(
+        (int(r["a"]), int(r["b"]))
+        for r in exact_jaccard_pairs_ds(
+            rd.from_arrow(tbl), threshold=thr
+        ).take_all()
+    )
+
+    sets = ShingleSets(3)(tbl)
+    sh = [set(x) for x in sets["shingles"].to_pylist()]
+    expected = sorted(
+        (i, j)
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if sh[i] | sh[j]
+        and len(sh[i] & sh[j]) / len(sh[i] | sh[j]) >= thr
+    )
+    assert got == expected
+    assert (0, 1) in got and (0, 2) in got  # dup + near-dup found
+
+
+def test_dedup_recall_harness_consistency():
+    """Harness metrics are internally consistent and truth matches the
+    brute-force count; borderline-overlap docs make precision < 1."""
+    import itertools
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.minhash import (
+        ShingleSets,
+        dedup_recall_table,
+    )
+
+    rng_words = [f"w{i}" for i in range(40)]
+    base = " ".join(rng_words[:20])
+    texts = [
+        base,
+        base,  # exact dup: truth pair
+        " ".join(rng_words[:14] + rng_words[30:36]),  # J ~0.5 vs base
+        " ".join(rng_words[10:30]),  # moderate overlap
+        " ".join(rng_words[20:40]),
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    row = dedup_recall_table(rd.from_arrow(tbl)).take_all()[0]
+
+    sets = ShingleSets(3)(tbl)
+    sh = [set(x) for x in sets["shingles"].to_pylist()]
+    n_true = sum(
+        1
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if sh[i] | sh[j]
+        and len(sh[i] & sh[j]) / len(sh[i] | sh[j]) >= 0.8
+    )
+    assert int(row["n_true"]) == n_true == 1
+    assert int(row["n_hit"]) <= min(int(row["n_true"]), int(row["n_cand"]))
+    assert int(row["recall_micro"]) == (
+        int(row["n_hit"]) * 1_000_000 // n_true
+    )
+    assert int(row["precision_micro"]) == (
+        int(row["n_hit"]) * 1_000_000 // int(row["n_cand"])
+        if int(row["n_cand"])
+        else 1_000_000
+    )
+    # the J~0.5 docs band together sometimes but never verify as truth:
+    # candidates strictly exceed truth here, so precision < 1
+    assert int(row["n_cand"]) >= int(row["n_true"])
