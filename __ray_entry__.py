@@ -3265,6 +3265,20 @@ def _q_crawl_diff(sf_dir: str):
     return snapshot_diff_ds(fp(a), fp(b))
 
 
+def _q_bm25f_topk(sf_dir: str):
+    """Field-weighted BM25 (simplified BM25F): the first 5 tokens form
+    a pseudo-title whose occurrences carry 2 extra votes — weighted tf
+    and dl scored through the standard saturation
+    (pipelines.fulltext.bm25f_topk_dataset — one tokenize pass with the
+    weighted-dl sidecar, broadcast idf, groupby-sum, round-before-sort
+    top-k)."""
+    from lsearch_ray.pipelines.fulltext import bm25f_topk_dataset
+
+    return bm25f_topk_dataset(
+        _docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, k=10
+    )
+
+
 def _q_dedup_recall(sf_dir: str):
     """Near-dup evaluation harness: recall/precision of the MinHash
     banding candidate stage vs the COMPLETE exact-Jaccard ≥ 0.8 truth
@@ -3472,6 +3486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": _q_spell_suggest,
         "crawl_diff": _q_crawl_diff,
         "dedup_recall": _q_dedup_recall,
+        "bm25f_topk": _q_bm25f_topk,
     }
 
 
@@ -6441,5 +6456,39 @@ SELECT n_true, n_cand, n_hit,
                  ELSE n_hit * 1000000 // n_cand END AS BIGINT)
          AS precision_micro
 FROM m
+""",
+        "bm25f_topk": f"""
+WITH otoks AS ({_ORDERED_TOKS}),
+base AS (
+  SELECT doc_id, term, count(*) AS tf,
+         sum(CASE WHEN pos <= 5 THEN 1 ELSE 0 END) AS tft
+  FROM otoks GROUP BY 1, 2
+),
+wdl AS (
+  SELECT doc_id,
+         count(*) + 2 * sum(CASE WHEN pos <= 5 THEN 1 ELSE 0 END) AS dlw
+  FROM otoks GROUP BY 1
+),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+          sum(dlw) / (SELECT count(*) FROM documents) AS avgdl FROM wdl),
+qt AS (SELECT DISTINCT lower(u.t) AS term
+       FROM UNNEST(string_split_regex(lower('{BM25_QUERY}'),
+                                      '[^a-z0-9]+')) AS u(t)
+       WHERE u.t <> ''),
+df AS (SELECT b.term, count(*) AS df FROM base b JOIN qt USING (term)
+       GROUP BY 1),
+scores AS (
+  SELECT b.doc_id,
+         sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+             * (b.tf + 2*b.tft)*({K1}+1.0)
+             / ((b.tf + 2*b.tft)
+                + {K1}*(1.0-{B}+{B}*w.dlw/s.avgdl))) AS score
+  FROM base b JOIN df ON b.term = df.term
+       JOIN wdl w ON b.doc_id = w.doc_id
+       CROSS JOIN stats s
+  GROUP BY b.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
 """,
     }

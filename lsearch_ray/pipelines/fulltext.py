@@ -1041,3 +1041,128 @@ def perplexity_buckets_ds(
         return b.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
     return ppl.map_batches(assign, batch_format="pyarrow")
+
+
+def bm25f_topk_dataset(
+    docs_ds,
+    query: str,
+    k: int = 10,
+    *,
+    title_tokens: int = 5,
+    title_weight: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """Field-weighted BM25 top-k (simplified BM25F, the Lucene-style
+    field boost the flat scorer lacks): the first ``title_tokens``
+    tokens of each doc form a pseudo-title field whose occurrences carry
+    ``title_weight`` EXTRA votes —
+
+        wtf(term, doc) = tf + title_weight · tf_title
+        wdl(doc)       = dl + title_weight · min(dl, title_tokens)
+
+    scored with the standard BM25 saturation over the weighted
+    quantities (Robertson & Zaragoza 2009 §5: per-field weighted tf with
+    the length normalization folded into the weighted dl). idf stays
+    document-level (df = docs containing the term anywhere). Integer
+    weights keep wtf/wdl exact, so score parity with the SQL twin holds
+    at the shared 4-dp rounding.
+
+    Same plan shape as :func:`bm25_topk_dataset`: ONE tokenize pass
+    emits the query-filtered weighted triples plus a per-batch weighted
+    total-dl sidecar (no second corpus pass), then the shared broadcast
+    idf → groupby-sum → round-before-sort top-k finisher.
+    """
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    term_set = pa.array(terms)
+    T, tw = title_tokens, title_weight
+
+    def weighted_triples(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parents, flat = flat_tokens_arrow(b[text_col])
+        counts = (
+            np.bincount(parents, minlength=n).astype(np.int64)
+            if len(parents)
+            else np.zeros(n, dtype=np.int64)
+        )
+        wdl_doc = counts + tw * np.minimum(counts, T)
+        sidecar = pa.table(
+            {
+                "term": pa.array([""], type=pa.large_string()),
+                id_col: pa.array([None], type=pa.int64()),
+                "tf": pa.array([int(wdl_doc.sum())], type=pa.int64()),
+                "dl": pa.array([0], type=pa.int64()),
+                "_side": pa.array([1], type=pa.int8()),
+            }
+        )
+        if len(flat) == 0:
+            return sidecar
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        keep = pc.is_in(flat, value_set=term_set)
+        km = keep.to_numpy(zero_copy_only=False)
+        if not km.any():
+            return sidecar
+        ids = (
+            b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "term": flat.filter(keep).cast(pa.large_string()),
+                id_col: pa.array(ids[parents[km]]),
+                "one": pa.array(np.ones(int(km.sum()), dtype=np.int64)),
+                "tft": pa.array((pos[km] < T).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["term", id_col]).aggregate(
+            [("one", "sum"), ("tft", "sum")]
+        )
+        tf = g["one_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tft = g["tft_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        row_of = order[np.searchsorted(ids, gid, sorter=order)]
+        rows = pa.table(
+            {
+                "term": g["term"],
+                id_col: g[id_col],
+                "tf": pa.array(tf + tw * tft),
+                "dl": pa.array(wdl_doc[row_of]),
+                "_side": pa.array(np.zeros(len(tf), dtype=np.int8)),
+            }
+        )
+        return pa.concat_tables([rows, sidecar])
+
+    matched = docs_ds.map_batches(
+        weighted_triples, batch_format="pyarrow"
+    ).materialize()
+
+    def split(b: pa.Table, sidecars: bool) -> pa.Table:
+        is_side = pc.equal(b["_side"], pa.scalar(1, pa.int8()))
+        keep = b.filter(is_side if sidecars else pc.invert(is_side))
+        return keep.drop_columns(["_side"])
+
+    n_docs = docs_ds.count()
+    total_wdl = sum(
+        r["tf"]
+        for r in matched.map_batches(
+            lambda b: split(b, True), batch_format="pyarrow"
+        ).take_all()
+    )
+    avgdl = total_wdl / n_docs if n_docs else 0.0
+    matched = matched.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    return _bm25_score_matched(
+        matched, terms, n_docs, avgdl, k, "or", id_col, round_to
+    )

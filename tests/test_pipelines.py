@@ -362,3 +362,53 @@ def test_curate_corpus_end_to_end_invariants():
     for g, sub in out.groupby("grp"):
         bins = np.sort(sub["bin_id"].unique())
         assert bins[0] == 0 and (np.diff(bins) == 1).all()
+
+
+def test_bm25f_matches_python_replay_and_boosts_title_hits():
+    """BM25F equals a sequential replay of the weighted-tf/dl formula,
+    and a title hit outranks an identical body-only hit."""
+    import math
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lsearch_ray.index.build import B, K1
+    from lsearch_ray.pipelines.fulltext import bm25f_topk_dataset
+
+    texts = [
+        "apple banana cherry date egg fig grape",  # 'apple' in title
+        "banana cherry date egg fig grape apple",  # 'apple' in body only
+        "apple apple banana cherry date egg apple",  # title + body hits
+        "nothing relevant here at all friends",
+        "apple pie",  # short doc, all title
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = bm25f_topk_dataset(rd.from_arrow(tbl), "apple", k=5)
+    got = {
+        int(i): float(s)
+        for i, s in zip(out["doc_id"].to_pylist(), out["score"].to_pylist())
+    }
+
+    T, TW = 5, 2
+    toks = [re.findall(r"[a-z0-9]+", s.lower()) for s in texts]
+    wdl = [len(t) + TW * min(len(t), T) for t in toks]
+    avgdl = sum(wdl) / len(texts)
+    df = sum(1 for t in toks if "apple" in t)
+    idf = math.log(1.0 + (len(texts) - df + 0.5) / (df + 0.5))
+    expected = {}
+    for d, t in enumerate(toks):
+        tf = t.count("apple")
+        if not tf:
+            continue
+        tft = t[:T].count("apple")
+        wtf = tf + TW * tft
+        score = idf * wtf * (K1 + 1.0) / (
+            wtf + K1 * (1.0 - B + B * wdl[d] / avgdl)
+        )
+        expected[d] = round(score, 4)
+    assert got == {d: np.float64(s) for d, s in expected.items()}
+    # title occurrence beats the identical doc with a body-only hit
+    assert got[0] > got[1]
