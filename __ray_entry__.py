@@ -3279,6 +3279,27 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+_FUZZY_QUERY = "sow"
+_FUZZY_MAX_EXP = 4
+
+
+def _q_bm25_fuzzy(sf_dir: str):
+    """Fuzzy-term retrieval (Lucene ``term~1``): the misspelled query
+    expands to the top-4 dictionary terms within Levenshtein ≤ 1 by
+    (df desc, term asc), then OR-BM25 over the expansion set
+    (pipelines.fulltext.bm25_fuzzy_topk_dataset — edit1 kernel on each
+    batch's term dictionary, one tokenize pass with the avgdl
+    sidecar)."""
+    from lsearch_ray.pipelines.fulltext import bm25_fuzzy_topk_dataset
+
+    return bm25_fuzzy_topk_dataset(
+        _docs(sf_dir, ["doc_id", "text"]),
+        _FUZZY_QUERY,
+        k=10,
+        max_expansions=_FUZZY_MAX_EXP,
+    )
+
+
 def _q_dedup_recall(sf_dir: str):
     """Near-dup evaluation harness: recall/precision of the MinHash
     banding candidate stage vs the COMPLETE exact-Jaccard ≥ 0.8 truth
@@ -3487,6 +3508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _q_crawl_diff,
         "dedup_recall": _q_dedup_recall,
         "bm25f_topk": _q_bm25f_topk,
+        "bm25_fuzzy_topk": _q_bm25_fuzzy,
     }
 
 
@@ -6487,6 +6509,30 @@ scores AS (
        JOIN wdl w ON b.doc_id = w.doc_id
        CROSS JOIN stats s
   GROUP BY b.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "bm25_fuzzy_topk": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+          sum(dl) / (SELECT count(*) FROM documents) AS avgdl FROM dl),
+df AS (
+  SELECT term, df FROM (
+    SELECT tf.term, count(*) AS df FROM tf
+    WHERE levenshtein(tf.term, '{_FUZZY_QUERY}') <= 1 GROUP BY tf.term
+    ORDER BY df DESC, term LIMIT {_FUZZY_MAX_EXP}
+  )
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+             * tf.tf*({K1}+1.0)/(tf.tf + {K1}*(1.0-{B}+{B}*dl.dl/s.avgdl))) AS score
+  FROM tf JOIN df ON tf.term = df.term
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY score DESC, doc_id LIMIT 10

@@ -1166,3 +1166,121 @@ def bm25f_topk_dataset(
     return _bm25_score_matched(
         matched, terms, n_docs, avgdl, k, "or", id_col, round_to
     )
+
+
+def bm25_fuzzy_topk_dataset(
+    docs_ds,
+    term: str,
+    k: int = 10,
+    max_expansions: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """Fuzzy-term BM25 top-k (Lucene ``term~1``): the query term expands
+    against the corpus dictionary to the top ``max_expansions`` terms
+    within Levenshtein distance ≤ 1, by (df desc, term asc) — the same
+    binding multi-term rewrite cap as :func:`bm25_prefix_topk_dataset`
+    — then scores as OR-BM25 over the expansion set (per-term idf).
+    The retrieval-side composition of the spell-suggestion primitive
+    (functions.editdist): a misspelled query still ranks documents.
+
+    Plan: identical to the prefix pipeline except the map-side match
+    runs the vectorized edit1 alignment kernel on each batch's term
+    DICTIONARY (length-prefiltered dictionary_encode — candidates per
+    batch are vocabulary-sized, not row-sized), never per row.
+    """
+    from lsearch_ray.functions.editdist import edit1_mask
+
+    toks = tokenize(term)
+    q = toks[0] if toks else ""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+    if not q:
+        return empty
+    qlen = len(q.encode())
+    triples = tf_triples(docs_ds, text_col, id_col)
+
+    def match_and_count(b: pa.Table) -> pa.Table:
+        tcol = b["term"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        denc = tcol.dictionary_encode()
+        vocab = denc.dictionary
+        vl = pc.binary_length(vocab).to_numpy(zero_copy_only=False)
+        near = np.abs(vl.astype(np.int64) - qlen) <= 1
+        ok_codes = np.zeros(len(vocab), dtype=bool)
+        if near.any():
+            names = vocab.filter(pa.array(near)).to_pylist()
+            ok_codes[np.flatnonzero(near)] = edit1_mask(
+                [q] * len(names), names
+            )
+        keep = ok_codes[np.asarray(denc.indices)]
+        t = b.filter(pa.array(keep))
+        t = t.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        )
+        total = pc.sum(b["tf"]).as_py() or 0
+        sidecar = pa.table(
+            {
+                "term": pa.array([""], type=b["term"].type),
+                id_col: pa.array([None], type=b[id_col].type),
+                "tf": pa.array([total], type=b["tf"].type),
+                "dl": pa.array([0], type=b["dl"].type),
+                "_side": pa.array([1], type=pa.int8()),
+            }
+        ).select(t.schema.names)
+        return pa.concat_tables([t, sidecar])
+
+    matched = triples.map_batches(
+        match_and_count, batch_format="pyarrow"
+    ).materialize()
+
+    def split(b: pa.Table, sidecars: bool) -> pa.Table:
+        is_side = pc.equal(b["_side"], pa.scalar(1, pa.int8()))
+        keep = b.filter(is_side if sidecars else pc.invert(is_side))
+        return keep.drop_columns(["_side"])
+
+    n_docs = docs_ds.count()
+    total_tokens = sum(
+        r["tf"]
+        for r in matched.map_batches(
+            lambda b: split(b, True), batch_format="pyarrow"
+        ).take_all()
+    )
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    matched = matched.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    ).materialize()
+
+    from ray.data.aggregate import Count
+
+    agg = matched.groupby("term").aggregate(Count(alias_name="df"))
+
+    def prune(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        return b.take(idx.slice(0, max_expansions))
+
+    top = (
+        agg.map_batches(prune, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(max_expansions)
+        .take_all()
+    )
+    terms = sorted(r["term"] for r in top)
+    if not terms:
+        return empty
+    term_set = pa.array(terms)
+    matched = matched.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=term_set)),
+        batch_format="pyarrow",
+    )
+    return _bm25_score_matched(
+        matched, terms, n_docs, avgdl, k, "or", id_col, round_to
+    )

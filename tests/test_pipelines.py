@@ -412,3 +412,57 @@ def test_bm25f_matches_python_replay_and_boosts_title_hits():
     assert got == {d: np.float64(s) for d, s in expected.items()}
     # title occurrence beats the identical doc with a body-only hit
     assert got[0] > got[1]
+
+
+def test_bm25_fuzzy_matches_expanded_or_query():
+    """Fuzzy retrieval equals plain OR-BM25 over the manually computed
+    edit-1 expansion set; the rewrite cap binds by (df desc, term)."""
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import bm25_fuzzy_topk_dataset
+
+    texts = [
+        "cat hat mat cat",
+        "hat rat sat",
+        "cart cat chat cap",
+        "dog dig dug",
+        "cat nap",
+        "zebra lion",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    ds = rd.from_arrow(tbl)
+    out = bm25_fuzzy_topk_dataset(ds, "cat", k=10, max_expansions=3)
+
+    def lev1(a: str, b: str) -> bool:
+        if abs(len(a) - len(b)) > 1:
+            return False
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1] <= 1
+
+    import re
+
+    df: dict[str, set[int]] = {}
+    for did, s in enumerate(texts):
+        for t in re.findall(r"[a-z0-9]+", s.lower()):
+            df.setdefault(t, set()).add(did)
+    matches = sorted(
+        ((t, len(d)) for t, d in df.items() if lev1("cat", t)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert len(matches) > 3  # the cap binds in this fixture
+    expansion = " ".join(t for t, _ in matches[:3])
+    expected = bm25_topk_dataset(ds, expansion, k=10)
+    assert out.to_pydict() == expected.to_pydict()
+
+    # no dictionary term within distance 1 → empty result
+    none = bm25_fuzzy_topk_dataset(ds, "qqqqqq", k=10)
+    assert none.num_rows == 0
