@@ -3279,6 +3279,16 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_index_profile(sf_dir: str):
+    """Posting-list skew report: terms and posting mass per log2-df
+    bucket — the shard-sizing / hot-term-threshold diagnostic
+    (pipelines.fulltext.index_profile_ds — one combiner term shuffle,
+    ≤64-row bucket groupby)."""
+    from lsearch_ray.pipelines.fulltext import index_profile_ds
+
+    return index_profile_ds(_docs(sf_dir, ["doc_id", "text"]))
+
+
 _FUZZY_QUERY = "sow"
 _FUZZY_MAX_EXP = 4
 
@@ -3509,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_recall": _q_dedup_recall,
         "bm25f_topk": _q_bm25f_topk,
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
+        "index_profile": _q_index_profile,
     }
 
 
@@ -6536,5 +6547,13 @@ scores AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM scores
 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "index_profile": f"""
+WITH toks AS ({_TOKS}),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket,
+       count(*) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS n_postings
+FROM df GROUP BY 1 ORDER BY 1
 """,
     }

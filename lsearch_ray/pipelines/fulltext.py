@@ -1284,3 +1284,54 @@ def bm25_fuzzy_topk_dataset(
     return _bm25_score_matched(
         matched, terms, n_docs, avgdl, k, "or", id_col, round_to
     )
+
+
+def index_profile_ds(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Posting-list skew profile: terms and posting mass per log2
+    document-frequency bucket — the operational report behind shard
+    sizing and the salted-repartition hot-term threshold (SURVEY §4
+    "head-term skew"; the build pipeline's ~2-4M-triples/shard rule is
+    tuned from exactly this histogram).
+
+    Returns (df_bucket:int64, n_terms:int64, n_postings:int64) where
+    df_bucket = floor(log2(df)), n_postings = Σ df over the bucket's
+    terms. One combiner term shuffle (term_df) + a ≤64-row groupby;
+    nothing vocabulary-sized leaves the cluster.
+    """
+    from ray.data.aggregate import Sum
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # floor(log2(df)) for df ≥ 1, exact via frexp (df < 2^53 — a
+        # document frequency, bounded by corpus doc count)
+        bucket = (
+            np.frexp(df.astype(np.float64))[1].astype(np.int64) - 1
+        )
+        t = pa.table(
+            {
+                "df_bucket": pa.array(bucket),
+                "one": pa.array(np.ones(len(df), dtype=np.int64)),
+                "df": pa.array(df),
+            }
+        )
+        g = t.group_by(["df_bucket"]).aggregate(
+            [("one", "sum"), ("df", "sum")]
+        )
+        return pa.table(
+            {
+                "df_bucket": g["df_bucket"],
+                "n_terms": g["one_sum"].cast(pa.int64()),
+                "n_postings": g["df_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        term_df(docs_ds, text_col, id_col)
+        .map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("df_bucket")
+        .aggregate(
+            Sum("n_terms", alias_name="n_terms"),
+            Sum("n_postings", alias_name="n_postings"),
+        )
+        .sort("df_bucket")
+    )

@@ -466,3 +466,41 @@ def test_bm25_fuzzy_matches_expanded_or_query():
     # no dictionary term within distance 1 → empty result
     none = bm25_fuzzy_topk_dataset(ds, "qqqqqq", k=10)
     assert none.num_rows == 0
+
+
+def test_index_profile_matches_python_reference():
+    import re
+
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import index_profile_ds
+
+    texts = [
+        "a a b c",
+        "a b d",
+        "a e",
+        "a f g h",
+        "a b c d e f g h i j k l m",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = index_profile_ds(rd.from_arrow(tbl)).to_pandas()
+
+    df: dict[str, set[int]] = {}
+    for did, s in enumerate(texts):
+        for t in re.findall(r"[a-z0-9]+", s.lower()):
+            df.setdefault(t, set()).add(did)
+    buckets: dict[int, list[int]] = {}
+    for t, docs in df.items():
+        buckets.setdefault(len(docs).bit_length() - 1, []).append(len(docs))
+    expected = {
+        b: (len(v), sum(v)) for b, v in buckets.items()
+    }
+    got = {
+        int(r.df_bucket): (int(r.n_terms), int(r.n_postings))
+        for r in out.itertuples()
+    }
+    assert got == expected
+    # 'a' is in all 5 docs -> bucket 2 exists; singletons -> bucket 0
+    assert 2 in got and 0 in got
