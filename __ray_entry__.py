@@ -3279,6 +3279,19 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_kn_bigram_lm(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM (d = 3/4) in exact floor-micro
+    units — continuation-count smoothing over the MLE bigram model
+    (functions.ngrams.kn_bigram_lm_ds — one combiner bigram shuffle,
+    continuation aggregates over the type table, Python-int scoring of
+    only the top-k rows)."""
+    from lsearch_ray.functions.ngrams import kn_bigram_lm_ds
+
+    return kn_bigram_lm_ds(
+        _docs(sf_dir, ["doc_id", "text"]), k=20, min_count=5
+    )
+
+
 def _q_index_profile(sf_dir: str):
     """Posting-list skew report: terms and posting mass per log2-df
     bucket — the shard-sizing / hot-term-threshold diagnostic
@@ -3520,6 +3533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _q_bm25f_topk,
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
         "index_profile": _q_index_profile,
+        "kn_bigram_lm": _q_kn_bigram_lm,
     }
 
 
@@ -6555,5 +6569,26 @@ SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket,
        count(*) AS n_terms,
        CAST(sum(df) AS BIGINT) AS n_postings
 FROM df GROUP BY 1 ORDER BY 1
+""",
+        "kn_bigram_lm": """
+WITH big AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS n2
+  FROM (SELECT list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> t <> '') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT w1, sum(n2) AS c1, count(*) AS n1p FROM big GROUP BY w1),
+cm AS (SELECT w2, count(*) AS n1m FROM big GROUP BY w2),
+nt AS (SELECT count(*) AS nt FROM big),
+sel AS (SELECT w1, w2, n2 FROM big WHERE n2 >= 5
+        ORDER BY n2 DESC, w1, w2 LIMIT 20)
+SELECT s.w1, s.w2, CAST(s.n2 AS BIGINT) AS n,
+       CAST((1000000 * (greatest(4*s.n2 - 3, 0) * nt.nt
+                        + 3 * c.n1p * m.n1m))
+            // (4 * c.c1 * nt.nt) AS BIGINT) AS pkn_micro
+FROM sel s JOIN c1 c ON c.w1 = s.w1 JOIN cm m ON m.w2 = s.w2 CROSS JOIN nt
+ORDER BY n DESC, s.w1, s.w2
 """,
     }

@@ -1367,3 +1367,132 @@ def vocab_growth_ds(ds, *, n_buckets: int = 8, id_col: str = "doc_id",
         }
     )
     return rd.from_arrow(out)
+
+
+def kn_bigram_lm_ds(
+    ds,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+):
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney '95 /
+    Chen & Goodman '98, absolute discount d = 3/4) — the smoothing
+    upgrade over the MLE :func:`bigram_lm_ds`, in exact floor-micro
+    units. With c1 = Σ_w c(w1,w), N1+(w1·) = distinct continuations of
+    w1, N1+(·w2) = distinct left contexts of w2 and Nt = distinct
+    bigram types:
+
+        P_kn(w2|w1) = max(c12 − 3/4, 0)/c1
+                      + (3/4 · N1+(w1·)/c1) · N1+(·w2)/Nt
+        pkn_micro   = (10⁶·(max(4·c12−3, 0)·Nt + 3·N1+(w1·)·N1+(·w2)))
+                      // (4·c1·Nt)
+
+    Returns (w1, w2, n, pkn_micro) for the top-k bigrams with
+    n ≥ min_count, ordered (n DESC, w1, w2).
+
+    Scale shape: ONE combiner bigram-count shuffle builds the type
+    table; the two continuation aggregates are groupbys OVER THE TYPE
+    TABLE (already one row per bigram — never re-shuffling tokens);
+    selection is the lossless per-block top-k prune; only the k
+    selected rows are scored, with Python-int products (the widest term
+    10⁶·4·c12·Nt overflows int64 at web scale). Stats for the k rows
+    come back through map-side ``is_in`` filters — nothing
+    vocabulary-sized reaches the driver.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            b["gram"].combine_chunks().cast(pa.large_string()), GRAM_SEP
+        )
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "n": b["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(
+            lambda b: _count_partial(b, 2, text_col), batch_format="pyarrow"
+        )
+        .groupby("gram")
+        .sum("n")
+        .map_batches(split, batch_format="pyarrow")
+        .materialize()
+    )
+    nt = pairs.count()
+    empty = pa.table(
+        {
+            "w1": pa.array([], pa.large_string()),
+            "w2": pa.array([], pa.large_string()),
+            "n": pa.array([], pa.int64()),
+            "pkn_micro": pa.array([], pa.int64()),
+        }
+    )
+    if nt == 0:
+        return empty
+
+    sel = (
+        pairs.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n"], pa.scalar(min_count))
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: _block_topk(
+                t,
+                k,
+                [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .take_all()
+    )
+    if not sel:
+        return empty
+    w1_set = pa.array(sorted({r["w1"] for r in sel}), pa.large_string())
+    w2_set = pa.array(sorted({r["w2"] for r in sel}), pa.large_string())
+
+    left = {
+        r["w1"]: (int(r["c1"]), int(r["n1p"]))
+        for r in pairs.map_batches(
+            lambda b: b.filter(pc.is_in(b["w1"], value_set=w1_set)),
+            batch_format="pyarrow",
+        )
+        .groupby("w1")
+        .aggregate(Sum("n", alias_name="c1"), Count(alias_name="n1p"))
+        .take_all()
+    }
+    right = {
+        r["w2"]: int(r["n1m"])
+        for r in pairs.map_batches(
+            lambda b: b.filter(pc.is_in(b["w2"], value_set=w2_set)),
+            batch_format="pyarrow",
+        )
+        .groupby("w2")
+        .aggregate(Count(alias_name="n1m"))
+        .take_all()
+    }
+
+    w1s, w2s, ns, ps = [], [], [], []
+    for r in sel:
+        c12, (c1, n1p), n1m = int(r["n"]), left[r["w1"]], right[r["w2"]]
+        numer = 10**6 * (max(4 * c12 - 3, 0) * nt + 3 * n1p * n1m)
+        ps.append(numer // (4 * c1 * nt))
+        w1s.append(r["w1"])
+        w2s.append(r["w2"])
+        ns.append(c12)
+    return pa.table(
+        {
+            "w1": pa.array(w1s, pa.large_string()),
+            "w2": pa.array(w2s, pa.large_string()),
+            "n": pa.array(ns, pa.int64()),
+            "pkn_micro": pa.array(ps, pa.int64()),
+        }
+    )

@@ -606,3 +606,58 @@ def test_vocab_growth_matches_python_reference():
         assert int(row["vocab_size"]) == len(vocab)
     # curve is monotone and ends at the full vocabulary
     assert list(out["vocab_size"]) == sorted(out["vocab_size"])
+
+
+def test_kn_bigram_lm_matches_python_reference():
+    """Kneser-Ney probabilities equal a sequential replay (exact
+    integer micro contract, d = 3/4)."""
+    from collections import Counter
+
+    from lsearch_ray.functions.ngrams import kn_bigram_lm_ds
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran on the mat",
+        "the dog sat on a log",
+        "a cat and a dog",
+        "the cat sat on the mat again",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = kn_bigram_lm_ds(
+        rd.from_arrow(tbl), k=10, min_count=2
+    ).to_pylist()
+
+    big = Counter()
+    for s in texts:
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        for i in range(len(toks) - 1):
+            big[(toks[i], toks[i + 1])] += 1
+    nt = len(big)
+    c1 = Counter()
+    n1p = Counter()
+    n1m = Counter()
+    for (w1, w2), n in big.items():
+        c1[w1] += n
+        n1p[w1] += 1
+        n1m[w2] += 1
+    sel = sorted(
+        ((w1, w2, n) for (w1, w2), n in big.items() if n >= 2),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:10]
+    expected = [
+        {
+            "w1": w1,
+            "w2": w2,
+            "n": n,
+            "pkn_micro": (
+                10**6 * (max(4 * n - 3, 0) * nt + 3 * n1p[w1] * n1m[w2])
+            )
+            // (4 * c1[w1] * nt),
+        }
+        for w1, w2, n in sel
+    ]
+    assert out == expected
+    # interpolated KN is a proper smoothing: every probability < 1
+    assert all(0 < r["pkn_micro"] < 10**6 for r in out)
