@@ -3279,6 +3279,44 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_url_filter(sf_dir: str):
+    """Crawl-ingest URL blocklist gate: exact-host, host-suffix and RE2
+    pattern rules with first-match-wins verdicts over deterministically
+    derived page URLs (functions.urlfilter.url_gate_ds — rule set in
+    the map closure, one extract_regex pass, np.select verdict fold; no
+    shuffle). URLs derive as
+    https://<source>.example.com/<lang>/<doc_id> identically in engine
+    and SQL (the crawl_diff derivation convention)."""
+    from lsearch_ray.functions.urlfilter import url_gate_ds
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.large_string())
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://", type=pa.large_string()),
+            b["source"].cast(pa.large_string()),
+            pa.scalar(".example.com/", type=pa.large_string()),
+            b["lang"].cast(pa.large_string()),
+            pa.scalar("/", type=pa.large_string()),
+            ids,
+            pa.scalar("", type=pa.large_string()),
+        )
+        return pa.table({"doc_id": b["doc_id"], "url": url})
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    out = url_gate_ds(
+        ds,
+        exact_hosts=["src3.example.com", "src7.example.com"],
+        host_suffixes=["9.example.com"],
+        url_patterns=[("blocked_pattern", "/e[sn]/[0-9]*7$")],
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "url", "host", "verdict"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_kn_bigram_lm(sf_dir: str):
     """Interpolated Kneser-Ney bigram LM (d = 3/4) in exact floor-micro
     units — continuation-count smoothing over the MLE bigram model
@@ -3534,6 +3572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy_topk": _q_bm25_fuzzy,
         "index_profile": _q_index_profile,
         "kn_bigram_lm": _q_kn_bigram_lm,
+        "url_filter": _q_url_filter,
     }
 
 
@@ -6590,5 +6629,22 @@ SELECT s.w1, s.w2, CAST(s.n2 AS BIGINT) AS n,
             // (4 * c.c1 * nt.nt) AS BIGINT) AS pkn_micro
 FROM sel s JOIN c1 c ON c.w1 = s.w1 JOIN cm m ON m.w2 = s.w2 CROSS JOIN nt
 ORDER BY n DESC, s.w1, s.w2
+""",
+        "url_filter": """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.com' AS host
+  FROM documents
+)
+SELECT doc_id, url, host,
+       CASE WHEN host IN ('src3.example.com', 'src7.example.com')
+              THEN 'blocked_host'
+            WHEN host LIKE '%9.example.com' THEN 'blocked_suffix'
+            WHEN regexp_matches(url, '/e[sn]/[0-9]*7$')
+              THEN 'blocked_pattern'
+            ELSE 'keep' END AS verdict
+FROM u ORDER BY doc_id
 """,
     }

@@ -1307,6 +1307,16 @@ def vocab_growth_ds(ds, *, n_buckets: int = 8, id_col: str = "doc_id",
     bounds = ds.aggregate(
         Min(id_col, alias_name="lo"), Max(id_col, alias_name="hi")
     )
+    if not bounds or bounds.get("lo") is None:  # empty corpus
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id_lt": pa.array([], pa.int64()),
+                    "vocab_size": pa.array([], pa.int64()),
+                }
+            )
+        )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = hi - lo + 1
     thrs = np.array(
