@@ -3279,6 +3279,20 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_bm25_collapse(sf_dir: str):
+    """Near-duplicate-collapsed search results ("omitted similar
+    results"): BM25 top-30 pool, best-ranked doc kept per corpus-wide
+    near-dup cluster, top-10 survivors
+    (pipelines.fulltext.bm25_collapse_topk_dataset — pool is k-bounded,
+    cluster labels join back through a map-side is_in filter; composes
+    the oracled BM25 and dup_components stages)."""
+    from lsearch_ray.pipelines.fulltext import bm25_collapse_topk_dataset
+
+    return bm25_collapse_topk_dataset(
+        _docs(sf_dir, ["doc_id", "text"]), BM25_QUERY, k=10, pool=30
+    )
+
+
 def _q_url_filter(sf_dir: str):
     """Crawl-ingest URL blocklist gate: exact-host, host-suffix and RE2
     pattern rules with first-match-wins verdicts over deterministically
@@ -3573,6 +3587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_profile": _q_index_profile,
         "kn_bigram_lm": _q_kn_bigram_lm,
         "url_filter": _q_url_filter,
+        "bm25_collapse_topk": _q_bm25_collapse,
     }
 
 
@@ -6646,5 +6661,28 @@ SELECT doc_id, url, host,
               THEN 'blocked_pattern'
             ELSE 'keep' END AS verdict
 FROM u ORDER BY doc_id
+""",
+        "bm25_collapse_topk": f"""{_bm25_body(BM25_QUERY)},
+{_ngram_edges_body('documents')},
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a
+  ) SELECT src, dst FROM r
+),
+lbl AS (SELECT src, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+pool AS (SELECT doc_id, round(score, 4) AS score FROM scores
+         ORDER BY score DESC, doc_id LIMIT 30),
+lab AS (SELECT p.doc_id, p.score,
+               CAST(coalesce(l.comp, p.doc_id) AS BIGINT) AS component
+        FROM pool p LEFT JOIN lbl l ON l.src = p.doc_id),
+best AS (SELECT doc_id, score,
+                row_number() OVER (PARTITION BY component
+                                   ORDER BY score DESC, doc_id) AS rn
+         FROM lab)
+SELECT doc_id, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10
 """,
     }

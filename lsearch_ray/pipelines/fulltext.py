@@ -1335,3 +1335,71 @@ def index_profile_ds(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         )
         .sort("df_bucket")
     )
+
+
+def bm25_collapse_topk_dataset(
+    docs_ds,
+    query: str,
+    k: int = 10,
+    *,
+    pool: int = 30,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Near-duplicate-collapsed search results (the "omitted similar
+    results" feature): take the BM25 top-``pool`` candidates, keep only
+    the best-ranked doc of each near-dup cluster, return the top-k
+    survivors. Clusters are the corpus-wide exact-verified n-gram
+    Jaccard components (the dup_components contract) — in a production
+    engine those labels are computed once at index-build time and this
+    query only joins against them.
+
+    Scale shape: the candidate pool is k-bounded (driver holds ≤ pool
+    rows); cluster labels for the pool come back through a map-side
+    ``is_in`` filter over the label Dataset — the corpus-wide label
+    table itself never reaches the driver. Collapse order is
+    (score desc, id asc), matching the rounded-score BM25 contract.
+    """
+    from lsearch_ray.functions.components import component_labels_ds
+    from lsearch_ray.functions.minhash import ngram_jaccard_pairs
+
+    top = bm25_topk_dataset(
+        docs_ds, query, k=pool, text_col=text_col, id_col=id_col
+    )
+    if top.num_rows == 0:
+        return top
+    pool_ids = top[id_col]
+    pairs = ngram_jaccard_pairs(
+        docs_ds, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    labels = component_labels_ds(
+        docs_ds, pairs, id_col, num_partitions=8, sort=False
+    )
+    lab_rows = labels.map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col], value_set=pool_ids)),
+        batch_format="pyarrow",
+    ).take_all()  # <= pool rows
+    comp = {int(r[id_col]): int(r["component"]) for r in lab_rows}
+
+    ids = top[id_col].to_pylist()
+    scores = top["score"].to_pylist()
+    seen: set[int] = set()
+    out_ids: list[int] = []
+    out_scores: list[float] = []
+    # `top` is already (score desc, id asc) ordered by contract
+    for i, s in zip(ids, scores):
+        c = comp.get(int(i), int(i))
+        if c in seen:
+            continue
+        seen.add(c)
+        out_ids.append(int(i))
+        out_scores.append(float(s))
+        if len(out_ids) == k:
+            break
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "score": pa.array(out_scores, pa.float64()),
+        }
+    )

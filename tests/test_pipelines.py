@@ -504,3 +504,51 @@ def test_index_profile_matches_python_reference():
     assert got == expected
     # 'a' is in all 5 docs -> bucket 2 exists; singletons -> bucket 0
     assert 2 in got and 0 in got
+
+
+def test_bm25_collapse_drops_lower_ranked_near_dups():
+    """Exact/near-dup docs collapse to their best-ranked representative;
+    distinct docs pass through; result equals a Python replay."""
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import (
+        bm25_collapse_topk_dataset,
+        bm25_topk_dataset,
+    )
+
+    dup = "merge sort scan pipeline shuffle partition " * 4
+    texts = [
+        dup,                       # cluster {0,1}: identical
+        dup,
+        "merge only here with other words around it now",
+        "sort things quickly using quicksort and mergesort today",
+        "scan the table fully then merge sort the output rows",
+        "unrelated content about gardens and flowers and bees",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    ds = rd.from_arrow(tbl)
+    q = "merge sort scan"
+    pool_tbl = bm25_topk_dataset(ds, q, k=6)
+    pool = list(
+        zip(pool_tbl["doc_id"].to_pylist(), pool_tbl["score"].to_pylist())
+    )
+    # docs 0 and 1 are identical → same cluster; both match the query
+    assert {0, 1} <= {d for d, _ in pool}
+
+    out = bm25_collapse_topk_dataset(ds, q, k=6, pool=6)
+    got = list(zip(out["doc_id"].to_pylist(), out["score"].to_pylist()))
+
+    # replay: first-of-cluster wins in (score desc, id asc) pool order
+    comp = {0: 0, 1: 0}  # the only near-dup cluster (J = 1.0)
+    seen = set()
+    expected = []
+    for d, s in pool:
+        c = comp.get(d, d)
+        if c in seen:
+            continue
+        seen.add(c)
+        expected.append((d, s))
+    assert got == expected
+    assert 0 in {d for d, _ in got} and 1 not in {d for d, _ in got}
