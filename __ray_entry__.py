@@ -3279,6 +3279,30 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+_REGEX_RANK_PAT = "s[a-z]*t"
+
+
+def _q_regex_rank(sf_dir: str):
+    """Regex-ranked retrieval: 1 + non-overlapping RE2 match count per
+    doc, top-20 — the regex generalization of the reference's More
+    scorer (pipelines.fulltext.regex_rank_ds — one
+    count_substring_regex kernel per batch, lossless block prune)."""
+    from lsearch_ray.pipelines.fulltext import regex_rank_ds
+
+    return regex_rank_ds(
+        _docs(sf_dir, ["doc_id", "text"]), _REGEX_RANK_PAT, k=20
+    )
+
+
+def _q_related_terms(sf_dir: str):
+    """"Related searches": top-5 corpus continuations of the seed term
+    by bigram count (pipelines.fulltext.related_terms_ds — combiner
+    bigram shuffle filtered map-side to the seed's fan-out)."""
+    from lsearch_ray.pipelines.fulltext import related_terms_ds
+
+    return related_terms_ds(_docs(sf_dir, ["doc_id", "text"]), MORE_TERM, k=5)
+
+
 def _q_bm25_collapse(sf_dir: str):
     """Near-duplicate-collapsed search results ("omitted similar
     results"): BM25 top-30 pool, best-ranked doc kept per corpus-wide
@@ -3588,6 +3612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_lm": _q_kn_bigram_lm,
         "url_filter": _q_url_filter,
         "bm25_collapse_topk": _q_bm25_collapse,
+        "regex_rank": _q_regex_rank,
+        "related_terms": _q_related_terms,
     }
 
 
@@ -6684,5 +6710,23 @@ best AS (SELECT doc_id, score,
          FROM lab)
 SELECT doc_id, score FROM best WHERE rn = 1
 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "regex_rank": f"""
+SELECT doc_id,
+       CAST(1 + len(regexp_extract_all(text, '{_REGEX_RANK_PAT}'))
+            AS BIGINT) AS score
+FROM documents ORDER BY score DESC, doc_id LIMIT 20
+""",
+        "related_terms": f"""
+WITH big AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS n
+  FROM (SELECT list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          t -> t <> '') AS toks FROM documents),
+       UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  GROUP BY 1, 2
+)
+SELECT w2, CAST(n AS BIGINT) AS n FROM big WHERE w1 = '{MORE_TERM}'
+ORDER BY n DESC, w2 LIMIT 5
 """,
     }

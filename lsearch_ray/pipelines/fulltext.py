@@ -1403,3 +1403,114 @@ def bm25_collapse_topk_dataset(
             "score": pa.array(out_scores, pa.float64()),
         }
     )
+
+
+def regex_rank_ds(
+    docs_ds,
+    pattern: str,
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Regex-ranked retrieval: score = 1 + count of non-overlapping RE2
+    matches of ``pattern`` in the doc, top-k by (score desc, id asc) —
+    the regex generalization of the reference's ``More`` scorer
+    (`search.rs:267-283`: 1 + literal substring count; SURVEY §2 R1).
+    Pure map-side (one ``count_substring_regex`` kernel per batch +
+    per-block lossless top-k prune), one k-row sort. Both Arrow and
+    DuckDB run RE2, so the SQL twin replays the pattern exactly.
+    """
+    from lsearch_ray.functions.ngrams import _block_topk
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = pc.count_substring_regex(txt, pattern=pattern)
+        t = pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                "score": pc.add(n.cast(pa.int64()), pa.scalar(1)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+        return _block_topk(
+            t, k, [("score", "descending"), (id_col, "ascending")]
+        )
+
+    out = (
+        docs_ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            id_col: pa.array(out[id_col], pa.int64()),
+            "score": pa.array(out["score"], pa.int64()),
+        }
+    )
+
+
+def related_terms_ds(
+    docs_ds,
+    seed_term: str,
+    k: int = 5,
+    *,
+    text_col: str = "text",
+):
+    """Query suggestion by corpus continuation: the top-k words that
+    FOLLOW ``seed_term`` by bigram count, ordered (n desc, w2 asc) —
+    the "related searches" box next to the ranked hits. One combiner
+    bigram-count shuffle filtered map-side to the seed's continuations
+    (so only the seed's fan-out, not the bigram type table, reaches the
+    sort) + a k-row sort.
+    """
+    from lsearch_ray.functions.ngrams import (
+        GRAM_SEP,
+        _block_topk,
+        _count_partial,
+    )
+
+    seed = tokenize(seed_term)
+    w1 = seed[0] if seed else ""
+    empty = pa.table(
+        {
+            "w2": pa.array([], pa.large_string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if not w1:
+        return empty
+    prefix = w1 + GRAM_SEP
+
+    def grams(b: pa.Table) -> pa.Table:
+        t = _count_partial(b, 2, text_col)
+        return t.filter(pc.starts_with(t["gram"], pattern=prefix))
+
+    agg = (
+        docs_ds.map_batches(grams, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("n")
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        g = b["gram"].combine_chunks().cast(pa.large_string())
+        w2 = pc.utf8_slice_codeunits(g, len(prefix), 1 << 30)
+        t = pa.table({"w2": w2, "n": b["sum(n)"].cast(pa.int64())})
+        return _block_topk(t, k, [("n", "descending"), ("w2", "ascending")])
+
+    out = (
+        agg.map_batches(split, batch_format="pyarrow")
+        .sort(["n", "w2"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "w2": pa.array(out["w2"], pa.large_string()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )

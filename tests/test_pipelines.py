@@ -552,3 +552,54 @@ def test_bm25_collapse_drops_lower_ranked_near_dups():
         expected.append((d, s))
     assert got == expected
     assert 0 in {d for d, _ in got} and 1 not in {d for d, _ in got}
+
+
+def test_regex_rank_matches_python_reference():
+    import re
+
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import regex_rank_ds
+
+    texts = ["sort the set", "no matches here", "sat sit sort", "st"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = regex_rank_ds(rd.from_arrow(tbl), "s[a-z]*t", k=10)
+    got = list(zip(out["doc_id"].to_pylist(), out["score"].to_pylist()))
+    expected = sorted(
+        (
+            (i, 1 + len(re.findall(r"s[a-z]*t", s)))
+            for i, s in enumerate(texts)
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == expected
+
+
+def test_related_terms_matches_python_reference():
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import related_terms_ds
+
+    texts = [
+        "scan the table then scan rows",
+        "scan table scan table",
+        "merge after scan table",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = related_terms_ds(rd.from_arrow(tbl), "scan", k=3)
+    got = list(zip(out["w2"].to_pylist(), out["n"].to_pylist()))
+    big = Counter()
+    for s in texts:
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        for a, b in zip(toks, toks[1:]):
+            if a == "scan":
+                big[b] += 1
+    expected = sorted(big.items(), key=lambda x: (-x[1], x[0]))[:3]
+    assert got == expected == [("table", 4), ("rows", 1), ("the", 1)]
