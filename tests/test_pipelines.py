@@ -602,4 +602,4 @@ def test_related_terms_matches_python_reference():
             if a == "scan":
                 big[b] += 1
     expected = sorted(big.items(), key=lambda x: (-x[1], x[0]))[:3]
-    assert got == expected == [("table", 4), ("rows", 1), ("the", 1)]
+    assert got == expected == [("table", 3), ("rows", 1), ("the", 1)]
