@@ -1461,6 +1461,63 @@ def _q_video_embed_knn(sf_dir: str):
     )
 
 
+_FRAME_DEDUP_TAU = 980_000
+
+
+def _frame_dedup_result():
+    """Within-video keyframe thinning over the same Y4M fixture as
+    video_embed_knn: real frame split → per-frame luma embed → greedy
+    near-dup drop in frame order (functions.multimodal.frame_dedup_ds —
+    one vid-keyed shuffle, per-group matmul greedy; group size is the
+    per-video sampled frame count). Used by
+    tools/make_multimodal_golden.py to regenerate the contract."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.multimodal import (
+        SampleFrames,
+        embed_yuv_frame,
+        frame_dedup_ds,
+        make_y4m_fixture,
+    )
+
+    fixture = make_y4m_fixture(48)
+    frames = rd.from_arrow(fixture).repartition(4).map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"video_col": "video", "every_n": 2, "fake": False},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    per_frame = frames.map_batches(
+        embed_yuv_frame, batch_format="pyarrow"
+    ).select_columns(["vid_id", "frame_idx", "embedding"])
+    out = (
+        frame_dedup_ds(per_frame, tau_micro=_FRAME_DEDUP_TAU)
+        .sort(["vid_id", "frame_idx"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "vid_id": pa.array(out["vid_id"], type=pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], type=pa.int64()),
+            "kept": pa.array(out["kept"], type=pa.int64()),
+        }
+    )
+
+
+def _q_frame_dedup(sf_dir: str):
+    """Within-video near-duplicate frame removal (keyframe thinning —
+    the video SemDeDup): golden-gated like the *_embed_knn trio (no
+    video table in the sf dirs, no SQL frame split); the committed
+    contract is tests/golden/frame_dedup.json and the query raises on
+    drift. An independent pure-Python greedy replay pytest pins the
+    semantics."""
+    return _check_golden(
+        "frame_dedup",
+        _frame_dedup_result(),
+        ["vid_id", "frame_idx", "kept"],
+    )
+
+
 _NGRAM_N = 3
 _NGRAM_K = 20
 _DECON_N = 8
@@ -3614,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_collapse_topk": _q_bm25_collapse,
         "regex_rank": _q_regex_rank,
         "related_terms": _q_related_terms,
+        "frame_dedup": _q_frame_dedup,
     }
 
 

@@ -672,3 +672,75 @@ def make_ppm_fixture(
             "image": pa.array(imgs, type=pa.binary()),
         }
     )
+
+
+def frame_dedup_ds(
+    frames_ds,
+    *,
+    id_col: str = "vid_id",
+    frame_col: str = "frame_idx",
+    emb_col: str = "embedding",
+    tau_micro: int = 995_000,
+    num_partitions: int = 8,
+):
+    """Within-video near-duplicate frame removal (keyframe thinning —
+    the video counterpart of SemDeDup): walk each video's sampled
+    frames in stream order and DROP a frame whose cosine similarity to
+    ANY already-kept frame of the same video reaches ``tau_micro``/10⁶
+    (floor-micro, so the greedy decision sequence is deterministic).
+    Static scenes collapse to their first frame; scene changes survive.
+
+    Zero-vector convention (undersized/black frames embed as zeros):
+    zero–zero is similarity 10⁶ (exact dup), zero–nonzero is 0.
+
+    Scale shape: ONE vid-keyed hash shuffle, then per-group greedy with
+    the kept-set cosine computed as one matmul per step. Group size =
+    frames per video (duration × fps / sample stride) — a per-video
+    constant, so the per-group quadratic worst case never becomes a
+    corpus-scale term. Returns (id, frame_idx, kept:int8) per frame,
+    sorted within each group emission by frame order.
+    """
+    import pandas as pd
+
+    from lsearch_ray.functions.dedup import arrow_out
+
+    def dedup_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(frame_col, kind="mergesort")
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g[emb_col]]
+        )
+        n = len(g)
+        norms = np.linalg.norm(V, axis=1)
+        kept_rows: list[int] = []
+        kept = np.zeros(n, dtype=np.int8)
+        for i in range(n):
+            dup = False
+            if kept_rows:
+                if norms[i] == 0.0:
+                    dup = bool((norms[np.array(kept_rows)] == 0.0).any())
+                else:
+                    K = np.array(kept_rows)
+                    nz = K[norms[K] > 0.0]
+                    if len(nz):
+                        sims = (V[nz] @ V[i]) / (norms[nz] * norms[i])
+                        dup = bool(
+                            (np.floor(sims * 1_000_000).astype(np.int64)
+                             >= tau_micro).any()
+                        )
+            if not dup:
+                kept_rows.append(i)
+                kept[i] = 1
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    id_col: g[id_col].to_numpy(),
+                    frame_col: g[frame_col].to_numpy(),
+                    "kept": kept,
+                }
+            )
+        )
+
+    return (
+        frames_ds.groupby(id_col)
+        .map_groups(dedup_group, batch_format="pandas")
+    )

@@ -999,3 +999,86 @@ def test_grouped_quality_percentile_gate_per_group_rule():
         ds, "lang", frac=0.5, max_broadcast_rows=0
     ).to_pandas()
     assert got_b[sorted(got_b.columns)].equals(got_h[sorted(got_h.columns)])
+
+
+def test_frame_dedup_matches_greedy_replay():
+    """frame_dedup_ds equals a pure-Python greedy replay (floor-micro
+    cosine, frame order, zero-vector conventions), at any partitioning."""
+    import numpy as np
+    import ray.data as rd
+
+    from lsearch_ray.functions.multimodal import frame_dedup_ds
+
+    # video 0: two static runs + a scene change; video 1: zeros pair;
+    # video 2: orthogonal frames (nothing drops)
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (0, 2, [0.9999, 0.001, 0.0]),   # near-dup of frame 0
+        (0, 4, [0.0, 1.0, 0.0]),        # scene change
+        (0, 6, [0.001, 0.9999, 0.0]),   # near-dup of frame 4
+        (1, 0, [0.0, 0.0, 0.0]),        # zero vector
+        (1, 2, [0.0, 0.0, 0.0]),        # zero-zero = exact dup
+        (1, 4, [0.5, 0.5, 0.0]),        # zero-nonzero = not dup
+        (2, 0, [1.0, 0.0, 0.0]),
+        (2, 2, [0.0, 1.0, 0.0]),
+        (2, 4, [0.0, 0.0, 1.0]),
+    ]
+    tau = 995_000
+    tbl = pa.table(
+        {
+            "vid_id": pa.array([r[0] for r in rows], pa.int64()),
+            "frame_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+    def replay():
+        out = {}
+        byvid = {}
+        for v, f, e in rows:
+            byvid.setdefault(v, []).append((f, np.asarray(e, np.float64)))
+        for v, frames in byvid.items():
+            kept = []
+            for f, e in sorted(frames):
+                n = np.linalg.norm(e)
+                dup = False
+                for _, ke in kept:
+                    kn = np.linalg.norm(ke)
+                    if n == 0.0 and kn == 0.0:
+                        sim = 1.0
+                    elif n == 0.0 or kn == 0.0:
+                        sim = 0.0
+                    else:
+                        sim = float(ke @ e) / (kn * n)
+                    if int(np.floor(sim * 1_000_000)) >= tau:
+                        dup = True
+                        break
+                if not dup:
+                    kept.append((f, e))
+                out[(v, f)] = 0 if dup else 1
+        return out
+
+    expected = replay()
+    for nparts in (1, 3):
+        got = {
+            (int(r["vid_id"]), int(r["frame_idx"])): int(r["kept"])
+            for r in frame_dedup_ds(
+                rd.from_arrow(tbl).repartition(nparts), tau_micro=tau
+            ).take_all()
+        }
+        assert got == expected
+    assert expected[(0, 2)] == 0 and expected[(0, 6)] == 0
+    assert expected[(1, 2)] == 0 and expected[(1, 4)] == 1
+    assert all(expected[(2, f)] == 1 for f in (0, 2, 4))
+
+
+def test_frame_dedup_golden_gate():
+    """The registry query reproduces the committed golden contract."""
+    import __ray_entry__
+
+    t = __ray_entry__.queries()["frame_dedup"]("unused")
+    assert t.num_rows == 144
+    kept = sum(r["kept"] for r in t.to_pylist())
+    assert 0 < kept < 144  # non-trivial thinning at the pinned tau
