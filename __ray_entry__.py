@@ -3336,6 +3336,21 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+_COMPLETE_PREFIX = "s"
+
+
+def _q_complete_prefix(sf_dir: str):
+    """Type-ahead completion: top-8 dictionary terms with the prefix,
+    ranked (df desc, term asc)
+    (pipelines.fulltext.complete_prefix_ds — combiner df shuffle,
+    map-side starts_with, lossless block prune)."""
+    from lsearch_ray.pipelines.fulltext import complete_prefix_ds
+
+    return complete_prefix_ds(
+        _docs(sf_dir, ["doc_id", "text"]), _COMPLETE_PREFIX, k=8
+    )
+
+
 _REGEX_RANK_PAT = "s[a-z]*t"
 
 
@@ -3672,6 +3687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_rank": _q_regex_rank,
         "related_terms": _q_related_terms,
         "frame_dedup": _q_frame_dedup,
+        "complete_prefix": _q_complete_prefix,
     }
 
 
@@ -6786,5 +6802,11 @@ WITH big AS (
 )
 SELECT w2, CAST(n AS BIGINT) AS n FROM big WHERE w1 = '{MORE_TERM}'
 ORDER BY n DESC, w2 LIMIT 5
+""",
+        "complete_prefix": f"""
+WITH toks AS ({_TOKS}),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM df WHERE term LIKE '{_COMPLETE_PREFIX}%'
+ORDER BY df DESC, term LIMIT 8
 """,
     }

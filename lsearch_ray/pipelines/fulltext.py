@@ -1514,3 +1514,55 @@ def related_terms_ds(
             "n": pa.array(out["n"], pa.int64()),
         }
     )
+
+
+def complete_prefix_ds(
+    docs_ds,
+    prefix: str,
+    k: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Type-ahead completion: the top-k dictionary terms starting with
+    ``prefix``, ranked (df desc, term asc) — the suggest-as-you-type
+    box over the same term dictionary the prefix-wildcard query
+    expands against. One combiner df shuffle + a map-side
+    ``starts_with`` filter + lossless per-block top-k prune; returns
+    (term, df)."""
+    from lsearch_ray.functions.ngrams import _block_topk
+
+    toks = tokenize(prefix)
+    pre = toks[0] if toks else ""
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.large_string()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+    if not pre:
+        return empty
+
+    def prune(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.starts_with(b["term"], pattern=pre))
+        t = pa.table(
+            {
+                "term": t["term"].combine_chunks().cast(pa.large_string()),
+                "df": t["df"].cast(pa.int64()),
+            }
+        )
+        return _block_topk(t, k, [("df", "descending"), ("term", "ascending")])
+
+    out = (
+        term_df(docs_ds, text_col, id_col)
+        .map_batches(prune, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.large_string()),
+            "df": pa.array(out["df"], pa.int64()),
+        }
+    )

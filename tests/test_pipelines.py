@@ -603,3 +603,29 @@ def test_related_terms_matches_python_reference():
                 big[b] += 1
     expected = sorted(big.items(), key=lambda x: (-x[1], x[0]))[:3]
     assert got == expected == [("table", 3), ("rows", 1), ("the", 1)]
+
+
+def test_complete_prefix_matches_python_reference():
+    import re
+
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import complete_prefix_ds
+
+    texts = ["sort set sun sort", "sun sort sea", "moon sun", "set sort"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    ds = rd.from_arrow(tbl)
+    out = complete_prefix_ds(ds, "s", k=3)
+    got = list(zip(out["term"].to_pylist(), out["df"].to_pylist()))
+    df: dict[str, set[int]] = {}
+    for did, s in enumerate(texts):
+        for t in re.findall(r"[a-z0-9]+", s.lower()):
+            df.setdefault(t, set()).add(did)
+    expected = sorted(
+        ((t, len(d)) for t, d in df.items() if t.startswith("s")),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert got == expected == [("sort", 3), ("sun", 3), ("set", 2)]
+    assert complete_prefix_ds(ds, "", k=3).num_rows == 0
