@@ -2112,6 +2112,14 @@ def _q_csv_roundtrip(sf_dir: str):
     return _textio_roundtrip(sf_dir, "csv")
 
 
+def _q_jsonl_gz_roundtrip(sf_dir: str):
+    """Gzip-JSONL interchange ingest (the WET/WARC-sidecar compressed
+    drop form): parquet → sharded .json.gz → Dataset, compression and
+    decompression inside the read/write tasks via pyarrow's stream
+    codec (sources.textio.to_jsonl_gz / read_jsonl_gz)."""
+    return _textio_roundtrip(sf_dir, "jsonl_gz")
+
+
 PREFIX_QUERY = "s"
 PREFIX_MAX_EXP = 4  # binds at every sf (the corpus has 6 's'-terms)
 
@@ -3564,6 +3572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "line_dedup": _q_line_dedup,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "jsonl_gz_roundtrip": _q_jsonl_gz_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "slice_drift": _q_slice_drift,
         "bm25_prefix_topk": _q_bm25_prefix,
@@ -5426,6 +5435,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "jsonl_gz_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars "
             "FROM documents ORDER BY doc_id"
         ),

@@ -53,3 +53,24 @@ def read_csv(path: str):
     import ray.data as rd
 
     return rd.read_csv(path)
+
+
+def to_jsonl_gz(ds, path: str):
+    """Write ``ds`` as sharded GZIP-compressed JSON-lines files under
+    ``path`` (reset first) — the compressed interchange form web-crawl
+    drops actually ship in (WET/WARC sidecars are gzip members). Same
+    streaming one-file-per-block writer as :func:`to_jsonl`; the gzip
+    stream rides pyarrow's output-stream codec, so compression happens
+    inside each write task, never on the driver."""
+    shutil.rmtree(path, ignore_errors=True)
+    ds.write_json(path, arrow_open_stream_args={"compression": "gzip"})
+    return path
+
+
+def read_jsonl_gz(path: str):
+    """Sharded gzip JSONL directory → Dataset (file-per-shard parallel
+    read; each task decompresses its own shard through pyarrow's input
+    stream codec)."""
+    import ray.data as rd
+
+    return rd.read_json(path, arrow_open_stream_args={"compression": "gzip"})

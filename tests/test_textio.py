@@ -52,3 +52,34 @@ def test_writer_resets_directory(tmp_path):
     back = textio.read_jsonl(path).to_pandas()
     assert len(back) == 5
     assert not (stale & set(os.listdir(path))) or len(os.listdir(path)) <= len(stale)
+
+
+def test_jsonl_gz_roundtrip_bytes_are_gzip_and_values_exact():
+    import glob
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.sources.textio import read_jsonl_gz, to_jsonl_gz
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": ["a b", "", "line with spaces"],
+        }
+    )
+    path = "/tmp/lsearch_textio_test_gz"
+    to_jsonl_gz(rd.from_arrow(t).repartition(2), path)
+    files = glob.glob(os.path.join(path, "*"))
+    assert files
+    for f in files:  # every shard is a real gzip member
+        with open(f, "rb") as fh:
+            assert fh.read(2) == b"\x1f\x8b"
+    back = (
+        read_jsonl_gz(path)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert list(back["doc_id"]) == [1, 2, 3]
+    assert list(back["text"]) == ["", "line with spaces", "a b"]
