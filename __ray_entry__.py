@@ -3344,6 +3344,26 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_int8_ann(sf_dir: str):
+    """Scalar-quantized similarity search: symmetric per-vector int8
+    quantize-dequantize (the 4×-smaller index storage form), then exact
+    cosine top-10 vs the equally-quantized query vector
+    (functions.ann.int8_cosine_topk — round-half-up spelled floor(x+.5)
+    so DuckDB replays the quantization bit-identically)."""
+    import pyarrow.parquet as pq
+
+    from lsearch_ray.functions.ann import int8_cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = np.array(
+        pq.read_table(emb_path, filters=[("vec_id", "=", 0)])["embedding"][
+            0
+        ].as_py(),
+        dtype=np.float64,
+    )
+    return int8_cosine_topk(_read(sf_dir, "embeddings"), qvec, k=10)
+
+
 _COMPLETE_PREFIX = "s"
 
 
@@ -3697,6 +3717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_terms": _q_related_terms,
         "frame_dedup": _q_frame_dedup,
         "complete_prefix": _q_complete_prefix,
+        "int8_ann": _q_int8_ann,
     }
 
 
@@ -6821,5 +6842,21 @@ WITH toks AS ({_TOKS}),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
 SELECT term, df FROM df WHERE term LIKE '{_COMPLETE_PREFIX}%'
 ORDER BY df DESC, term LIMIT 8
+""",
+        "int8_ann": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             (SELECT max(abs(t.u)) FROM unnest(v) AS t(u)) AS scale
+      FROM e),
+dq AS (SELECT vec_id,
+              CASE WHEN scale IS NULL OR scale = 0 THEN v
+                   ELSE list_transform(
+                     v, x -> floor(x * 127 / scale + 0.5) * scale / 127)
+              END AS dv
+       FROM s)
+SELECT d.vec_id,
+       round(list_cosine_similarity(
+         d.dv, (SELECT dv FROM dq WHERE vec_id = 0)), 4) AS sim
+FROM dq d ORDER BY sim DESC, vec_id LIMIT 10
 """,
     }

@@ -390,3 +390,69 @@ def _knn_join_ivf(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def int8_dequantized_batch(
+    batch: pa.Table, emb_col: str = "embedding"
+) -> pa.Table:
+    """Symmetric per-vector int8 scalar quantization, immediately
+    dequantized (the storage transform of a 4×-smaller vector index,
+    surfaced as its effect on similarities): scale = max|x_i|,
+    q_i = floor(x_i·127/scale + 0.5) — round-half-up spelled as
+    floor(x+0.5) so DuckDB replays it bit-identically — and
+    x̂_i = q_i·scale/127. All-zero vectors stay zero. Pure map-side
+    numpy over the flattened list buffer."""
+    col = batch[emb_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    flat = np.asarray(col.values, dtype=np.float64)
+    widths = np.diff(offs)
+    if n and (widths != widths[0]).any():
+        raise ValueError("int8 quantization expects fixed-dim embeddings")
+    d = int(widths[0]) if n else 0
+    V = flat.reshape(n, d) if n else flat.reshape(0, 0)
+    scale = np.abs(V).max(axis=1) if d else np.zeros(n)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.floor(V * 127.0 / safe[:, None] + 0.5)
+    dq = q * safe[:, None] / 127.0
+    dq[scale == 0.0] = 0.0
+    values = pa.array(dq.ravel(), type=pa.float64())
+    if pa.types.is_large_list(col.type):
+        out = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), values
+        )
+    else:
+        out = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), values
+        )
+    return batch.set_column(
+        batch.schema.get_field_index(emb_col), emb_col, out
+    )
+
+
+def int8_cosine_topk(
+    emb_ds,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int | None = 4,
+) -> pa.Table:
+    """Exact cosine top-k over int8-quantized-then-dequantized vectors
+    (query quantized the same way) — measures what the 4× memory
+    saving of a scalar-quantized index does to the ranking. Same plan
+    as :func:`cosine_topk`: per-batch matmul partials, k-row merge."""
+    qt = pa.table(
+        {"embedding": pa.array([query.tolist()], pa.list_(pa.float64()))}
+    )
+    dq_query = np.array(
+        int8_dequantized_batch(qt)["embedding"][0].as_py(), dtype=np.float64
+    )
+    dq = emb_ds.map_batches(
+        lambda b: int8_dequantized_batch(b, emb_col), batch_format="pyarrow"
+    )
+    return cosine_topk(
+        dq, dq_query, k=k, id_col=id_col, emb_col=emb_col, round_to=round_to
+    )

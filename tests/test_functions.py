@@ -1425,3 +1425,61 @@ def test_equi_width_hist_negative_floor_parity():
     assert list(out["n"]) == list(ref["n"])
     # spot-check the floor semantics: -1.3 -> micro -1300000 -> bucket -6
     assert -6 in list(out["bucket"])
+
+
+def test_int8_quantization_matches_python_reference():
+    """Quantize-dequantize equals the scalar replay; all-zero vectors
+    stay zero; quantized ranking approximates the exact one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.ann import (
+        cosine_topk,
+        int8_cosine_topk,
+        int8_dequantized_batch,
+    )
+
+    rngless = [
+        [1.0, -0.5, 0.25, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+        [0.003, 0.001, -0.002, 0.004],
+        [10.0, 10.0, -10.0, 5.0],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(rngless)), pa.int64()),
+            "embedding": pa.array(rngless, pa.list_(pa.float64())),
+        }
+    )
+    dq = int8_dequantized_batch(t)["embedding"].to_pylist()
+    for orig, got in zip(rngless, dq):
+        scale = max(abs(x) for x in orig)
+        if scale == 0:
+            assert got == [0.0] * len(orig)
+            continue
+        want = [
+            np.floor(x * 127.0 / scale + 0.5) * scale / 127.0 for x in orig
+        ]
+        assert got == want
+        # dequantization error bounded by scale/254 per component
+        assert all(abs(g - x) <= scale / 254 + 1e-12 for g, x in zip(got, orig))
+
+    # ranking sanity on a larger random-ish set: top-1 must agree with
+    # exact search (quantization error is ~0.4% of scale per dim)
+    vecs = [
+        [((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(8)]
+        for i in range(30)
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    q = np.array(vecs[0], dtype=np.float64)
+    ds = rd.from_arrow(tbl)
+    exact = cosine_topk(ds, q, k=5)
+    quant = int8_cosine_topk(ds, q, k=5)
+    assert quant["vec_id"].to_pylist()[0] == exact["vec_id"].to_pylist()[0] == 0
+    assert quant["sim"].to_pylist()[0] >= 0.999
