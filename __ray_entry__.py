@@ -3344,6 +3344,16 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word in exact floor-micro — the multilingual tokenizer-budget
+    diagnostic (functions.textstats.tokenizer_fertility_ds — two RE2
+    count kernels, per-batch lang partials, |langs|-row groupby)."""
+    from lsearch_ray.functions.textstats import tokenizer_fertility_ds
+
+    return tokenizer_fertility_ds(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_int8_ann(sf_dir: str):
     """Scalar-quantized similarity search: symmetric per-vector int8
     quantize-dequantize (the 4×-smaller index storage form), then exact
@@ -3718,6 +3728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_dedup": _q_frame_dedup,
         "complete_prefix": _q_complete_prefix,
         "int8_ann": _q_int8_ann,
+        "tokenizer_fertility": _q_tokenizer_fertility,
     }
 
 
@@ -6859,4 +6870,17 @@ SELECT d.vec_id,
          d.dv, (SELECT dv FROM dq WHERE vec_id = 0)), 4) AS sim
 FROM dq d ORDER BY sim DESC, vec_id LIMIT 10
 """,
+        "tokenizer_fertility": (
+            "WITH c AS (SELECT lang, "
+            "  len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe, "
+            r"  len(regexp_extract_all(text, '\S+')) AS ws "
+            "FROM documents) "
+            "SELECT lang, CAST(sum(bpe) AS BIGINT) AS bpe_tokens, "
+            "  CAST(sum(ws) AS BIGINT) AS ws_words, "
+            "  CAST(CASE WHEN sum(ws) = 0 THEN 0 "
+            "       ELSE (sum(bpe) * 1000000) // sum(ws) END AS BIGINT) "
+            "    AS fertility_micro "
+            "FROM c GROUP BY lang ORDER BY lang"
+        ),
     }

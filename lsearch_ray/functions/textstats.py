@@ -741,3 +741,70 @@ def source_quality_ds(
         )
 
     return agg.map_batches(final, batch_format="pyarrow").sort("source")
+
+
+def tokenizer_fertility_ds(ds, *, text_col: str = "text",
+                           lang_col: str = "lang"):
+    """Tokenizer fertility per language slice: BPE-ish tokens emitted
+    per whitespace word, in exact floor-micro —
+
+        fertility_micro = (Σ n_bpe_tokens · 10⁶) // Σ n_ws_words
+
+    — the multilingual tokenizer-budget diagnostic (a slice whose
+    fertility is far above the corpus norm pays more context window per
+    word; the signal vocab-allocation decisions read). Both counts are
+    RE2 kernels (``BPE_ISH_PATTERN`` and ``\\S+``) so the SQL twin
+    replays them exactly. Map-side per-batch partials collapse to one
+    row per (batch, lang) before the |langs|-row groupby; Python-int
+    finisher (no overflow at corpus scale).
+
+    Returns (lang, bpe_tokens, ws_words, fertility_micro) sorted by
+    lang; empty slices (no whitespace words) report fertility 0.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        bpe = pc.count_substring_regex(text, BPE_ISH_PATTERN).cast(
+            pa.int64()
+        )
+        ws = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+        t = pa.table(
+            {
+                lang_col: b[lang_col],
+                "bpe": bpe,
+                "ws": ws,
+            }
+        )
+        g = t.group_by([lang_col]).aggregate([("bpe", "sum"), ("ws", "sum")])
+        return pa.table(
+            {
+                lang_col: g[lang_col],
+                "bpe": g["bpe_sum"],
+                "ws": g["ws_sum"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(lang_col)
+        .aggregate(Sum("bpe", alias_name="bpe"), Sum("ws", alias_name="ws"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        bpe = t["bpe"].to_numpy(zero_copy_only=False).astype(object)
+        ws = t["ws"].to_numpy(zero_copy_only=False).astype(object)
+        fert = [
+            int(b) * 10**6 // int(w) if int(w) > 0 else 0
+            for b, w in zip(bpe, ws)
+        ]
+        return pa.table(
+            {
+                lang_col: t[lang_col],
+                "bpe_tokens": t["bpe"].cast(pa.int64()),
+                "ws_words": t["ws"].cast(pa.int64()),
+                "fertility_micro": pa.array(fert, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(lang_col)

@@ -1082,3 +1082,51 @@ def test_frame_dedup_golden_gate():
     assert t.num_rows == 144
     kept = sum(r["kept"] for r in t.to_pylist())
     assert 0 < kept < 144  # non-trivial thinning at the pinned tau
+
+
+def test_tokenizer_fertility_matches_python_reference():
+    import re
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.textstats import (
+        BPE_ISH_PATTERN,
+        tokenizer_fertility_ds,
+    )
+
+    texts = [
+        ("en", "hello world 123 foo-bar!"),
+        ("en", "a b c"),
+        ("zh", "x1 y2"),
+        ("zh", ""),
+        ("de", "   "),  # whitespace only: 0 words
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": [l for l, _ in texts],
+            "text": [t for _, t in texts],
+        }
+    )
+    out = {
+        r["lang"]: (
+            int(r["bpe_tokens"]),
+            int(r["ws_words"]),
+            int(r["fertility_micro"]),
+        )
+        for r in tokenizer_fertility_ds(rd.from_arrow(tbl)).take_all()
+    }
+    expected = {}
+    agg: dict[str, list[int]] = {}
+    for lang, t in texts:
+        bpe = len(re.findall(BPE_ISH_PATTERN, t))
+        ws = len(re.findall(r"\S+", t))
+        a = agg.setdefault(lang, [0, 0])
+        a[0] += bpe
+        a[1] += ws
+    for lang, (b, w) in agg.items():
+        expected[lang] = (b, w, b * 10**6 // w if w else 0)
+    assert out == expected
+    assert out["de"] == (0, 0, 0)
+    # punctuation splits: fertility strictly above 1 token/word for en
+    assert out["en"][2] > 1_000_000
