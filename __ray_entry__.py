@@ -3344,6 +3344,29 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+_PERCOLATE_QUERIES = {
+    1: "merge sort",
+    2: "hash join",
+    3: "window order sort",
+    4: "spark",
+    5: "absent zzz",
+}
+
+
+def _q_percolate(sf_dir: str):
+    """Stored-query (percolator) matching: every doc tested against a
+    broadcast registry of conjunctive term queries; (doc_id, query_id)
+    pairs for docs containing every term
+    (pipelines.fulltext.percolate_ds — one tokenize + distinct-pair
+    collapse per batch, one is_in+bincount per stored query, no
+    shuffle)."""
+    from lsearch_ray.pipelines.fulltext import percolate_ds
+
+    return percolate_ds(
+        _docs(sf_dir, ["doc_id", "text"]), _PERCOLATE_QUERIES
+    ).sort(["doc_id", "query_id"])
+
+
 def _q_tokenizer_fertility(sf_dir: str):
     """Tokenizer fertility per language: BPE-ish tokens per whitespace
     word in exact floor-micro — the multilingual tokenizer-budget
@@ -3729,6 +3752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complete_prefix": _q_complete_prefix,
         "int8_ann": _q_int8_ann,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "percolate": _q_percolate,
     }
 
 
@@ -6883,4 +6907,16 @@ FROM dq d ORDER BY sim DESC, vec_id LIMIT 10
             "    AS fertility_micro "
             "FROM c GROUP BY lang ORDER BY lang"
         ),
+        "percolate": f"""
+WITH toks AS (SELECT DISTINCT doc_id, lower(u.t) AS term FROM documents,
+  UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''),
+q(query_id, term) AS (VALUES (1, 'merge'), (1, 'sort'), (2, 'hash'), (2, 'join'), (3, 'order'), (3, 'sort'), (3, 'window'), (4, 'spark'), (5, 'absent'), (5, 'zzz')),
+need AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+hit AS (SELECT t.doc_id, q.query_id, count(*) AS m
+        FROM toks t JOIN q ON t.term = q.term GROUP BY 1, 2)
+SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id
+FROM hit h JOIN need USING (query_id) WHERE h.m = need.n
+ORDER BY h.doc_id, h.query_id
+""",
     }

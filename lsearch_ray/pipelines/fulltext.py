@@ -1566,3 +1566,74 @@ def complete_prefix_ds(
             "df": pa.array(out["df"], pa.int64()),
         }
     )
+
+
+def percolate_ds(
+    docs_ds,
+    stored_queries: dict[int, str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Stored-query matching (the percolator / alerting primitive,
+    reversing the usual search direction): every incoming doc is tested
+    against a registry of conjunctive term queries; a doc matches a
+    query when it contains EVERY query term (the reference's
+    conjunctive short-circuit semantics, `cli.rs:405-408`, applied
+    doc→query). Returns (doc_id, query_id) match pairs.
+
+    Scale shape: the stored-query registry is tiny and broadcast in
+    the map closure (alerting registries are thousands of rows — MBs);
+    each batch tokenizes its docs ONCE, collapses to distinct
+    (doc, term) pairs, and answers every query with one ``is_in`` +
+    ``bincount`` — per-query work is O(distinct pairs), no shuffle,
+    nothing leaves the batch but the match pairs.
+    """
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    compiled = {
+        int(qid): sorted(set(tokenize(q)))
+        for qid, q in stored_queries.items()
+    }
+    compiled = {qid: ts for qid, ts in compiled.items() if ts}
+
+    def match(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parents, flat = flat_tokens_arrow(b[text_col])
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "query_id": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) == 0 or not compiled:
+            return empty
+        # distinct (doc, term) pairs once per batch
+        t = pa.table({"p": pa.array(parents), "term": flat})
+        g = t.group_by(["p", "term"]).aggregate([])
+        gp = g["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gterm = g["term"]
+        if isinstance(gterm, pa.ChunkedArray):
+            gterm = gterm.combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_doc: list[np.ndarray] = []
+        out_q: list[np.ndarray] = []
+        for qid, terms in compiled.items():
+            m = pc.is_in(gterm, value_set=pa.array(terms)).to_numpy(
+                zero_copy_only=False
+            )
+            cnt = np.bincount(gp[m], minlength=n)
+            hit = np.flatnonzero(cnt == len(terms))
+            if len(hit):
+                out_doc.append(ids[hit])
+                out_q.append(np.full(len(hit), qid, dtype=np.int64))
+        if not out_doc:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_doc)),
+                "query_id": pa.array(np.concatenate(out_q)),
+            }
+        )
+
+    return docs_ds.map_batches(match, batch_format="pyarrow")

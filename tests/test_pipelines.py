@@ -629,3 +629,38 @@ def test_complete_prefix_matches_python_reference():
     )[:3]
     assert got == expected == [("sort", 3), ("sun", 3), ("set", 2)]
     assert complete_prefix_ds(ds, "", k=3).num_rows == 0
+
+
+def test_percolate_matches_python_reference():
+    import re
+
+    import pyarrow as pa
+
+    from lsearch_ray.pipelines.fulltext import percolate_ds
+
+    texts = [
+        "merge sort scan",          # matches q1 (merge+sort)
+        "merge only",               # none
+        "sort and merge again",     # q1
+        "unrelated words",          # none
+        "",                         # none
+    ]
+    queries = {1: "merge sort", 2: "scan", 3: "", 4: "zzz absent"}
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    got = sorted(
+        (int(r["doc_id"]), int(r["query_id"]))
+        for r in percolate_ds(rd.from_arrow(tbl), queries).take_all()
+    )
+    expected = []
+    for did, s in enumerate(texts):
+        toks = set(re.findall(r"[a-z0-9]+", s.lower()))
+        for qid, q in queries.items():
+            terms = set(re.findall(r"[a-z0-9]+", q.lower()))
+            if terms and terms <= toks:
+                expected.append((did, qid))
+    assert got == sorted(expected)
+    assert (0, 1) in got and (0, 2) in got and (2, 1) in got
+    # empty query never matches; absent terms never match
+    assert all(q not in (3, 4) for _, q in got)
