@@ -3344,6 +3344,19 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM user segmentation: exact corpus-wide tercile buckets of
+    recency / frequency / monetary mass per user
+    (functions.stats.rfm_segments_ds — one user-keyed combiner
+    shuffle, exact integer-rank thresholds, 2-row broadcast per
+    metric)."""
+    from lsearch_ray.functions.stats import rfm_segments_ds
+
+    return rfm_segments_ds(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+    )
+
+
 _PERCOLATE_QUERIES = {
     1: "merge sort",
     2: "hash join",
@@ -3753,6 +3766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "int8_ann": _q_int8_ann,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "percolate": _q_percolate,
+        "rfm_segments": _q_rfm_segments,
     }
 
 
@@ -6918,5 +6932,41 @@ hit AS (SELECT t.doc_id, q.query_id, count(*) AS m
 SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id
 FROM hit h JOIN need USING (query_id) WHERE h.m = need.n
 ORDER BY h.doc_id, h.query_id
+""",
+        "rfm_segments": """
+WITH prof AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_ts, count(*) AS freq,
+         CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS monetary_micro
+  FROM events GROUP BY user_id
+),
+n AS (SELECT count(*) AS n FROM prof),
+th AS (
+  SELECT
+    max(CASE WHEN rr - 1 = (1 * (n.n - 1)) // 3 THEN lv END) AS r1,
+    max(CASE WHEN rr - 1 = (2 * (n.n - 1)) // 3 THEN lv END) AS r2,
+    max(CASE WHEN rf - 1 = (1 * (n.n - 1)) // 3 THEN fv END) AS f1,
+    max(CASE WHEN rf - 1 = (2 * (n.n - 1)) // 3 THEN fv END) AS f2,
+    max(CASE WHEN rm - 1 = (1 * (n.n - 1)) // 3 THEN mv END) AS m1,
+    max(CASE WHEN rm - 1 = (2 * (n.n - 1)) // 3 THEN mv END) AS m2
+  FROM (SELECT last_ts AS lv, freq AS fv, monetary_micro AS mv,
+               row_number() OVER (ORDER BY last_ts) AS rr,
+               row_number() OVER (ORDER BY freq) AS rf,
+               row_number() OVER (ORDER BY monetary_micro) AS rm
+        FROM prof), n
+  GROUP BY n.n
+)
+SELECT p.user_id, p.last_ts, p.freq, p.monetary_micro,
+       CAST((p.last_ts > th.r1) :: INT + (p.last_ts > th.r2) :: INT
+            AS BIGINT) AS r,
+       CAST((p.freq > th.f1) :: INT + (p.freq > th.f2) :: INT
+            AS BIGINT) AS f,
+       CAST((p.monetary_micro > th.m1) :: INT
+            + (p.monetary_micro > th.m2) :: INT AS BIGINT) AS m,
+       CAST(100 * ((p.last_ts > th.r1) :: INT + (p.last_ts > th.r2) :: INT)
+            + 10 * ((p.freq > th.f1) :: INT + (p.freq > th.f2) :: INT)
+            + ((p.monetary_micro > th.m1) :: INT
+               + (p.monetary_micro > th.m2) :: INT) AS BIGINT) AS rfm
+FROM prof p, th ORDER BY p.user_id
 """,
     }

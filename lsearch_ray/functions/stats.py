@@ -285,3 +285,108 @@ def zscore_outliers_ds(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow").sort(id_col)
+
+
+def rfm_segments_ds(
+    events_ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_partitions: int = 32,
+):
+    """RFM user segmentation (the classic recency/frequency/monetary
+    tercile analysis): per user, last-event time, event count and
+    monetary mass, each bucketed 0-2 by EXACT corpus-wide tercile
+    order statistics — bucket = count of thresholds strictly below the
+    user's value (a user at a threshold falls to the lower bucket, the
+    perplexity-buckets convention), so bucket 2 = most recent / most
+    frequent / highest spend. ``rfm = 100·r + 10·f + m``.
+
+    Exactness contract: monetary mass is per-event floor-micro
+    (``floor(value·10⁶)`` — a double multiply + floor both engines
+    replay bit-identically) summed as int64; recency is epoch-µs; the
+    thresholds come from the exact integer-rank order statistics
+    (quantiles.grouped_rank_values_ds over a constant group — one
+    value shuffle per metric, a 2-row threshold table broadcast into
+    the final map). One user-keyed combiner shuffle builds the profile
+    table; nothing user-shaped reaches the driver.
+
+    Returns (user_id, last_ts:int64 epoch-µs, freq:int64,
+    monetary_micro:int64, r, f, m, rfm) sorted by user_id.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    from lsearch_ray.functions.quantiles import grouped_rank_values_ds
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64())
+        val = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mon = np.floor(val * 1_000_000).astype(np.int64)
+        return pa.table(
+            {
+                user_col: b[user_col].cast(pa.int64()),
+                "ts_us": us,
+                "mon": pa.array(mon),
+            }
+        )
+
+    prof = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(user_col)
+        .aggregate(
+            Max("ts_us", alias_name="last_ts"),
+            Count(alias_name="freq"),
+            Sum("mon", alias_name="monetary_micro"),
+        )
+        .materialize()
+    )
+
+    fracs = [(1, 3), (2, 3)]
+
+    def with_const(col: str):
+        return prof.map_batches(
+            lambda b, c=col: pa.table(
+                {
+                    "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                    "v": b[c].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    thresholds: dict[str, tuple[int, int]] = {}
+    for col in ("last_ts", "freq", "monetary_micro"):
+        rows = grouped_rank_values_ds(
+            with_const(col), "g", "v", fracs,
+            num_partitions=num_partitions,
+        ).take_all()  # 2 rows
+        by_num = {int(r["num"]): int(r["value"]) for r in rows}
+        thresholds[col] = (by_num[1], by_num[2])
+
+    def finish(b: pa.Table) -> pa.Table:
+        def bucket(col: str) -> np.ndarray:
+            v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t1, t2 = thresholds[col]
+            return (v > t1).astype(np.int64) + (v > t2).astype(np.int64)
+
+        r = bucket("last_ts")
+        f = bucket("freq")
+        m = bucket("monetary_micro")
+        return pa.table(
+            {
+                user_col: b[user_col],
+                "last_ts": b["last_ts"].cast(pa.int64()),
+                "freq": b["freq"].cast(pa.int64()),
+                "monetary_micro": b["monetary_micro"].cast(pa.int64()),
+                "r": pa.array(r),
+                "f": pa.array(f),
+                "m": pa.array(m),
+                "rfm": pa.array(100 * r + 10 * f + m),
+            }
+        )
+
+    return prof.map_batches(finish, batch_format="pyarrow").sort(user_col)

@@ -559,3 +559,68 @@ def test_hourly_anomalies_flags_burst_and_stall():
     q = s0 + 1 if (s0 + 1) ** 2 <= rr else (s0 - 1 if s0 * s0 > rr else s0)
     flagged = [v for v in xs if v * n > s + q or v * n < s - q]
     assert flagged == [40]
+
+
+def test_rfm_segments_matches_python_reference():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.stats import rfm_segments_ds
+
+    base = pd.Timestamp("2026-01-01").value // 1000  # epoch us
+    rows = [
+        # (user, ts_offset_hours, value)
+        (1, 0, 10.0), (1, 5, 2.5),
+        (2, 100, 1.0),
+        (3, 50, 100.0), (3, 60, 0.0), (3, 70, 1.25),
+        (4, 200, -3.5),
+        (5, 10, 0.001), (5, 300, 0.002),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + r[1] * 3600 * 10**6 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    out = {
+        int(r["user_id"]): r
+        for r in rfm_segments_ds(rd.from_arrow(tbl)).take_all()
+    }
+
+    prof = {}
+    for u, off, v in rows:
+        p = prof.setdefault(u, [0, 0, 0])
+        p[0] = max(p[0], base + off * 3600 * 10**6)
+        p[1] += 1
+        p[2] += int(np.floor(v * 1_000_000))
+    n = len(prof)
+
+    def terciles(vals):
+        s = sorted(vals)
+        return s[(1 * (n - 1)) // 3], s[(2 * (n - 1)) // 3]
+
+    t_r = terciles(p[0] for p in prof.values())
+    t_f = terciles(p[1] for p in prof.values())
+    t_m = terciles(p[2] for p in prof.values())
+    for u, (ts, fq, mon) in prof.items():
+        r = (ts > t_r[0]) + (ts > t_r[1])
+        f = (fq > t_f[0]) + (fq > t_f[1])
+        m = (mon > t_m[0]) + (mon > t_m[1])
+        got = out[u]
+        assert (
+            int(got["last_ts"]),
+            int(got["freq"]),
+            int(got["monetary_micro"]),
+            int(got["r"]),
+            int(got["f"]),
+            int(got["m"]),
+            int(got["rfm"]),
+        ) == (ts, fq, mon, r, f, m, 100 * r + 10 * f + m), u
+    # negative spend floors correctly: -3.5 -> -3500000
+    assert int(out[4]["monetary_micro"]) == -3_500_000
