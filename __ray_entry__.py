@@ -3344,6 +3344,17 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+def _q_basket_lift(sf_dir: str):
+    """Market-basket lift between event types over distinct-user
+    audiences — "users who did A also did B"
+    (functions.funnel.basket_lift_ds — composes the oracled
+    audience-overlap intersections with distributed audience sizes;
+    |types|²-bounded scoring rows, Python-int products)."""
+    from lsearch_ray.functions.funnel import basket_lift_ds
+
+    return basket_lift_ds(_read(sf_dir, "events", ["event_type", "user_id"]))
+
+
 def _q_rfm_segments(sf_dir: str):
     """RFM user segmentation: exact corpus-wide tercile buckets of
     recency / frequency / monetary mass per user
@@ -3767,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "percolate": _q_percolate,
         "rfm_segments": _q_rfm_segments,
+        "basket_lift": _q_basket_lift,
     }
 
 
@@ -6968,5 +6980,23 @@ SELECT p.user_id, p.last_ts, p.freq, p.monetary_micro,
             + ((p.monetary_micro > th.m1) :: INT
                + (p.monetary_micro > th.m2) :: INT) AS BIGINT) AS rfm
 FROM prof p, th ORDER BY p.user_id
+""",
+        "basket_lift": """
+WITH ud AS (SELECT DISTINCT event_type, user_id FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+sz AS (SELECT event_type, count(*) AS n FROM ud GROUP BY 1),
+nu AS (SELECT count(DISTINCT user_id) AS nu FROM ud),
+inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS c
+          FROM ud a JOIN ud b ON a.user_id = b.user_id
+           AND a.event_type < b.event_type GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(c AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(nu.nu AS BIGINT) AS n_users,
+       CAST((c * nu.nu * 1000000) // (sa.n * sb.n) AS BIGINT)
+         AS lift_micro
+FROM inter JOIN sz sa ON sa.event_type = type_a
+     JOIN sz sb ON sb.event_type = type_b CROSS JOIN nu
+ORDER BY type_a, type_b
 """,
     }

@@ -490,3 +490,100 @@ def transition_counts_ds(
             "n": pa.array(out["n"], pa.int64()),
         }
     )
+
+
+def basket_lift_ds(
+    ds,
+    *,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    num_partitions: int = 16,
+):
+    """Market-basket association (lift) between event types over
+    distinct-user audiences: for every type pair sharing a user,
+
+        lift_micro = (n_common · N · 10⁶) // (n_a · n_b)
+
+    with N = total distinct users and n_x = each type's distinct-user
+    audience — the "users who did A also did B" measure; 10⁶ = the two
+    behaviors are independent, above = positive association. Exact
+    integer end to end (Python-int products, so corpus-scale counts
+    can't overflow int64).
+
+    Composes the oracled overlap machinery: pair intersections from
+    :func:`audience_overlap_ds`, audience sizes from
+    :func:`grouped_distinct_count_ds`, N from one user-keyed distinct
+    count; the pair table is |types|²-bounded, so the final scoring
+    rows are tiny while every count underneath is distributed.
+
+    Returns (type_a, type_b, n_common, n_a, n_b, n_users, lift_micro)
+    sorted by the pair.
+    """
+    import ray.data as rd
+
+    # the audience_overlap convention: null types/users don't count
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pa.compute.and_(
+                pa.compute.is_valid(b[type_col]),
+                pa.compute.is_valid(b[user_col]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = audience_overlap_ds(
+        ds,
+        type_col=type_col,
+        user_col=user_col,
+        num_partitions=num_partitions,
+    ).take_all()  # |types|^2-bounded
+    sizes = {
+        r[type_col]: int(r["n_distinct"])
+        for r in grouped_distinct_count_ds(
+            ds, type_col, user_col, num_partitions=num_partitions
+        ).take_all()
+    }
+    n_users = int(
+        grouped_distinct_count_ds(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "__all": pa.array(
+                            np.zeros(b.num_rows, dtype=np.int64)
+                        ),
+                        user_col: b[user_col],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            "__all",
+            user_col,
+            num_partitions=num_partitions,
+        ).take_all()[0]["n_distinct"]
+    )
+
+    ta, tb, nc, na, nb, lift = [], [], [], [], [], []
+    for r in pairs:
+        a, b = r["type_a"], r["type_b"]
+        common = int(r["n_common"])
+        sa, sb = sizes[a], sizes[b]
+        ta.append(a)
+        tb.append(b)
+        nc.append(common)
+        na.append(sa)
+        nb.append(sb)
+        lift.append((common * n_users * 10**6) // (sa * sb))
+    out = pa.table(
+        {
+            "type_a": pa.array(ta, pa.large_string()),
+            "type_b": pa.array(tb, pa.large_string()),
+            "n_common": pa.array(nc, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "n_users": pa.array(
+                [n_users] * len(ta), pa.int64()
+            ),
+            "lift_micro": pa.array(lift, pa.int64()),
+        }
+    )
+    return rd.from_arrow(out).sort(["type_a", "type_b"])

@@ -206,3 +206,57 @@ def test_transition_counts_null_and_separator_types():
     }
     # user 1 stream after null exclusion: a\x01b -> c -> c
     assert got == {("a\x01b", "c"): 1, ("c", "c"): 1, ("x", "x"): 1}
+
+
+def test_basket_lift_matches_python_reference():
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lsearch_ray.functions.funnel import basket_lift_ds
+
+    rows = [
+        ("view", 1), ("view", 2), ("view", 3), ("view", 3),
+        ("click", 1), ("click", 2),
+        ("buy", 1),
+        ("rare", 9),
+        (None, 5), ("view", None),  # nulls excluded
+    ]
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    got = {
+        (r["type_a"], r["type_b"]): (
+            int(r["n_common"]),
+            int(r["n_a"]),
+            int(r["n_b"]),
+            int(r["n_users"]),
+            int(r["lift_micro"]),
+        )
+        for r in basket_lift_ds(rd.from_arrow(tbl)).take_all()
+    }
+    aud: dict[str, set[int]] = {}
+    for t, u in rows:
+        if t is not None and u is not None:
+            aud.setdefault(t, set()).add(u)
+    n_users = len({u for s in aud.values() for u in s})
+    expected = {}
+    for a, b in itertools.combinations(sorted(aud), 2):
+        common = len(aud[a] & aud[b])
+        if not common:
+            continue
+        expected[(a, b)] = (
+            common,
+            len(aud[a]),
+            len(aud[b]),
+            n_users,
+            common * n_users * 10**6 // (len(aud[a]) * len(aud[b])),
+        )
+    assert got == expected
+    # click ⊂ view: maximal association, lift = N/|view| > 1e6
+    # (N = 4 users after null exclusion; 2·4·10⁶ // (2·3))
+    assert got[("click", "view")][4] == 1_333_333 > 10**6
