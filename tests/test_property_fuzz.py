@@ -547,3 +547,128 @@ def test_bpe_merges_fuzz_vs_sequential_replay(docs, iters):
         )
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), _WORDS),
+        min_size=1,
+        max_size=14,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(2, 6),
+)
+@settings(max_examples=12, deadline=None)
+def test_vocab_growth_fuzz_vs_sequential_replay(rows, n_buckets):
+    """vocab_growth equals the per-prefix distinct-token count of a
+    sequential replay on arbitrary sparse id sets and bucket counts."""
+    import re
+
+    import ray.data as rd
+
+    from lsearch_ray.functions.ngrams import vocab_growth_ds
+
+    ids = [r[0] for r in rows]
+    texts = [r[1] for r in rows]
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": texts}
+    )
+    out = (
+        vocab_growth_ds(rd.from_arrow(tbl), n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    lo, hi = min(ids), max(ids)
+    span = hi - lo + 1
+    for i in range(1, n_buckets + 1):
+        thr = lo + (span * i + n_buckets - 1) // n_buckets
+        vocab = set()
+        for did, s in zip(ids, texts):
+            if did < thr:
+                vocab.update(re.findall(r"[a-z0-9]+", s.lower()))
+        row = out.iloc[i - 1]
+        assert int(row["doc_id_lt"]) == thr
+        assert int(row["vocab_size"]) == len(vocab), (rows, n_buckets)
+
+
+@given(
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=8),
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=8),
+)
+@settings(max_examples=12, deadline=None)
+def test_snapshot_diff_fuzz_vs_dict_replay(a, b):
+    """snapshot_diff matches the dict-based replay on arbitrary key/fp
+    maps (statuses partition A ∪ B; fingerprint 0 is a legal value)."""
+    import ray.data as rd
+
+    from lsearch_ray.functions.snapshot import snapshot_diff_ds
+
+    if not a and not b:
+        return
+
+    def ds(d):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(d), pa.int64()),
+                    "fp64": pa.array(list(d.values()), pa.int64()),
+                }
+            )
+        )
+
+    got = {
+        int(r["doc_id"]): r["status"]
+        for r in snapshot_diff_ds(ds(a), ds(b)).take_all()
+    }
+    expected = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            expected[k] = "removed"
+        elif k not in a:
+            expected[k] = "added"
+        else:
+            expected[k] = "same" if a[k] == b[k] else "changed"
+    assert got == expected, (a, b)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False
+            ).map(lambda x: round(x, 3)),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_int8_quantization_fuzz_vs_scalar_replay(vecs):
+    """int8 quantize-dequantize equals the per-element scalar replay and
+    bounds the per-component error by scale/254."""
+    import numpy as np
+
+    from lsearch_ray.functions.ann import int8_dequantized_batch
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    got = int8_dequantized_batch(t)["embedding"].to_pylist()
+    for orig, dq in zip(vecs, got):
+        scale = max(abs(x) for x in orig)
+        if scale == 0:
+            assert dq == [0.0] * len(orig)
+            continue
+        want = [
+            np.floor(x * 127.0 / scale + 0.5) * scale / 127.0 for x in orig
+        ]
+        assert dq == want, (orig, dq)
+        assert all(
+            abs(g - x) <= scale / 254 + 1e-9 for g, x in zip(dq, orig)
+        )
