@@ -3344,6 +3344,63 @@ def _q_bm25f_topk(sf_dir: str):
     )
 
 
+_MULTI_QUERIES = ["scan merge", "hash join", "window order sort"]
+
+
+def _q_bm25_multi(sf_dir: str):
+    """The REAL serving path under the driver gate: build the sharded
+    codec index (delta+varint, block-max), stream a query batch through
+    the BatchSearcher actor pool (contribution caches, pushdown reads),
+    and emit (query_id, rank, doc_id, score) — the one registry entry
+    whose scores come from the index engine rather than the Dataset
+    twin. Scores round to 4 dp and rank is recomputed on the rounded
+    order (the bm25_topk_dataset convention) so the SQL replay's
+    float-sum ordering matches."""
+    import shutil
+
+    import ray.data as rd
+
+    from lsearch_ray.index.build import build_index
+    from lsearch_ray.index.search import BatchSearcher
+
+    index_dir = os.path.join(
+        "/tmp/lsearch_multi_idx",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_index(_docs(sf_dir, ["doc_id", "text"]), index_dir, num_shards=4)
+    qt = pa.table(
+        {
+            "query_id": pa.array(range(len(_MULTI_QUERIES)), pa.int64()),
+            "query": _MULTI_QUERIES,
+        }
+    )
+    out = (
+        rd.from_arrow(qt)
+        .map_batches(
+            BatchSearcher,
+            fn_constructor_kwargs={"index_dir": index_dir, "k": 10, "mode": "or"},
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+        )
+        .to_pandas()
+    )  # <= 30 rows
+    out["score"] = out["score"].round(4)
+    out = out.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
 def _q_basket_lift(sf_dir: str):
     """Market-basket lift between event types over distinct-user
     audiences — "users who did A also did B"
@@ -3779,6 +3836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "rfm_segments": _q_rfm_segments,
         "basket_lift": _q_basket_lift,
+        "bm25_multi": _q_bm25_multi,
     }
 
 
@@ -4046,6 +4104,27 @@ SELECT d.doc_id,
        coalesce(fp.fp64,
                 CAST(14695981039346656037 % 9223372036854775808 AS BIGINT)) AS fp64
 FROM {src} d LEFT JOIN fp ON d.doc_id = fp.doc_id)"""
+
+
+def _bm25_multi_sql() -> str:
+    """Oracle for bm25_multi: each query's rounded-score top-10 via the
+    shared BM25 body, UNION ALL'd, rank recomputed per query on the
+    rounded order — the codec serving path must land on the same rows."""
+    parts = []
+    for qid, q in enumerate(_MULTI_QUERIES):
+        parts.append(
+            f"SELECT {qid} AS query_id, doc_id, score FROM ("
+            f"{_bm25_body(q)} "
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "ORDER BY score DESC, doc_id LIMIT 10)"
+        )
+    inner = " UNION ALL ".join(parts)
+    return (
+        "SELECT query_id, CAST(row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)"
+        "  AS rank, doc_id, score "
+        f"FROM ({inner}) ORDER BY query_id, rank"
+    )
 
 
 def _fingerprint_sql() -> str:
@@ -6999,4 +7078,5 @@ FROM inter JOIN sz sa ON sa.event_type = type_a
      JOIN sz sb ON sb.event_type = type_b CROSS JOIN nu
 ORDER BY type_a, type_b
 """,
+        "bm25_multi": _bm25_multi_sql(),
     }
