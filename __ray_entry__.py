@@ -3401,6 +3401,48 @@ def _q_bm25_multi(sf_dir: str):
     )
 
 
+def _q_bm25_engine(sf_dir: str):
+    """The scatter-gather serving path (QueryEngine: raw shard-holding
+    actors, per-group exact top-k, driver merge) under the same oracle
+    as bm25_multi — with this, all three serving paths (one-shot,
+    BatchSearcher, QueryEngine) are correctness-gated: the first two by
+    the driver's SQL oracle, the one-shot additionally rank-identical
+    by pytest."""
+    import shutil
+
+    from lsearch_ray.index.build import build_index
+    from lsearch_ray.index.search import QueryEngine
+
+    index_dir = os.path.join(
+        "/tmp/lsearch_engine_idx",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_index(_docs(sf_dir, ["doc_id", "text"]), index_dir, num_shards=4)
+    eng = QueryEngine(index_dir, num_actors=2)
+    import pandas as pd
+
+    frames = []
+    for qid, q in enumerate(_MULTI_QUERIES):
+        t = eng.search(q, k=10, mode="or").to_pandas()
+        t.insert(0, "query_id", qid)
+        frames.append(t)
+    out = pd.concat(frames, ignore_index=True)
+    out["score"] = out["score"].round(4)
+    out = out.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
 def _q_basket_lift(sf_dir: str):
     """Market-basket lift between event types over distinct-user
     audiences — "users who did A also did B"
@@ -3837,6 +3879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "basket_lift": _q_basket_lift,
         "bm25_multi": _q_bm25_multi,
+        "bm25_engine": _q_bm25_engine,
     }
 
 
@@ -7079,4 +7122,5 @@ FROM inter JOIN sz sa ON sa.event_type = type_a
 ORDER BY type_a, type_b
 """,
         "bm25_multi": _bm25_multi_sql(),
+        "bm25_engine": _bm25_multi_sql(),
     }
