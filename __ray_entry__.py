@@ -3670,6 +3670,20 @@ _SPELL_TERMS = ["ag", "merge", "qury", "sow"]
 _SPELL_K = 5
 
 
+def _q_vocab_growth_by_lang(sf_dir: str):
+    """Per-language Heaps'-law curves over the SAME global doc_id
+    ladder — which slice's vocabulary is still growing
+    (functions.ngrams.grouped_vocab_growth_ds — one composite-keyed
+    groupby-min shuffle, |langs|·8-row driver finish, zero-vocab cells
+    emitted)."""
+    from lsearch_ray.functions.ngrams import grouped_vocab_growth_ds
+
+    return grouped_vocab_growth_ds(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        n_buckets=_VOCAB_GROWTH_BUCKETS,
+    )
+
+
 def _q_spell_suggest(sf_dir: str):
     """Did-you-mean: top-5 vocabulary terms within Levenshtein ≤ 1 of
     each (misspelled) query term, ranked by (df desc, term asc)
@@ -3880,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_lift": _q_basket_lift,
         "bm25_multi": _q_bm25_multi,
         "bm25_engine": _q_bm25_engine,
+        "vocab_growth_by_lang": _q_vocab_growth_by_lang,
     }
 
 
@@ -7123,4 +7138,25 @@ ORDER BY type_a, type_b
 """,
         "bm25_multi": _bm25_multi_sql(),
         "bm25_engine": _bm25_multi_sql(),
+        "vocab_growth_by_lang": f"""
+WITH toks AS (
+  SELECT lang, doc_id, lower(u.t) AS term FROM documents,
+    UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE u.t <> ''
+),
+bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+firsts AS (SELECT lang, term, min(doc_id) AS md FROM toks GROUP BY 1, 2),
+buckets AS (
+  SELECT CAST(g.i AS BIGINT) AS bucket,
+         lo + ((hi - lo + 1) * g.i + {_VOCAB_GROWTH_BUCKETS} - 1)
+              // {_VOCAB_GROWTH_BUCKETS} AS doc_id_lt
+  FROM generate_series(1, {_VOCAB_GROWTH_BUCKETS}) AS g(i), bounds
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+cells AS (SELECT l.lang, b.bucket, b.doc_id_lt FROM langs l, buckets b)
+SELECT c.lang, c.bucket, c.doc_id_lt, count(f.term) AS vocab_size
+FROM cells c LEFT JOIN firsts f
+  ON f.lang = c.lang AND f.md < c.doc_id_lt
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+""",
     }

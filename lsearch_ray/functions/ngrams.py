@@ -1506,3 +1506,143 @@ def kn_bigram_lm_ds(
             "pkn_micro": pa.array(ps, pa.int64()),
         }
     )
+
+
+def grouped_vocab_growth_ds(
+    ds,
+    *,
+    group_col: str = "lang",
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-slice Heaps'-law vocabulary growth: :func:`vocab_growth_ds`
+    with an independent curve per ``group_col`` value over the SAME
+    global doc_id ladder (comparable x-axes — the question is "which
+    language's vocabulary is still growing?"). Every (group, bucket)
+    cell is emitted, zero-vocab cells included.
+
+    Same scale shape: one (group, term)-keyed groupby-min shuffle (the
+    composite key travels as one concatenated column), per-batch bucket
+    bincounts, and a |groups|·n_buckets-row driver finish — the
+    vocabulary never leaves the cluster.
+
+    Returns (group_col, bucket, doc_id_lt, vocab_size) sorted by
+    (group, bucket).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from lsearch_ray.analyzer import flat_tokens_arrow
+
+    SEP = "\x01"
+    bounds = ds.aggregate(
+        Min(id_col, alias_name="lo"), Max(id_col, alias_name="hi")
+    )
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.large_string()),
+            "bucket": pa.array([], pa.int64()),
+            "doc_id_lt": pa.array([], pa.int64()),
+            "vocab_size": pa.array([], pa.int64()),
+        }
+    )
+    if not bounds or bounds.get("lo") is None:
+        return rd.from_arrow(empty)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    thrs = np.array(
+        [lo + (span * i + n_buckets - 1) // n_buckets
+         for i in range(1, n_buckets + 1)],
+        dtype=np.int64,
+    )
+    groups = sorted(
+        str(r[group_col])
+        for r in ds.groupby(group_col).count().take_all()
+    )
+
+    def first_seen_partial(batch: pa.Table) -> pa.Table:
+        parents, flat = flat_tokens_arrow(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "gt": pa.array([], pa.large_string()),
+                    "md": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        grp = grp.cast(pa.large_string())
+        gt = pc.binary_join_element_wise(
+            grp.take(pa.array(parents)),
+            flat.cast(pa.large_string()),
+            pa.scalar(SEP, type=pa.large_string()),
+        )
+        t = pa.table({"gt": gt, "md": pa.array(ids[parents])})
+        g = t.group_by(["gt"]).aggregate([("md", "min")])
+        return pa.table({"gt": g["gt"], "md": g["md_min"]})
+
+    firsts = (
+        ds.map_batches(first_seen_partial, batch_format="pyarrow")
+        .groupby("gt")
+        .min("md")
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        gt = t["gt"].combine_chunks().cast(pa.large_string())
+        parts = pc.split_pattern(gt, SEP)
+        grp = pc.list_element(parts, 0)
+        md = t["min(md)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(thrs, md, side="right") + 1
+        out = pa.table(
+            {
+                "g": grp,
+                "b": pa.array(b.astype(np.int64)),
+                "one": pa.array(np.ones(len(md), dtype=np.int64)),
+            }
+        )
+        agg = out.group_by(["g", "b"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "gb": pc.binary_join_element_wise(
+                    agg["g"].combine_chunks().cast(pa.large_string()),
+                    pc.cast(agg["b"], pa.string()).combine_chunks().cast(
+                        pa.large_string()
+                    ),
+                    pa.scalar(SEP, type=pa.large_string()),
+                ),
+                "n_new": agg["one_sum"].cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        firsts.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("gb")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+        .take_all()
+    )  # <= |groups| * n_buckets rows
+    new = {}
+    for r in rows:
+        g, b = r["gb"].rsplit(SEP, 1)
+        new[(g, int(b))] = int(r["n_new"])
+    out_g, out_b, out_t, out_v = [], [], [], []
+    for g in groups:
+        acc = 0
+        for i in range(1, n_buckets + 1):
+            acc += new.get((g, i), 0)
+            out_g.append(g)
+            out_b.append(i)
+            out_t.append(int(thrs[i - 1]))
+            out_v.append(acc)
+    return rd.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g, pa.large_string()),
+                "bucket": pa.array(out_b, pa.int64()),
+                "doc_id_lt": pa.array(out_t, pa.int64()),
+                "vocab_size": pa.array(out_v, pa.int64()),
+            }
+        )
+    )

@@ -661,3 +661,50 @@ def test_kn_bigram_lm_matches_python_reference():
     assert out == expected
     # interpolated KN is a proper smoothing: every probability < 1
     assert all(0 < r["pkn_micro"] < 10**6 for r in out)
+
+
+def test_grouped_vocab_growth_matches_python_reference():
+    """Per-group curves over the shared global ladder, zero-vocab cells
+    included, equal to a sequential replay."""
+    from lsearch_ray.functions.ngrams import grouped_vocab_growth_ds
+
+    rows = [
+        (0, "en", "alpha beta"),
+        (3, "de", "gamma"),
+        (5, "en", "beta delta"),
+        (9, "de", ""),
+        (11, "en", "epsilon"),
+        (12, "zz", ""),  # group with no tokens at all
+    ]
+    n_buckets = 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+        }
+    )
+    out = [
+        (r.lang, int(r.bucket), int(r.doc_id_lt), int(r.vocab_size))
+        for r in grouped_vocab_growth_ds(
+            rd.from_arrow(tbl), n_buckets=n_buckets
+        )
+        .to_pandas()
+        .sort_values(["lang", "bucket"])
+        .itertuples()
+    ]
+    ids = [r[0] for r in rows]
+    lo, hi = min(ids), max(ids)
+    span = hi - lo + 1
+    thrs = [lo + (span * i + n_buckets - 1) // n_buckets for i in range(1, n_buckets + 1)]
+    expected = []
+    for g in sorted({r[1] for r in rows}):
+        for i, thr in enumerate(thrs, 1):
+            vocab = set()
+            for did, lang, s in rows:
+                if lang == g and did < thr:
+                    vocab.update(re.findall(r"[a-z0-9]+", s.lower()))
+            expected.append((g, i, thr, len(vocab)))
+    assert out == expected
+    # the token-less group has all-zero cells but IS present
+    assert [(v) for g, _, _, v in expected if g == "zz"] == [0, 0, 0]
